@@ -1,0 +1,109 @@
+"""Logical inverted-index build: corpus -> postings / doclens / docs tables.
+
+This is the DataFrame-level index (SURVEY.md §1.1): the term-major view of
+the corpus materialized as plain DataFrames. The physical segmented form
+(compressed posting lists + manifests) is built on top by
+``solr_spark.index.segments``.
+
+Spark shape (SURVEY.md §3.2): tokenize+doc-local tf combine inside ONE Arrow
+UDF pass (so the explode/shuffle carries a row per *distinct* term per doc,
+not per token occurrence), then a single shuffle keyed by term produces the
+postings. Global stats (df per term, N, avgdl) are exact by construction —
+equivalent to single-shard Solr / ExactStatsCache (reference:
+solr/core/src/java/org/apache/solr/search/stats/ExactStatsCache.java:150-206,
+which Solr needs a two-phase HTTP exchange for; here it's one groupBy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.analysis.chain import analyze_terms_udf
+from solr_spark.index.norms import quantize_doclen
+
+
+@dataclass
+class IndexTables:
+    """The logical index: everything BM25 needs.
+
+    postings: (term, docid, tf)        — term-major inverted view
+    doclens:  (docid, dl, dl_quant)    — exact + SmallFloat-quantized length
+    docs:     (docid, <stored cols>, content_sha256) — forward/stored view
+    """
+
+    postings: DataFrame
+    doclens: DataFrame
+    docs: DataFrame
+    analyzer: str
+
+    def corpus_stats(self) -> tuple[int, float]:
+        """(N, avgdl). avgdl = sumTotalTermFreq / docCount (exact dl sum —
+        Lucene accumulates exact lengths into sumTotalTermFreq even though
+        per-doc norms are quantized)."""
+        row = self.doclens.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("ttf")
+        ).collect()[0]
+        n = row["n"] or 0
+        return n, (float(row["ttf"]) / n if n else 0.0)
+
+    def term_stats(self) -> DataFrame:
+        """(term, df, ttf) exact global term statistics."""
+        return self.postings.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("ttf")
+        )
+
+
+def build_index(
+    corpus: DataFrame,
+    id_col: str = "docid",
+    text_col: str = "content",
+    analyzer: str = "text_en",
+    stored_cols: tuple[str, ...] | None = None,
+    cache: bool = True,
+) -> IndexTables:
+    """Tokenize ``corpus`` and derive the logical index tables.
+
+    ``corpus`` must already carry a deterministic ``id_col`` (see
+    ``solr_spark.index.docid.with_docid``). ``cache=True`` persists the
+    analyzed intermediate: postings AND doclens derive from it, so without
+    caching the (expensive) analysis UDF would run once per consumer.
+    """
+    terms_udf = analyze_terms_udf(analyzer)
+    analyzed = corpus.select(
+        F.col(id_col).alias("docid"),
+        terms_udf(F.col(text_col)).alias("term_freqs"),
+    )
+    if cache:
+        analyzed = analyzed.persist()
+
+    # One row per distinct (term, docid): the doc-local combine already
+    # happened inside the Arrow UDF.
+    postings = analyzed.select(
+        "docid", F.explode("term_freqs").alias("tf_entry")
+    ).select(
+        F.col("tf_entry.term").alias("term"),
+        "docid",
+        F.col("tf_entry.tf").alias("tf"),
+    )
+
+    # discountOverlaps=true and no overlap-emitting filters => dl = Σ tf.
+    doclens = analyzed.select(
+        "docid",
+        F.aggregate(
+            "term_freqs", F.lit(0), lambda acc, x: acc + x["tf"]
+        ).alias("dl"),
+    ).withColumn("dl_quant", quantize_doclen("dl"))
+
+    stored = list(stored_cols) if stored_cols is not None else [
+        c for c in corpus.columns if c not in (id_col, text_col)
+    ]
+    docs = corpus.select(
+        F.col(id_col).alias("docid"),
+        *stored,
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("content_sha256"),
+    )
+
+    return IndexTables(postings=postings, doclens=doclens, docs=docs, analyzer=analyzer)

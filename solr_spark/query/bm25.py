@@ -1,0 +1,130 @@
+"""BM25 top-k scoring over the logical index — DataFrame-native path.
+
+Implements Lucene's BM25Similarity (public formula; the reference selects it
+as the default similarity — solr/core/src/java/org/apache/solr/search/
+similarities/SchemaSimilarityFactory.java:39, params k1=1.2 b=0.75
+discountOverlaps=true — BM25SimilarityFactory.java:44-51):
+
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q,d) = Σ_t idf(t) · tf / (tf + k1·(1 − b + b·dl/avgdl))
+    avgdl      = sumTotalTermFreq / docCount
+
+``quantize_norms=True`` scores with the SmallFloat-quantized dl (Lucene
+parity; SURVEY.md §1.5); ``False`` uses the exact token count (the mode the
+pure-SQL DuckDB oracle reproduces).
+
+Plan shape (what Catalyst produces, verified via .explain):
+  1. postings filtered to the query terms — a pushed-down IN filter on the
+     term column (partition-prunable when postings are bucketed by term);
+  2. broadcast hash join against the tiny per-term idf table (weights are
+     computed driver-side from term_stats — one small aggregate);
+  3. join doclens on docid (broadcast the *filtered postings* side is wrong
+     at scale, so this is a shuffle join on docid — but AQE demotes it to
+     broadcast when the candidate set is small);
+  4. partial+final hash aggregate on docid (map-side combine);
+  5. TakeOrderedAndProject for ORDER BY score DESC, docid ASC LIMIT k —
+     Spark's built-in two-phase top-k, the exact analogue of Solr's
+     distributed PURPOSE_GET_TOP_IDS merge (QueryComponent.java:833-1040).
+
+Tie-break: (score desc, docid asc) — mirrors Lucene's TopScoreDocCollector
+internal-docID tie-break (SolrIndexSearcher.java:1508-1525) and makes the
+result deterministic across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solr_spark.index.build import IndexTables
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def query_weights(
+    index: IndexTables,
+    terms: list[str],
+    n_docs: int,
+    boost: float = 1.0,
+) -> list[tuple[str, float]]:
+    """Driver-side per-term weights: idf × query-tf × boost.
+
+    Duplicate query terms are separate clauses in Lucene, i.e. the term's
+    contribution is added once per occurrence — folded into the weight.
+    """
+    if not terms:
+        return []
+    counts = Counter(terms)
+    stats = {
+        r["term"]: r["df"]
+        for r in index.term_stats()
+        .where(F.col("term").isin(list(counts)))
+        .collect()
+    }
+    return [
+        (t, boost * c * idf(n_docs, stats[t]))
+        for t, c in sorted(counts.items())
+        if t in stats
+    ]
+
+
+def bm25_score_df(
+    index: IndexTables,
+    terms: list[str],
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize_norms: bool = True,
+    min_should_match: int = 1,
+) -> DataFrame:
+    """(docid, score) for every doc matching >= min_should_match terms."""
+    spark = index.postings.sparkSession
+    n_docs, avgdl = index.corpus_stats()
+    weights = query_weights(index, terms, n_docs)
+    if not weights or n_docs == 0:
+        return spark.createDataFrame([], "docid string, score double")
+
+    wdf = F.broadcast(
+        spark.createDataFrame(weights, ["term", "w"])
+    )
+    dl_col = F.col("dl_quant") if quantize_norms else F.col("dl")
+    matched = (
+        index.postings.where(F.col("term").isin([t for t, _ in weights]))
+        .join(wdf, "term")
+        .join(index.doclens, "docid")
+        .withColumn(
+            "contrib",
+            F.col("w")
+            * F.col("tf")
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))),
+        )
+    )
+    scored = matched.groupBy("docid").agg(
+        F.sum("contrib").alias("score"), F.count("*").alias("n_matched")
+    )
+    if min_should_match > 1:
+        scored = scored.where(F.col("n_matched") >= min_should_match)
+    return scored.select("docid", "score")
+
+
+def bm25_topk(
+    index: IndexTables,
+    query: str | list[str],
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize_norms: bool = True,
+) -> DataFrame:
+    """Top-k (docid, score), deterministic (score desc, docid asc)."""
+    from solr_spark.analysis.chain import analyze
+
+    terms = analyze(query, index.analyzer) if isinstance(query, str) else query
+    scored = bm25_score_df(index, terms, k1=k1, b=b, quantize_norms=quantize_norms)
+    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
