@@ -1,0 +1,101 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "index_build_sec": ..., "index_docs_per_sec": ...}
+
+The index build over the documents table is timed separately (it is the
+"indexing throughput" half of BASELINE.md); each headline query is then
+timed end-to-end (plan + execute + collect). Run
+``python tools/bench_scaling.py`` for the N-vs-4N-cores scaling protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from solr_spark.analysis.chain import analyze  # noqa: E402
+from solr_spark.index.build import build_index  # noqa: E402
+from solr_spark.query.bm25 import bm25_topk  # noqa: E402
+from solr_spark.session import get_spark  # noqa: E402
+
+BM25_QUERIES = [
+    ("bm25_3term", "spark join data"),
+    ("bm25_window", "window batch order"),
+    ("bm25_hot", "table"),
+    ("bm25_4term", "customer query fast line"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark(
+        app_name="solr_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    t0 = time.perf_counter()
+    idx = build_index(docs, id_col="doc_id", text_col="text", analyzer="simple")
+    # Force full materialization of the index tables (the persisted analyzed
+    # intermediate + postings + doclens), like a real index build would.
+    idx.postings = idx.postings.persist()
+    idx.doclens = idx.doclens.persist()
+    idx.postings.count()
+    idx.doclens.count()
+    n, avgdl = idx.corpus_stats()
+    build_sec = time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name, q in BM25_QUERIES:
+        t0 = time.perf_counter()
+        terms = sorted(set(analyze(q, "simple")))
+        bm25_topk(idx, terms, k=10, quantize_norms=False).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Operator headliners over the same sf_dir.
+    from solr_spark.entry_queries import CATALOG, _IDX_CACHE
+
+    _IDX_CACHE[(id(spark), sf_dir)] = (idx, n, avgdl)  # reuse the built index
+    for name in [
+        "facet_terms_source_matching",
+        "collapse_by_source",
+        "significant_terms_spark",
+        "innerjoin_revenue_by_segment",
+        "ann_cosine_top10",
+        "terms_dictionary_top20",
+    ]:
+        t0 = time.perf_counter()
+        CATALOG[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "index_build_sec": round(build_sec, 3),
+                "index_docs_per_sec": round(n_docs / build_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

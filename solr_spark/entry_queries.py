@@ -1,0 +1,827 @@
+"""The driver-facing query catalog: Spark implementation + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 over the driver's
+parquet tables (documents/embeddings for full-text + vector ops; the TPC-H-ish
+tables for relational stream ops). The DuckDB SQL reproduces the semantics
+exactly — including tokenization, which is why the full-text entries run the
+``simple`` analyzer (lowercase + split on ``[^a-z0-9]+``): it is expressible
+as ``regexp_split_to_array`` in SQL, so BM25 becomes end-to-end
+oracle-checkable. The Lucene-parity ``text_en`` chain is exercised by the
+pytest golden/property suites instead (tests/oracle/bm25_oracle.py).
+
+Float discipline: floating-point outputs are emitted as SCALED INTEGERS
+(``floor(x * 10^k + 0.5)`` in both engines) so the driver's value-hash cannot
+be broken by last-bit double representation differences; sorts that feed a
+LIMIT order by the scaled value with a unique-key tiebreak, so partial-sum
+reordering across engines/parallelism cannot flip which rows are returned.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solr_spark.analysis.chain import analyze
+from solr_spark.index.build import IndexTables, build_index
+from solr_spark.operators.collapse import collapse, expand, group_top_n
+from solr_spark.operators.cursor import cursor_page, next_totem
+from solr_spark.operators.facets import (
+    field_stats,
+    query_facet,
+    range_facet,
+    terms_facet,
+)
+from solr_spark.operators.streams import (
+    complement_stream,
+    fetch_stream,
+    hash_join_stream,
+    inner_join_stream,
+    intersect_stream,
+    merge_stream,
+    rollup_stream,
+    timeseries_stream,
+    top_stream,
+    unique_stream,
+)
+from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT
+
+# ---------------------------------------------------------------------------
+# Table + index plumbing (memoized per sf_dir)
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def scaled(col: Column | str, k: int = 4) -> Column:
+    """floor(x·10^k + 0.5) as BIGINT — engine-portable fixed-point."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(float(10**k)) + F.lit(0.5)).cast("long")
+
+
+def _sql_scaled(expr: str, k: int = 4) -> str:
+    return f"CAST(floor(({expr}) * {float(10 ** k)} + 0.5) AS BIGINT)"
+
+
+_IDX_CACHE: dict[tuple[int, str], tuple[IndexTables, int, float]] = {}
+
+
+def documents_index(spark: SparkSession, sf_dir: str) -> tuple[IndexTables, int, float]:
+    """Logical index over the documents table (simple analyzer), memoized.
+
+    Returns (index, N, avgdl). postings/doclens are persisted so the many
+    catalog entries sharing the index don't re-run the analysis UDF.
+    """
+    key = (id(spark), sf_dir)
+    if key not in _IDX_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        idx = build_index(
+            docs, id_col="doc_id", text_col="text", analyzer="simple", cache=True
+        )
+        idx.postings = idx.postings.persist()
+        idx.doclens = idx.doclens.persist()
+        n, avgdl = idx.corpus_stats()
+        _IDX_CACHE[key] = (idx, n, avgdl)
+    return _IDX_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle-SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+# simple analyzer: lowercase + split on non-[a-z0-9]; empties dropped.
+TOKS = (
+    "toks AS (SELECT doc_id, unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term "
+    "FROM documents)"
+)
+TF = "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)"
+DL = "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)"
+NDOCS = "(SELECT count(*) FROM documents)"
+AVGDL = f"(SELECT sum(dl) * 1.0 / {NDOCS} FROM dl)"
+
+# cosine similarity between a list column and the vec_id=0 query vector
+_COS = (
+    "list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))"
+)
+
+
+def bm25_sql(terms: list[str], k: int = 10) -> str:
+    """Oracle BM25 (exact dl, k1=1.2 b=0.75) over documents for ``terms``."""
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES {tlist}),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+scored AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM scored
+ORDER BY score_x10k DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
+    """DataFrame BM25 top-k over documents, fixed-point to match the oracle."""
+    from solr_spark.query.bm25 import bm25_score_df
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    terms = sorted(set(analyze(query, "simple")))
+    scored = bm25_score_df(idx, terms, quantize_norms=False)
+    return (
+        scored.select(
+            F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k")
+        )
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Entry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # None => driver records a rows-only check
+
+
+CATALOG: dict[str, Entry] = {}
+
+
+def register(name: str, sql: Optional[str]):
+    def deco(fn):
+        CATALOG[name] = Entry(fn=fn, sql=sql)
+        return fn
+
+    return deco
+
+
+# --- full-text / BM25 (SURVEY §1.5, §2.6) ----------------------------------
+
+
+def _mk_bm25(qs: str):
+    def _fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _bm25_spark(spark, sf_dir, qs)
+
+    return _fn
+
+
+for _qname, _qstr in [
+    ("bm25_top10", "spark join data"),
+    ("bm25_top10_window", "window batch order"),
+    ("bm25_hot_term", "table"),
+    ("bm25_rare_mix", "customer query fast"),
+]:
+    CATALOG[_qname] = Entry(
+        fn=_mk_bm25(_qstr), sql=bm25_sql(sorted(set(analyze(_qstr, "simple"))))
+    )
+
+
+@register(
+    "term_filter_lang_counts",
+    f"""
+WITH {TOKS}
+SELECT lang, count(DISTINCT doc_id) AS n_docs
+FROM documents JOIN toks USING (doc_id)
+WHERE term = 'spark'
+GROUP BY lang ORDER BY lang
+""",
+)
+def term_filter_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!term f=text}spark` as a filter + facet on lang (TermQParserPlugin)."""
+    idx, _, _ = documents_index(spark, sf_dir)
+    matching = idx.postings.where(F.col("term") == "spark").select(
+        F.col("docid").alias("doc_id")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.join(matching, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+# --- facets (SURVEY §2.4) ---------------------------------------------------
+
+
+@register(
+    "facet_terms_lang",
+    """
+SELECT lang AS value, count(*) AS count FROM documents
+GROUP BY lang ORDER BY count DESC, value ASC LIMIT 10
+""",
+)
+def facet_terms_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return terms_facet(_t(spark, sf_dir, "documents"), "lang", limit=10)
+
+
+@register(
+    "facet_terms_source_matching",
+    f"""
+WITH {TOKS},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+SELECT source AS value, count(*) AS count
+FROM documents JOIN hits USING (doc_id)
+GROUP BY source HAVING count(*) >= 2
+ORDER BY count DESC, value ASC LIMIT 10
+""",
+)
+def facet_terms_source_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet over a query's result set (q=data + facet.field=source)."""
+    idx, _, _ = documents_index(spark, sf_dir)
+    hits = idx.postings.where(F.col("term") == "data").select(
+        F.col("docid").alias("doc_id")
+    )
+    docs = _t(spark, sf_dir, "documents").join(hits, "doc_id", "left_semi")
+    return terms_facet(docs, "source", limit=10, mincount=2)
+
+
+@register(
+    "facet_range_nchars",
+    """
+SELECT CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket, count(*) AS count
+FROM documents WHERE n_chars >= 0 AND n_chars < 1000
+GROUP BY bucket ORDER BY bucket
+""",
+)
+def facet_range_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = range_facet(
+        _t(spark, sf_dir, "documents"), "n_chars", start=0, end=1000, gap=100
+    )
+    return out.select(F.col("bucket").cast("long").alias("bucket"), "count")
+
+
+@register(
+    "facet_query_buckets",
+    """
+SELECT sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT AS short,
+       sum(CASE WHEN n_chars >= 200 AND n_chars < 400 THEN 1 ELSE 0 END)::BIGINT AS mid,
+       sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)::BIGINT AS long
+FROM documents
+""",
+)
+def facet_query_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return query_facet(
+        d,
+        {
+            "short": F.col("n_chars") < 200,
+            "mid": (F.col("n_chars") >= 200) & (F.col("n_chars") < 400),
+            "long": F.col("n_chars") >= 400,
+        },
+    )
+
+
+@register(
+    "stats_nchars_by_lang",
+    f"""
+SELECT lang, count(n_chars) AS count,
+       0::BIGINT AS missing,
+       min(n_chars) AS min, max(n_chars) AS max,
+       sum(n_chars)::BIGINT AS sum, sum(n_chars * n_chars)::BIGINT AS sumsq,
+       {_sql_scaled('avg(n_chars)')} AS mean_x10k,
+       {_sql_scaled('stddev_samp(n_chars)')} AS stddev_x10k
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def stats_nchars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = field_stats(_t(spark, sf_dir, "documents"), "n_chars", by="lang")
+    return out.select(
+        "lang",
+        "count",
+        "missing",
+        "min",
+        "max",
+        F.col("sum").cast("long").alias("sum"),
+        F.col("sumsq").cast("long").alias("sumsq"),
+        scaled("mean").alias("mean_x10k"),
+        scaled("stddev").alias("stddev_x10k"),
+    )
+
+
+@register(
+    "pivot_lang_source",
+    """
+SELECT lang, source, count(*) AS count FROM documents
+GROUP BY lang, source ORDER BY lang, source
+""",
+)
+def pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solr_spark.operators.facets import pivot_facet
+
+    return pivot_facet(_t(spark, sf_dir, "documents"), ["lang", "source"])
+
+
+# --- collapse / expand / grouping (SURVEY §2.5) -----------------------------
+
+
+@register(
+    "collapse_by_source",
+    """
+SELECT source, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) = 1
+ORDER BY source
+""",
+)
+def collapse_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return collapse(
+        d, "source", [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ).orderBy("source")
+
+
+@register(
+    "expand_by_source",
+    """
+SELECT source, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)
+        BETWEEN 2 AND 3
+ORDER BY source, doc_id
+""",
+)
+def expand_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return expand(
+        d, "source", [F.col("n_chars").desc(), F.col("doc_id").asc()], rows=2
+    ).orderBy("source", "doc_id")
+
+
+@register(
+    "group_top2_per_lang",
+    """
+SELECT lang, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) <= 2
+ORDER BY lang, doc_id
+""",
+)
+def group_top2_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return group_top_n(
+        d, "lang", [F.col("n_chars").desc(), F.col("doc_id").asc()], n=2
+    ).orderBy("lang", "doc_id")
+
+
+# --- stream set ops / joins (SURVEY §2.3, §2.7) -----------------------------
+
+
+@register(
+    "unique_lang_source",
+    "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+)
+def unique_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unique_stream(
+        _t(spark, sf_dir, "documents"), ["lang", "source"]
+    ).orderBy("lang", "source")
+
+
+@register(
+    "intersect_sources",
+    """
+SELECT DISTINCT source FROM documents WHERE lang = 'en'
+INTERSECT
+SELECT DISTINCT source FROM documents WHERE lang = 'zh'
+ORDER BY source
+""",
+)
+def intersect_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("source").distinct()
+    zh = d.where(F.col("lang") == "zh")
+    return intersect_stream(en, zh, ["source"]).orderBy("source")
+
+
+@register(
+    "complement_sources",
+    """
+SELECT DISTINCT source FROM documents WHERE lang = 'en'
+EXCEPT
+SELECT DISTINCT source FROM documents WHERE n_chars > 500
+ORDER BY source
+""",
+)
+def complement_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("source").distinct()
+    big = d.where(F.col("n_chars") > 500)
+    return complement_stream(en, big, ["source"]).orderBy("source")
+
+
+@register(
+    "merge_streams",
+    """
+SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 450
+""",
+)
+def merge_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return merge_stream(
+        d.where(F.col("lang") == "en"), d.where(F.col("n_chars") > 450)
+    )
+
+
+@register(
+    "top_orders",
+    f"""
+SELECT o_orderkey, {_sql_scaled('o_totalprice', 2)} AS price_x100 FROM orders
+ORDER BY price_x100 DESC, o_orderkey ASC LIMIT 10
+""",
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", scaled("o_totalprice", 2).alias("price_x100")
+    )
+    return top_stream(o, [F.col("price_x100").desc(), F.col("o_orderkey").asc()], 10)
+
+
+@register(
+    "rollup_orders_status",
+    f"""
+SELECT o_orderstatus, count(*) AS n, {_sql_scaled('sum(o_totalprice)', 2)} AS total_x100
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def rollup_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = rollup_stream(
+        o, ["o_orderstatus"], {"n": F.count("*"), "total": F.sum("o_totalprice")}
+    )
+    return out.select(
+        "o_orderstatus", "n", scaled("total", 2).alias("total_x100")
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "timeseries_events_daily",
+    f"""
+SELECT date_trunc('day', ts)::DATE AS bucket, count(*) AS n,
+       {_sql_scaled('sum(value)', 2)} AS total_x100
+FROM events GROUP BY bucket ORDER BY bucket
+""",
+)
+def timeseries_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    out = timeseries_stream(
+        e, "ts", "day", {"n": F.count("*"), "total": F.sum("value")}
+    )
+    return out.select(
+        F.col("bucket").cast("date").alias("bucket"),
+        "n",
+        scaled("total", 2).alias("total_x100"),
+    )
+
+
+@register(
+    "innerjoin_revenue_by_segment",
+    f"""
+SELECT c_mktsegment, count(*) AS n_orders,
+       {_sql_scaled('sum(o_totalprice)', 2)} AS revenue_x100
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def innerjoin_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = _t(spark, sf_dir, "customer")
+    j = inner_join_stream(o, c, ["c_custkey"])
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            scaled(F.sum("o_totalprice"), 2).alias("revenue_x100"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "hashjoin_customers_per_region",
+    """
+SELECT r_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+)
+def hashjoin_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_nationkey", "n_nationkey")
+    n = _t(spark, sf_dir, "nation").withColumnRenamed("n_regionkey", "r_regionkey")
+    r = _t(spark, sf_dir, "region")
+    j = hash_join_stream(hash_join_stream(c, n, ["n_nationkey"]), r, ["r_regionkey"])
+    return j.groupBy("r_name").agg(F.count("*").alias("n_customers")).orderBy("r_name")
+
+
+@register(
+    "fetch_top_orders_customer",
+    f"""
+WITH top5 AS (
+  SELECT o_orderkey, o_custkey, {_sql_scaled('o_totalprice', 2)} AS price_x100
+  FROM orders ORDER BY price_x100 DESC, o_orderkey ASC LIMIT 5)
+SELECT o_orderkey, price_x100, c_name
+FROM top5 JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+""",
+)
+def fetch_top_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        scaled("o_totalprice", 2).alias("price_x100"),
+    )
+    top5 = top_stream(o, [F.col("price_x100").desc(), F.col("o_orderkey").asc()], 5)
+    c = _t(spark, sf_dir, "customer")
+    return (
+        fetch_stream(top5, c, "c_custkey", ["c_name"])
+        .select("o_orderkey", "price_x100", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "cartesian_product_tokens",
+    f"""
+WITH {TOKS}
+SELECT doc_id, term FROM toks WHERE doc_id < 3
+""",
+)
+def cartesian_product_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cartesianProduct = unnest/explode of a multivalued field."""
+    from solr_spark.analysis.chain import analyze_udf
+    from solr_spark.operators.streams import cartesian_product
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 3)
+        .select("doc_id", analyze_udf("simple")(F.col("text")).alias("toks"))
+    )
+    return cartesian_product(d, "toks", out="term").select("doc_id", "term")
+
+
+# --- cursorMark pagination (SURVEY §2.6) ------------------------------------
+
+
+@register(
+    "cursor_page3",
+    """
+SELECT doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) BETWEEN 11 AND 15
+ORDER BY n_chars DESC, doc_id ASC
+""",
+)
+def cursor_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch page 3 (size 5) via true keyset pagination: walk two cursor
+    totems, then return the third page (CursorMark.java:42-69 semantics —
+    each page is filter(tuple > totem) + top-k, never offset)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    spec = [("n_chars", False), ("doc_id", True)]
+    totem = None
+    for _ in range(2):
+        rows = cursor_page(d, spec, 5, totem).collect()
+        totem = next_totem(rows, spec)
+    return cursor_page(d, spec, 5, totem)
+
+
+# --- terms dictionary + significant terms (SURVEY §2.11, §2.2) --------------
+
+
+@register(
+    "terms_dictionary_top20",
+    f"""
+WITH {TOKS}, {TF}
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS ttf FROM tf
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+""",
+)
+def terms_dictionary_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsComponent (handler/component/TermsComponent.java:282-293): browse
+    the term dictionary sorted by document frequency."""
+    idx, _, _ = documents_index(spark, sf_dir)
+    return (
+        idx.term_stats()
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "significant_terms_spark",
+    f"""
+WITH {TOKS}, {TF},
+fg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+fgdf AS (SELECT term, count(*) AS fg_df FROM tf JOIN fg USING (doc_id) GROUP BY term),
+alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT term, fg_df, df,
+       {_sql_scaled(f'fg_df * ln({NDOCS} * 1.0 / df)')} AS score_x10k
+FROM fgdf JOIN alldf USING (term)
+WHERE fg_df >= 3
+ORDER BY score_x10k DESC, term ASC LIMIT 10
+""",
+)
+def significant_terms_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SignificantTermsQParserPlugin: terms over-represented in the docs
+    matching 'spark' vs the whole corpus, scored fg_df·ln(N/df) (a tf-idf
+    style significance; the reference's exact score differs but the shape —
+    foreground df vs background df — is the operator)."""
+    idx, n, _ = documents_index(spark, sf_dir)
+    fg = idx.postings.where(F.col("term") == "spark").select("docid").distinct()
+    fgdf = (
+        idx.postings.join(fg, "docid", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+    )
+    alldf = idx.postings.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        fgdf.join(alldf, "term")
+        .where(F.col("fg_df") >= 3)
+        .select(
+            "term",
+            "fg_df",
+            "df",
+            scaled(F.col("fg_df") * F.log(F.lit(float(n)) / F.col("df"))).alias(
+                "score_x10k"
+            ),
+        )
+        .orderBy(F.col("score_x10k").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
+# --- vector similarity (training-data ops) ----------------------------------
+
+
+def _cosine_to_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, sim) of every vector vs the vec_id=0 query vector.
+
+    JVM-side: zip_with product + aggregate sum (no Python in the loop); the
+    query vector is a broadcast one-row cross join.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+    def dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    joined = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    sim = dot(F.col("embedding"), F.col("qvec")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("qvec"), F.col("qvec")))
+    )
+    return joined.select("vec_id", "label", sim.alias("sim"))
+
+
+@register(
+    "ann_cosine_top10",
+    f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_sql_scaled(_COS)} AS sim_x10k
+FROM embeddings e, q WHERE e.vec_id <> 0
+ORDER BY sim_x10k DESC, vec_id ASC LIMIT 10
+""",
+)
+def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the exact baseline for similarity search."""
+    sims = _cosine_to_query0(spark, sf_dir)
+    return (
+        sims.select("vec_id", scaled("sim").alias("sim_x10k"))
+        .orderBy(F.col("sim_x10k").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "knn_label_vote",
+    f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+nn AS (
+  SELECT e.vec_id, e.label, {_sql_scaled(_COS, 6)} AS sim_x1m
+  FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY sim_x1m DESC, vec_id ASC LIMIT 10)
+SELECT label, count(*) AS votes FROM nn
+GROUP BY label ORDER BY votes DESC, label ASC LIMIT 1
+""",
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority label of the 10 nearest neighbors."""
+    sims = _cosine_to_query0(spark, sf_dir)
+    nn = (
+        sims.select("vec_id", "label", scaled("sim", 6).alias("sim_x1m"))
+        .orderBy(F.col("sim_x1m").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return (
+        nn.groupBy("label")
+        .agg(F.count("*").alias("votes"))
+        .orderBy(F.col("votes").desc(), F.col("label").asc())
+        .limit(1)
+    )
+
+
+# --- text pipeline ops (training-data) --------------------------------------
+
+
+@register(
+    "dedup_exact_summary",
+    """
+SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
+FROM documents
+""",
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting: content-hash distinct count vs row count."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct"),
+    )
+
+
+@register(
+    "token_count_by_lang",
+    f"""
+WITH {TOKS}
+SELECT lang, count(*) AS n_tokens, count(DISTINCT term) AS n_types
+FROM documents JOIN toks USING (doc_id)
+GROUP BY lang ORDER BY lang
+""",
+)
+def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx, _, _ = documents_index(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("docid"), "lang")
+    p = idx.postings.join(d, "docid")
+    return (
+        p.groupBy("lang")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.countDistinct("term").alias("n_types"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+types AS (SELECT doc_id, count(*) AS n_types FROM tf GROUP BY doc_id)
+SELECT d.doc_id, dl.dl AS n_tokens, types.n_types,
+       {_sql_scaled('types.n_types * 1.0 / dl.dl')} AS ttr_x10k,
+       {_sql_scaled('dl.dl * 1.0 / d.n_chars')} AS density_x10k
+FROM documents d JOIN dl USING (doc_id) JOIN types USING (doc_id)
+WHERE d.doc_id < 20 ORDER BY d.doc_id
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: token count, type-token ratio, density."""
+    idx, _, _ = documents_index(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    types = idx.postings.groupBy("docid").agg(F.count("*").alias("n_types"))
+    out = (
+        d.select(F.col("doc_id").alias("docid"), "n_chars")
+        .join(idx.doclens, "docid")
+        .join(types, "docid")
+    )
+    return out.select(
+        F.col("docid").alias("doc_id"),
+        F.col("dl").cast("long").alias("n_tokens"),
+        "n_types",
+        scaled(F.col("n_types") / F.col("dl")).alias("ttr_x10k"),
+        scaled(F.col("dl") / F.col("n_chars")).alias("density_x10k"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Driver contract surface
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.fn for name, e in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.sql for name, e in CATALOG.items() if e.sql is not None}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: BM25 top-10 over the sf0.001 documents table."""
+    return _bm25_spark(spark, "/root/testdata/sf0.001", "spark join data")

@@ -1,0 +1,60 @@
+"""Field collapsing / expand / grouping — Solr's window-function analogues.
+
+Reference behavior (SURVEY.md §2.5):
+- Collapse: keep one "group head" per collapse-field value, chosen by
+  max/min of a sort criterion (solr/core/src/java/org/apache/solr/search/
+  CollapsingQParserPlugin.java:107-139 — 3480 LoC of hand-rolled per-segment
+  collectors; here it is one window spec).
+- Expand: after collapsing, return the top-N *other* members of each
+  collapsed group (handler/component/ExpandComponent.java).
+- Grouping (`group=true`): top-N docs per group value, distributed via a
+  TOP_GROUPS stage (search/Grouping.java:1046, ResponseBuilder STAGE
+  constants). Spark's window + filter compiles to one shuffle on the group
+  key — the same data movement Solr's two-phase group merge performs.
+
+Determinism: every spec must end with a unique tiebreak column (the docid),
+mirroring Lucene's internal-docID tie-break, so results are identical at any
+parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordered_window(partition_col: str, order_by: list[Column]):
+    return Window.partitionBy(partition_col).orderBy(*order_by)
+
+
+def collapse(
+    df: DataFrame, field: str, order_by: list[Column], keep_rank_col: bool = False
+) -> DataFrame:
+    """`{!collapse field=f sort=...}`: one group-head row per value of ``field``."""
+    w = _ordered_window(field, order_by)
+    out = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return out if keep_rank_col else out.drop("_rn")
+
+
+def expand(
+    df: DataFrame, field: str, order_by: list[Column], rows: int = 5
+) -> DataFrame:
+    """ExpandComponent: top-``rows`` NON-head members of each collapsed group."""
+    w = _ordered_window(field, order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") > 1) & (F.col("_rn") <= rows + 1))
+        .drop("_rn")
+    )
+
+
+def group_top_n(
+    df: DataFrame, field: str, order_by: list[Column], n: int = 1
+) -> DataFrame:
+    """`group=true&group.field=f&group.limit=n`: top-n rows per group value."""
+    w = _ordered_window(field, order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )

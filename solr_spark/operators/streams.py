@@ -1,0 +1,135 @@
+"""Streaming-expression operators (Solr's relational algebra) on DataFrames.
+
+Reference: the decorator TupleStreams under
+solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/ (SURVEY.md
+§2.3/§2.7). Solr's streams are PULL-based iterators whose physical strategy
+is fixed by the expression author (merge join demands pre-sorted inputs;
+hashJoin builds an in-memory table). On Spark the same operators are
+declarative and Catalyst/AQE choose sort-merge vs broadcast-hash at runtime
+— so `innerJoin` and `hashJoin` converge to one `join` call, with an
+explicit `broadcast()` hint standing in for the "hashed" side.
+
+Ordering: Solr streams carry a sort contract through every operator because
+merge-join/rollup depend on it. DataFrames are unordered multisets; sort is
+applied once at the sink. Operators here therefore take/return unordered
+frames and expose an explicit `sort` only where semantics require it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_stream(*dfs: DataFrame) -> DataFrame:
+    """`merge(a, b, on=...)` — union of N streams (io/stream/MergeStream.java:250).
+
+    The reference k-way merge exists only to preserve a sort order
+    pull-side; the relational content is UNION ALL. Sort at the sink.
+    """
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def unique_stream(df: DataFrame, over: Sequence[str]) -> DataFrame:
+    """`unique(s, over=f)` — dedupe by key (io/stream/UniqueStream.java).
+
+    The reference keeps the FIRST tuple per key in sort order; a plain
+    dropDuplicates keeps an arbitrary one, so for determinism this projects
+    to the key columns (the reference use-case is key extraction).
+    """
+    return df.select(*over).distinct()
+
+
+def intersect_stream(df: DataFrame, other: DataFrame, on: Sequence[str]) -> DataFrame:
+    """`intersect(a, b, on=...)` — rows of A whose key appears in B
+    (io/stream/IntersectStream.java). Left-semi join."""
+    return df.join(other.select(*on).distinct(), on=list(on), how="left_semi")
+
+
+def complement_stream(df: DataFrame, other: DataFrame, on: Sequence[str]) -> DataFrame:
+    """`complement(a, b, on=...)` — rows of A whose key is absent from B
+    (io/stream/ComplementStream.java). Left-anti join."""
+    return df.join(other.select(*on).distinct(), on=list(on), how="left_anti")
+
+
+def inner_join_stream(
+    df: DataFrame, other: DataFrame, on: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """`innerJoin`/`leftOuterJoin` — merge join over sorted streams
+    (io/stream/InnerJoinStream.java, LeftOuterJoinStream.java). Spark picks
+    sort-merge or broadcast itself; semantics are the equi-join."""
+    return df.join(other, on=list(on), how=how)
+
+
+def hash_join_stream(
+    df: DataFrame, hashed: DataFrame, on: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """`hashJoin(a, hashed=b, on=...)` (io/stream/HashJoinStream.java:287) —
+    the author asserts b fits in memory; express that as a broadcast hint."""
+    return df.join(F.broadcast(hashed), on=list(on), how=how)
+
+
+def fetch_stream(
+    df: DataFrame, source: DataFrame, on: str, fields: Sequence[str]
+) -> DataFrame:
+    """`fetch(collection, s, on=..., fl=...)` — batched lookup join to
+    enrich tuples (io/stream/FetchStream.java). Left join on the key,
+    selecting only the requested fields."""
+    return df.join(source.select(on, *fields), on=on, how="left")
+
+
+def cartesian_product(df: DataFrame, field: str, out: str | None = None) -> DataFrame:
+    """`cartesianProduct(s, f)` — explode a multivalued field into N tuples
+    (io/stream/CartesianProductStream.java; despite the name it's unnest)."""
+    return df.withColumn(out or field, F.explode(F.col(field)))
+
+
+def rollup_stream(
+    df: DataFrame, over: Sequence[str], aggs: dict[str, Column]
+) -> DataFrame:
+    """`rollup(s, over=..., sum(x), ...)` — group-by aggregation
+    (io/stream/RollupStream.java:193-216 holds ONE group at a time because
+    its input is sorted; Spark's hash aggregate with partial+final combine
+    is the unsorted generalization). `hashRollup` is the same operator."""
+    return df.groupBy(*over).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+hash_rollup = rollup_stream
+
+
+def top_stream(df: DataFrame, order_by: list[Column], n: int) -> DataFrame:
+    """`top(n, s, sort=...)` (io/stream/RankStream.java) — reorder + limit.
+    Compiles to TakeOrderedAndProject: per-partition heap + driver merge,
+    the same two-phase shape as Solr's distributed top-k merge."""
+    return df.orderBy(*order_by).limit(n)
+
+
+def select_stream(df: DataFrame, mapping: dict[str, Column | str]) -> DataFrame:
+    """`select(s, f as g, ...)` — projection/rename (io/stream/SelectStream.java)."""
+    cols = [
+        (F.col(c) if isinstance(c, str) else c).alias(name)
+        for name, c in mapping.items()
+    ]
+    return df.select(*cols)
+
+
+def timeseries_stream(
+    df: DataFrame,
+    ts_col: str,
+    unit: str,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """`timeseries(...)` — date-range facet over a time column
+    (io/stream/TimeSeriesStream.java = a FacetRange on dates). ``unit`` is a
+    date_trunc unit (year/quarter/month/week/day/hour)."""
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    return (
+        df.groupBy(bucket)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .orderBy("bucket")
+    )
