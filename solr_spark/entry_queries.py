@@ -18,6 +18,7 @@ reordering across engines/parallelism cannot flip which rows are returned.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -659,6 +660,83 @@ def significant_terms_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score_x10k").desc(), F.col("term").asc())
         .limit(10)
+    )
+
+
+# --- physical index: block-max WAND over compressed segments ----------------
+
+
+def _phys_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (resume-aware) the physical segment index for sf_dir's documents."""
+    import hashlib
+
+    from solr_spark.index.segments import build_index_dir
+
+    d = f"/tmp/solr_spark_phys_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if not os.path.exists(f"{d}/corpus_stats.json"):
+        docs = _t(spark, sf_dir, "documents")
+        build_index_dir(
+            docs, d, n_partitions=8, analyzer="simple",
+            id_col="doc_id", text_col="text",
+        )
+    return d
+
+
+def _quant_sql_values() -> str:
+    """The SmallFloat byte4 decode table as SQL VALUES (quantized lengths)."""
+    from solr_spark.index.norms import DECODE_TABLE
+
+    return ", ".join(f"({int(v)})" for v in DECODE_TABLE.tolist())
+
+
+def bm25_quantized_sql(terms: list[str], k: int = 10) -> str:
+    """Oracle BM25 with Lucene's lossy 1-byte norm: dl is quantized through
+    the SmallFloat decode table (norms.py), reproduced in SQL as a greatest
+    lower-bound lookup. avgdl stays exact (Lucene accumulates exact lengths
+    into sumTotalTermFreq even though per-doc norms are lossy)."""
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {TOKS}, {TF}, {DL},
+qmap(v) AS (VALUES {_quant_sql_values()}),
+dlq AS (SELECT doc_id, (SELECT max(v) FROM qmap WHERE v <= dl.dl) AS dlq FROM dl),
+qt(term) AS (VALUES {tlist}),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+scored AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dlq.dlq / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dlq USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM scored
+ORDER BY score_x10k DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _mk_wand(qs: str):
+    def _fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from solr_spark.query.wand import wand_topk
+
+        d = _phys_index_dir(spark, sf_dir)
+        out = wand_topk(spark, d, qs, k=10)
+        return (
+            out.select(
+                F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k")
+            )
+            .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+            .limit(10)
+        )
+
+    return _fn
+
+
+for _qname, _qstr in [
+    ("wand_bm25_top10", "spark join data"),
+    ("wand_bm25_hot", "table row scan"),
+]:
+    CATALOG[_qname] = Entry(
+        fn=_mk_wand(_qstr),
+        sql=bm25_quantized_sql(sorted(set(analyze(_qstr, "simple")))),
     )
 
 

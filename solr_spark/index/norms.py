@@ -67,6 +67,12 @@ DECODE_TABLE = np.array([byte4_to_int(b) for b in range(256)], dtype=np.int64)
 _BOUNDARIES = np.array([byte4_to_int(b) for b in range(256)], dtype=np.int64)
 
 
+def norm_byte_array(lengths: np.ndarray) -> np.ndarray:
+    """Vectorized int_to_byte4: exact length -> norm byte (uint8)."""
+    idx = np.searchsorted(_BOUNDARIES, lengths, side="right") - 1
+    return idx.astype(np.uint8)
+
+
 def quantize_array(lengths: np.ndarray) -> np.ndarray:
     """Vectorized quantize_length over an int array."""
     # intToByte4 is monotone non-decreasing, so searchsorted against the

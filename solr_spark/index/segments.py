@@ -1,0 +1,396 @@
+"""Physical index: per-partition segments, manifests, merge, global stats.
+
+Mirrors the Lucene/Solr indexing lifecycle (SURVEY.md §3.2) Spark-first:
+
+- ``build_segments``: corpus → repartition by hash(docid) → one SEGMENT per
+  partition, built inside ``applyInPandas`` (the Arrow-vectorized analogue of
+  IndexWriter's flush: analyze, invert, compress posting lists, write files).
+  Each segment = postings.parquet + docs.parquet + manifest.json, committed
+  by an atomic directory rename; the manifest carries row counts, a docid
+  checksum (lineage), sizes and timing (metrics). RESUME = re-running the
+  build skips every partition whose manifest already exists — the
+  per-partition checkpoint protocol that replaces Solr's tlog replay
+  (solr/core/src/java/org/apache/solr/update/UpdateLog.java:912-947).
+- ``finalize_index``: global exact term stats (term, df, ttf) via one
+  column-pruned groupBy over segment stats columns (= ExactStatsCache,
+  search/stats/ExactStatsCache.java:150-206, without the two-phase HTTP
+  dance; Spark's partial+final combine makes hot terms a non-issue because
+  each task emits at most one partial row per term), plus corpus_stats.json
+  (N, sumdl, avgdl).
+- ``merge_index``: k-way merge of generations within each partition
+  (= TieredMergePolicy's role, index/TieredMergePolicyFactory.java:27):
+  re-rank the union of docids, remap ordinals, concatenate+sort postings,
+  re-encode. Runs as one Spark job, one task per partition.
+
+Layout:
+    index_dir/
+      corpus_stats.json
+      term_stats.parquet/            (term, df, ttf)
+      seg/p=<P>/gen=<G>/             postings.parquet docs.parquet manifest.json
+
+Scale notes: P is chosen so one partition's docs fit an executor (at 10^12
+docs → P in the tens of thousands; parquet + manifests shard naturally).
+Query-time reads prune on the ``term`` column via parquet row-group stats —
+postings are written sorted by term.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solr_spark.analysis.chain import ANALYZERS
+from solr_spark.index.codec import encode_postings
+from solr_spark.index.norms import DECODE_TABLE, norm_byte_array
+
+MANIFEST_SCHEMA = (
+    "p int, gen int, n_docs long, n_terms long, n_postings long, "
+    "sum_dl long, docid_checksum long, skipped boolean, wall_s double, bytes long"
+)
+
+_POSTINGS_COLS = [
+    "p", "gen", "term", "df", "ttf", "gaps", "tfs",
+    "block_first_ord", "block_last_ord", "block_gap_off", "block_tf_off",
+    "block_max_tf", "block_min_norm",
+]
+
+
+def _seg_dir(index_dir: str, p: int, gen: int) -> str:
+    return os.path.join(index_dir, "seg", f"p={p:05d}", f"gen={gen}")
+
+
+def _invert_partition(
+    docids: np.ndarray, texts: pd.Series, analyzer: str
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Analyze + invert one partition. Returns (docs_table, postings_table).
+
+    docs_table: (ord, docid, dl, norm) sorted by docid (ord = rank).
+    postings_table: one row per term, columns per _POSTINGS_COLS minus p/gen.
+    """
+    fn = ANALYZERS[analyzer]
+    order = np.argsort(docids, kind="stable")
+    docids = docids[order]
+    texts = texts.iloc[order].reset_index(drop=True)
+
+    token_lists = texts.map(lambda s: fn(s) if s is not None else [])
+    # Flatten: per-token rows, then doc-local tf combine via groupby.
+    counts = token_lists.map(len).to_numpy(dtype=np.int64)
+    ords_rep = np.repeat(np.arange(len(docids), dtype=np.int64), counts)
+    flat_terms = np.concatenate(
+        [np.asarray(t, dtype=object) for t in token_lists] or
+        [np.empty(0, dtype=object)]
+    )
+    tok = pd.DataFrame({"term": flat_terms, "ord": ords_rep})
+    tf = tok.groupby(["term", "ord"], sort=True).size().rename("tf").reset_index()
+
+    dl = np.zeros(len(docids), dtype=np.int64)
+    np.add.at(dl, ords_rep, 1)
+    norms = norm_byte_array(dl)
+
+    rows = []
+    for term, grp in tf.groupby("term", sort=True):
+        o = grp["ord"].to_numpy(dtype=np.int64)
+        t = grp["tf"].to_numpy(dtype=np.int64)
+        enc = encode_postings(o, t, norms[o])
+        rows.append(
+            (
+                term, enc.df, enc.ttf, enc.gaps, enc.tfs,
+                enc.block_first_ord.tolist(), enc.block_last_ord.tolist(),
+                enc.block_gap_off.tolist(), enc.block_tf_off.tolist(),
+                enc.block_max_tf.tolist(),
+                enc.block_min_norm.astype(np.int32).tolist(),
+            )
+        )
+    postings = pd.DataFrame(
+        rows, columns=_POSTINGS_COLS[2:]
+    )
+    docs = pd.DataFrame(
+        {
+            "ord": np.arange(len(docids), dtype=np.int64),
+            "docid": docids,
+            "dl": dl,
+            "norm": norms.astype(np.int32),
+        }
+    )
+    return docs, postings
+
+
+def _write_segment(
+    index_dir: str, p: int, gen: int, docs: pd.DataFrame, postings: pd.DataFrame,
+    docid_checksum: int, wall_s: float,
+) -> dict:
+    """Atomically commit one segment directory (tmp write + rename)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    final = _seg_dir(index_dir, p, gen)
+    tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+    os.makedirs(tmp, exist_ok=True)
+    postings = postings.copy()
+    postings.insert(0, "gen", np.int32(gen))
+    postings.insert(0, "p", np.int32(p))
+    docs = docs.copy()
+    docs.insert(0, "gen", np.int32(gen))
+    docs.insert(0, "p", np.int32(p))
+    pq.write_table(pa.Table.from_pandas(postings, preserve_index=False),
+                   os.path.join(tmp, "postings.parquet"))
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   os.path.join(tmp, "docs.parquet"))
+    manifest = {
+        "p": p,
+        "gen": gen,
+        "n_docs": int(len(docs)),
+        "n_terms": int(len(postings)),
+        "n_postings": int(postings["df"].sum()) if len(postings) else 0,
+        "sum_dl": int(docs["dl"].sum()) if len(docs) else 0,
+        "docid_checksum": int(docid_checksum),
+        "bytes": int(
+            postings["gaps"].map(len).sum() + postings["tfs"].map(len).sum()
+        ) if len(postings) else 0,
+        "wall_s": round(wall_s, 3),
+        "committed_at": time.time(),
+    }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # Concurrent attempt won the rename; trust its manifest.
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(final, "manifest.json")) as f:
+            manifest = json.load(f)
+    return manifest
+
+
+def _manifest_row(m: dict, skipped: bool) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "p": m["p"], "gen": m["gen"], "n_docs": m["n_docs"],
+                "n_terms": m["n_terms"], "n_postings": m["n_postings"],
+                "sum_dl": m["sum_dl"], "docid_checksum": m["docid_checksum"],
+                "skipped": skipped, "wall_s": m["wall_s"], "bytes": m["bytes"],
+            }
+        ]
+    )
+
+
+def build_segments(
+    corpus: DataFrame,
+    index_dir: str,
+    n_partitions: int = 32,
+    analyzer: str = "simple",
+    generation: int = 0,
+    id_col: str = "docid",
+    text_col: str = "content",
+) -> pd.DataFrame:
+    """Build one generation of segments from ``corpus`` (docid must be int64).
+
+    Returns the manifest table (one row per partition; ``skipped=True`` rows
+    were already committed by a previous run — the resume path).
+    """
+    df = corpus.select(
+        F.col(id_col).cast("long").alias("docid"), F.col(text_col).alias("text")
+    ).withColumn("p", F.pmod(F.xxhash64("docid"), F.lit(n_partitions)).cast("int"))
+
+    def writer(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        p = int(key[0])
+        final = _seg_dir(index_dir, p, generation)
+        mpath = os.path.join(final, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                return _manifest_row(json.load(f), skipped=True)
+        t0 = time.time()
+        docids = pdf["docid"].to_numpy(dtype=np.int64)
+        checksum = int(np.bitwise_xor.reduce(docids.astype(np.uint64)) or 0)
+        docs, postings = _invert_partition(docids, pdf["text"], analyzer)
+        m = _write_segment(
+            index_dir, p, generation, docs, postings, checksum, time.time() - t0
+        )
+        return _manifest_row(m, skipped=False)
+
+    manifests = (
+        df.groupBy("p").applyInPandas(writer, MANIFEST_SCHEMA).toPandas()
+    )
+    return manifests
+
+
+def finalize_index(
+    spark: SparkSession,
+    index_dir: str,
+    analyzer: str = "simple",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict:
+    """Compute global exact stats from committed segments and publish them."""
+    postings = spark.read.parquet(f"{index_dir}/seg/*/*/postings.parquet")
+    (
+        postings.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/term_stats.parquet")
+    )
+    import glob
+
+    n_docs = sum_dl = 0
+    gens: set[int] = set()
+    for mp in glob.glob(f"{index_dir}/seg/*/*/manifest.json"):
+        with open(mp) as f:
+            m = json.load(f)
+        n_docs += m["n_docs"]
+        sum_dl += m["sum_dl"]
+        gens.add(m["gen"])
+    stats = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        "analyzer": analyzer,
+        "k1": k1,
+        "b": b,
+        "generations": sorted(gens),
+    }
+    with open(f"{index_dir}/corpus_stats.json", "w") as f:
+        json.dump(stats, f)
+    return stats
+
+
+def read_corpus_stats(index_dir: str) -> dict:
+    with open(f"{index_dir}/corpus_stats.json") as f:
+        return json.load(f)
+
+
+def build_index_dir(
+    corpus: DataFrame,
+    index_dir: str,
+    n_partitions: int = 32,
+    analyzer: str = "simple",
+    id_col: str = "docid",
+    text_col: str = "content",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict:
+    """build_segments + finalize_index in one call. Idempotent/resumable."""
+    build_segments(
+        corpus, index_dir, n_partitions, analyzer,
+        generation=0, id_col=id_col, text_col=text_col,
+    )
+    return finalize_index(corpus.sparkSession, index_dir, analyzer, k1, b)
+
+
+# ---------------------------------------------------------------------------
+# Segment merge (multi-generation → single generation)
+# ---------------------------------------------------------------------------
+
+
+def merge_index(
+    spark: SparkSession, index_dir: str, out_dir: str, analyzer: str | None = None
+) -> dict:
+    """Merge all generations of every partition into gen=0 under ``out_dir``.
+
+    One Spark task per partition: re-rank the docid union, remap each
+    generation's ordinals (order-preserving, so remapped lists stay sorted),
+    concatenate + merge per term, re-encode. Equivalent to a full Lucene
+    forceMerge(1) per shard.
+    """
+    import glob as _glob
+
+    from solr_spark.index.codec import decode_postings
+
+    stats = read_corpus_stats(index_dir)
+    analyzer = analyzer or stats["analyzer"]
+    pdirs = sorted(_glob.glob(f"{index_dir}/seg/p=*"))
+    ps = [int(os.path.basename(d).split("=")[1]) for d in pdirs]
+
+    def merge_one(pdf_iter: Iterable[pd.DataFrame]):
+        import pyarrow.parquet as pq
+
+        for pdf in pdf_iter:
+            for p in pdf["p"]:
+                p = int(p)
+                final = _seg_dir(out_dir, p, 0)
+                if os.path.exists(os.path.join(final, "manifest.json")):
+                    with open(os.path.join(final, "manifest.json")) as f:
+                        yield _manifest_row(json.load(f), skipped=True)
+                    continue
+                t0 = time.time()
+                gen_dirs = sorted(_glob.glob(f"{index_dir}/seg/p={p:05d}/gen=*"))
+                docs_parts, post_parts = [], []
+                for gd in gen_dirs:
+                    docs_parts.append(pq.read_table(f"{gd}/docs.parquet").to_pandas())
+                    post_parts.append(
+                        pq.read_table(
+                            f"{gd}/postings.parquet",
+                            columns=["gen", "term", "gaps", "tfs"],
+                        ).to_pandas()
+                    )
+                all_docs = pd.concat(docs_parts, ignore_index=True)
+                order = np.argsort(all_docs["docid"].to_numpy(), kind="stable")
+                all_docs = all_docs.iloc[order].reset_index(drop=True)
+                # old (gen, ord) -> new ord
+                remap: dict[int, np.ndarray] = {}
+                new_ord = np.arange(len(all_docs), dtype=np.int64)
+                for g in all_docs["gen"].unique():
+                    mask = (all_docs["gen"] == g).to_numpy()
+                    old = all_docs["ord"].to_numpy()[mask]
+                    m = np.empty(old.max() + 1 if old.size else 0, dtype=np.int64)
+                    m[old] = new_ord[mask]
+                    remap[int(g)] = m
+                norms = all_docs["norm"].to_numpy(dtype=np.uint8)
+                dl = all_docs["dl"].to_numpy(dtype=np.int64)
+
+                all_posts = pd.concat(post_parts, ignore_index=True)
+                rows = []
+                for term, grp in all_posts.groupby("term", sort=True):
+                    os_, ts_ = [], []
+                    for _, r in grp.iterrows():
+                        o, t = decode_postings(r["gaps"], r["tfs"])
+                        os_.append(remap[int(r["gen"])][o])
+                        ts_.append(t)
+                    o = np.concatenate(os_)
+                    t = np.concatenate(ts_)
+                    so = np.argsort(o, kind="stable")
+                    o, t = o[so], t[so]
+                    enc = encode_postings(o, t, norms[o])
+                    rows.append(
+                        (
+                            term, enc.df, enc.ttf, enc.gaps, enc.tfs,
+                            enc.block_first_ord.tolist(), enc.block_last_ord.tolist(),
+                            enc.block_gap_off.tolist(), enc.block_tf_off.tolist(),
+                            enc.block_max_tf.tolist(),
+                            enc.block_min_norm.astype(np.int32).tolist(),
+                        )
+                    )
+                postings = pd.DataFrame(rows, columns=_POSTINGS_COLS[2:])
+                docs = pd.DataFrame(
+                    {
+                        "ord": new_ord,
+                        "docid": all_docs["docid"].to_numpy(dtype=np.int64),
+                        "dl": dl,
+                        "norm": norms.astype(np.int32),
+                    }
+                )
+                checksum = int(
+                    np.bitwise_xor.reduce(
+                        docs["docid"].to_numpy(dtype=np.int64).astype(np.uint64)
+                    ) or 0
+                )
+                m = _write_segment(
+                    out_dir, p, 0, docs, postings, checksum, time.time() - t0
+                )
+                yield _manifest_row(m, skipped=False)
+
+    pdf = spark.createDataFrame([(p,) for p in ps], "p int").repartition(
+        min(len(ps), spark.sparkContext.defaultParallelism), "p"
+    )
+    pdf.mapInPandas(merge_one, MANIFEST_SCHEMA).collect()
+    return finalize_index(spark, out_dir, analyzer, stats["k1"], stats["b"])

@@ -1,0 +1,191 @@
+"""Top-k BM25 over the physical segment index, with block-max pruning.
+
+The per-partition scorer is the batch adaptation of block-max WAND
+(reference touch-points: Solr enables Lucene's WAND via minExactCount —
+handler/component/QueryComponent.java:424-428, TopScoreDocCollector with a
+hits threshold — search/SolrIndexSearcher.java:1508-1525; the block-max
+machinery itself is Lucene's, rebuilt here from the published algorithm
+[Ding & Suel, SIGIR'11] over our own block metadata):
+
+1. Per query term t and block b, an upper bound of any contribution in b is
+   computed WITHOUT decoding: ub(t,b) = w_t · S(max_tf_b, dl(min_norm_b)),
+   valid because the BM25 term contribution is increasing in tf and
+   decreasing in dl.
+2. Threshold seeding: the rarest (fewest-postings-in-partition) query term is
+   decoded fully and scored alone; θ = its k-th best single-term score. The
+   true k-th best total score is ≥ θ (total ≥ single-term for those docs).
+3. A block b of term t is decoded only if ub(t,b) + Σ_{t'≠t} gmax(t') ≥ θ,
+   where gmax is the term's best block bound. Any doc all of whose blocks
+   are skipped has total upper bound < θ, so it cannot reach the top k; docs
+   with partially-skipped blocks accumulate understated scores that are
+   still < θ, so they cannot displace the (≥ k) docs scoring ≥ θ. The
+   returned top-k is therefore EXACT (proof mirrors WAND's invariant).
+4. Accumulation is one np.add.at over decoded ordinals; partition top-k via
+   argpartition; the global merge is ORDER BY score DESC, docid ASC LIMIT k
+   (TakeOrderedAndProject — Spark's built-in two-phase top-k, the analogue
+   of Solr's PURPOSE_GET_TOP_IDS merge, QueryComponent.java:833-1040).
+
+Scores use the SmallFloat-QUANTIZED doc length (Lucene parity; the norm byte
+ships inside the docs table). Rank-identity across partition counts holds
+because scoring is per-doc exact and the tiebreak (score desc, docid asc) is
+total.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solr_spark.index.codec import decode_blocks
+from solr_spark.index.norms import DECODE_TABLE
+from solr_spark.query.bm25 import idf
+
+
+def _contrib(tf, dl, k1: float, b: float, avgdl: float):
+    return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def _score_partition(
+    postings: pd.DataFrame,
+    docs: pd.DataFrame,
+    weights: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    use_wand: bool,
+) -> pd.DataFrame:
+    out_docids: list[np.ndarray] = []
+    out_scores: list[np.ndarray] = []
+    for gen, dgrp in docs.groupby("gen", sort=True):
+        dgrp = dgrp.sort_values("ord")
+        norms = dgrp["norm"].to_numpy(dtype=np.int64)
+        docids = dgrp["docid"].to_numpy(dtype=np.int64)
+        dlq = DECODE_TABLE[norms].astype(np.float64)
+        pg = postings[postings["gen"] == gen]
+        if pg.empty:
+            continue
+
+        rows = []
+        for _, r in pg.iterrows():
+            w = weights[r["term"]]
+            bmax_tf = np.asarray(r["block_max_tf"], dtype=np.float64)
+            bmin_dl = DECODE_TABLE[np.asarray(r["block_min_norm"], dtype=np.int64)]
+            ub = w * _contrib(bmax_tf, bmin_dl.astype(np.float64), k1, b, avgdl)
+            rows.append((r, w, ub, float(ub.max())))
+
+        if use_wand and len(rows) > 1:
+            # Seed θ from the term with the fewest postings in this segment.
+            seed_i = min(range(len(rows)), key=lambda i: rows[i][0]["df"])
+        else:
+            seed_i = None
+
+        theta = -np.inf
+        decoded: list[tuple[np.ndarray, np.ndarray, float]] = []
+        if seed_i is not None:
+            r, w, _, _ = rows[seed_i]
+            o, t = _decode_all(r)
+            s = w * _contrib(t.astype(np.float64), dlq[o], k1, b, avgdl)
+            if s.size >= k:
+                theta = float(np.partition(s, -k)[-k])
+            decoded.append((o, t, w))
+            gmax_sum = sum(x[3] for i, x in enumerate(rows) if i != seed_i)
+
+        for i, (r, w, ub, _) in enumerate(rows):
+            if i == seed_i:
+                continue
+            if seed_i is not None and theta > -np.inf:
+                others = gmax_sum - rows[i][3] + rows[seed_i][3]
+                keep = np.flatnonzero(ub + others >= theta)
+            else:
+                keep = np.arange(ub.size)
+            if keep.size == 0:
+                continue
+            if keep.size == ub.size:
+                o, t = _decode_all(r)
+            else:
+                o, t = decode_blocks(
+                    r["gaps"], r["tfs"], keep,
+                    np.asarray(r["block_first_ord"], dtype=np.int64),
+                    np.asarray(r["block_gap_off"], dtype=np.int64),
+                    np.asarray(r["block_tf_off"], dtype=np.int64),
+                    int(r["df"]),
+                )
+            decoded.append((o, t, w))
+
+        acc = np.zeros(len(dgrp), dtype=np.float64)
+        for o, t, w in decoded:
+            np.add.at(acc, o, w * _contrib(t.astype(np.float64), dlq[o], k1, b, avgdl))
+        nz = np.flatnonzero(acc > 0)
+        if nz.size > k:
+            top = nz[np.argpartition(acc[nz], -k)[-k:]]
+        else:
+            top = nz
+        out_docids.append(docids[top])
+        out_scores.append(acc[top])
+
+    if not out_docids:
+        return pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    return pd.DataFrame(
+        {"docid": np.concatenate(out_docids), "score": np.concatenate(out_scores)}
+    )
+
+
+def _decode_all(r) -> tuple[np.ndarray, np.ndarray]:
+    from solr_spark.index.codec import decode_postings
+
+    return decode_postings(r["gaps"], r["tfs"])
+
+
+def wand_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[str],
+    k: int = 10,
+    use_wand: bool = True,
+) -> DataFrame:
+    """Top-k (docid, score) from a physical index directory."""
+    from solr_spark.analysis.chain import analyze
+    from solr_spark.index.segments import read_corpus_stats
+
+    stats = read_corpus_stats(index_dir)
+    k1, b, avgdl, n = stats["k1"], stats["b"], stats["avgdl"], stats["n_docs"]
+    terms = (
+        sorted(set(analyze(query, stats["analyzer"])))
+        if isinstance(query, str)
+        else sorted(set(query))
+    )
+    empty = spark.createDataFrame([], "docid long, score double")
+    if not terms or n == 0:
+        return empty
+
+    tstats = (
+        spark.read.parquet(f"{index_dir}/term_stats.parquet")
+        .where(F.col("term").isin(terms))
+        .collect()
+    )
+    weights = {r["term"]: idf(n, r["df"]) for r in tstats}
+    if not weights:
+        return empty
+
+    postings = spark.read.parquet(f"{index_dir}/seg/*/*/postings.parquet").where(
+        F.col("term").isin(list(weights))
+    )
+    docs = spark.read.parquet(f"{index_dir}/seg/*/*/docs.parquet")
+
+    def score(key, pdf_postings: pd.DataFrame, pdf_docs: pd.DataFrame) -> pd.DataFrame:
+        return _score_partition(
+            pdf_postings, pdf_docs, weights, k, k1, b, avgdl, use_wand
+        )
+
+    scored = (
+        postings.groupBy("p")
+        .cogroup(docs.groupBy("p"))
+        .applyInPandas(score, "docid long, score double")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

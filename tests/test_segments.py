@@ -1,0 +1,102 @@
+"""Physical index: build/resume/merge + WAND rank-identity vs DataFrame BM25.
+
+The oracle pattern mirrors the reference's distributed-vs-control tests
+(test-framework BaseDistributedSearchTestCase: same docs at 1 shard and N
+shards must agree — SURVEY.md §5): the physical WAND path must return
+rank- AND score-identical results to the logical DataFrame path, at 1 and
+at 8 partitions, with and without block-max pruning.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.index.build import build_index
+from solr_spark.index.segments import (
+    build_index_dir,
+    build_segments,
+    finalize_index,
+    merge_index,
+)
+from solr_spark.query.bm25 import bm25_topk
+from solr_spark.query.wand import wand_topk
+
+QUERIES = ["spark join data", "table", "window batch order", "zzznotaterm"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def logical(docs):
+    idx = build_index(docs, id_col="doc_id", text_col="text", analyzer="simple")
+    idx.postings = idx.postings.persist()
+    idx.doclens = idx.doclens.persist()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def idx_dir(spark, docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "phys")
+    build_index_dir(docs, d, n_partitions=8, analyzer="simple",
+                    id_col="doc_id", text_col="text")
+    return d
+
+
+def _rows(df):
+    return [(int(r[0]), round(float(r[1]), 9)) for r in df.collect()]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_wand_matches_dataframe(spark, idx_dir, logical, q):
+    terms = sorted(set(q.split()))
+    want = _rows(bm25_topk(logical, terms, k=10, quantize_norms=True))
+    got = _rows(wand_topk(spark, idx_dir, q, k=10))
+    assert got == want
+
+
+def test_wand_pruning_lossless(spark, idx_dir):
+    a = _rows(wand_topk(spark, idx_dir, "spark join data", k=10, use_wand=True))
+    b = _rows(wand_topk(spark, idx_dir, "spark join data", k=10, use_wand=False))
+    assert a == b
+
+
+def test_partition_count_invariance(spark, docs, idx_dir, tmp_path_factory):
+    d1 = str(tmp_path_factory.mktemp("idx") / "p1")
+    build_index_dir(docs, d1, n_partitions=1, analyzer="simple",
+                    id_col="doc_id", text_col="text")
+    for q in QUERIES[:2]:
+        assert _rows(wand_topk(spark, d1, q, k=10)) == _rows(
+            wand_topk(spark, idx_dir, q, k=10)
+        )
+
+
+def test_resume_skips_committed(docs, idx_dir):
+    m = build_segments(docs, idx_dir, 8, "simple", 0, "doc_id", "text")
+    assert m["skipped"].all()
+    assert len(m) == 8
+    assert m["n_docs"].sum() == 500
+
+
+def test_merge_generations(spark, docs, idx_dir, tmp_path_factory):
+    gen_dir = str(tmp_path_factory.mktemp("idx") / "gens")
+    build_segments(docs.where(F.col("doc_id") % 2 == 0), gen_dir, 4,
+                   "simple", 0, "doc_id", "text")
+    build_segments(docs.where(F.col("doc_id") % 2 == 1), gen_dir, 4,
+                   "simple", 1, "doc_id", "text")
+    finalize_index(spark, gen_dir, "simple")
+    # Multi-gen index is queryable as-is...
+    want = _rows(wand_topk(spark, idx_dir, "spark join data", k=10))
+    assert _rows(wand_topk(spark, gen_dir, "spark join data", k=10)) == want
+    # ...and merging to one generation preserves results exactly.
+    merged = str(tmp_path_factory.mktemp("idx") / "merged")
+    stats = merge_index(spark, gen_dir, merged)
+    assert stats["n_docs"] == 500
+    assert stats["generations"] == [0]
+    assert _rows(wand_topk(spark, merged, "spark join data", k=10)) == want
+    shutil.rmtree(gen_dir, ignore_errors=True)

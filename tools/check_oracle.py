@@ -49,7 +49,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    spark = get_spark(app_name="check_oracle")
+    spark = get_spark(
+        app_name="check_oracle",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     qs = se.queries()
     oracles = se.oracle_sql()
     failures = []
