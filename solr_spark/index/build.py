@@ -38,22 +38,31 @@ class IndexTables:
     doclens: DataFrame
     docs: DataFrame
     analyzer: str
+    _stats: tuple[int, float] | None = None
+    _term_stats: DataFrame | None = None
 
     def corpus_stats(self) -> tuple[int, float]:
         """(N, avgdl). avgdl = sumTotalTermFreq / docCount (exact dl sum —
         Lucene accumulates exact lengths into sumTotalTermFreq even though
-        per-doc norms are quantized)."""
-        row = self.doclens.agg(
-            F.count("*").alias("n"), F.sum("dl").alias("ttf")
-        ).collect()[0]
-        n = row["n"] or 0
-        return n, (float(row["ttf"]) / n if n else 0.0)
+        per-doc norms are quantized). Memoized after the first computation."""
+        if self._stats is None:
+            row = self.doclens.agg(
+                F.count("*").alias("n"), F.sum("dl").alias("ttf")
+            ).collect()[0]
+            n = row["n"] or 0
+            self._stats = (n, (float(row["ttf"]) / n if n else 0.0))
+        return self._stats
 
     def term_stats(self) -> DataFrame:
-        """(term, df, ttf) exact global term statistics."""
-        return self.postings.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("ttf")
-        )
+        """(term, df, ttf) exact global term statistics (persisted on first
+        use — every query joins against this small table)."""
+        if self._term_stats is None:
+            self._term_stats = (
+                self.postings.groupBy("term")
+                .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
+                .persist()
+            )
+        return self._term_stats
 
 
 def build_index(

@@ -1,0 +1,314 @@
+"""Lucene-grammar query parser + compiler to DataFrame plans.
+
+Covers the working subset of the classic Solr/Lucene grammar (reference:
+solr/core/src/java/org/apache/solr/parser/QueryParser.jj + semantics in
+parser/SolrQueryParserBase.java — fielded terms, +/-, AND/OR/NOT, phrases,
+ranges, boosts, prefix wildcards; SURVEY.md §2.2):
+
+- bare terms on the default text field: analyzed, OR'ed (SHOULD), BM25-scored
+- ``+term`` / ``AND``: MUST — doc must match every must clause
+- ``-term`` / ``NOT``: MUST_NOT — excluded
+- ``"a phrase"``: all terms required together (conjunction). Positions are
+  not stored in the v1 index, so true adjacency is NOT enforced — this is
+  the documented divergence (Lucene PhraseQuery would also check positions).
+- ``field:value`` on a stored (non-text) field: exact-match filter, like
+  Solr's fq/{!term}; ``field:[a TO b]``/``{a TO b}``: range filter
+- ``term^2.5``: boost multiplies the term's BM25 weight
+- ``prefix*``: expanded against the term dictionary and scored
+  constant-score (Lucene's default multi-term rewrite,
+  CONSTANT_SCORE_REWRITE: score = boost, not BM25)
+
+Compilation produces the same plan shape as bm25_score_df: term-IN postings
+scan → broadcast weight join → aggregate by docid, plus semi/anti joins for
+must/must_not and stored-field filters pushed to the docs table scan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.analysis.chain import analyze
+from solr_spark.index.build import IndexTables
+from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf
+
+# --- lexer ------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<op>AND\b|OR\b|NOT\b|&&|\|\|)
+  | (?P<mod>[+\-])
+  | (?P<phrase>"(?P<phrase_body>[^"]*)")
+  | (?P<range>(?P<rfield>[A-Za-z_][\w.]*):(?P<lb>[\[\{])(?P<lo>[^\s\]\}]+)\s+TO\s+(?P<hi>[^\s\]\}]+)(?P<rb>[\]\}]))
+  | (?P<fielded>(?P<ffield>[A-Za-z_][\w.]*):(?P<fval>[^\s^]+))
+  | (?P<term>[^\s^+\-][^\s^]*)
+  | (?P<boost>\^(?P<bval>\d+(\.\d+)?))
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Clause:
+    """One parsed clause with its occur flag and boost."""
+
+    kind: str  # term | phrase | prefix | filter_eq | filter_range
+    occur: str = "should"  # should | must | must_not
+    boost: float = 1.0
+    text: str = ""  # raw term/phrase/prefix text
+    field: str | None = None
+    lo: str | None = None
+    hi: str | None = None
+    incl_lo: bool = True
+    incl_hi: bool = True
+
+
+@dataclass
+class ParsedQuery:
+    clauses: list[Clause] = dc_field(default_factory=list)
+
+
+def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
+    """Parse the query string into clauses (single-level boolean, the common
+    Solr usage; nested parens are out of the v1 grammar)."""
+    clauses: list[Clause] = []
+    pending_occur = "should"
+    prev_op: str | None = None
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            pos += 1
+            continue
+        pos = m.end()
+        if m.lastgroup and m.group("ws"):
+            continue
+        if m.group("op"):
+            op = m.group("op")
+            if op in ("NOT",):
+                pending_occur = "must_not"
+            else:
+                prev_op = "AND" if op in ("AND", "&&") else "OR"
+                # Lucene: a AND b makes BOTH sides MUST.
+                if prev_op == "AND" and clauses and clauses[-1].occur == "should":
+                    clauses[-1].occur = "must"
+            continue
+        if m.group("mod"):
+            pending_occur = "must" if m.group("mod") == "+" else "must_not"
+            continue
+        if m.group("boost"):
+            if clauses:
+                clauses[-1].boost *= float(m.group("bval"))
+            continue
+
+        occur = pending_occur
+        if prev_op == "AND" and occur == "should":
+            occur = "must"
+        pending_occur = "should"
+        prev_op = None
+
+        if m.group("phrase") is not None:
+            clauses.append(
+                Clause(kind="phrase", occur=occur, text=m.group("phrase_body"))
+            )
+        elif m.group("range") is not None:
+            clauses.append(
+                Clause(
+                    kind="filter_range",
+                    occur=occur,
+                    field=m.group("rfield"),
+                    lo=m.group("lo"),
+                    hi=m.group("hi"),
+                    incl_lo=m.group("lb") == "[",
+                    incl_hi=m.group("rb") == "]",
+                )
+            )
+        elif m.group("fielded") is not None:
+            f_name, f_val = m.group("ffield"), m.group("fval")
+            if f_name == default_field:
+                kind = "prefix" if f_val.endswith("*") else "term"
+                clauses.append(
+                    Clause(kind=kind, occur=occur, text=f_val.rstrip("*"))
+                )
+            else:
+                clauses.append(
+                    Clause(kind="filter_eq", occur=occur, field=f_name, text=f_val)
+                )
+        elif m.group("term") is not None:
+            t = m.group("term")
+            kind = "prefix" if t.endswith("*") and len(t) > 1 else "term"
+            clauses.append(Clause(kind=kind, occur=occur, text=t.rstrip("*")))
+    return ParsedQuery(clauses=clauses)
+
+
+# --- compiler / executor ----------------------------------------------------
+
+
+def _range_pred(c: Clause, docs: DataFrame) -> Column:
+    col = F.col(c.field)
+    dtype = dict(docs.dtypes).get(c.field, "string")
+    lo, hi = c.lo, c.hi
+
+    def cast(v):
+        if v == "*":
+            return None
+        return F.lit(v).cast(dtype)
+
+    pred = F.lit(True)
+    lo_c, hi_c = cast(lo), cast(hi)
+    if lo_c is not None:
+        pred = pred & (col >= lo_c if c.incl_lo else col > lo_c)
+    if hi_c is not None:
+        pred = pred & (col <= hi_c if c.incl_hi else col < hi_c)
+    return pred
+
+
+def search(
+    index: IndexTables,
+    query: str,
+    k: int = 10,
+    default_field: str = "text",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize_norms: bool = False,
+) -> DataFrame:
+    """Parse + execute a Lucene-grammar query against the logical index.
+
+    Returns top-k (docid, score), (score desc, docid asc)-ordered.
+    """
+    spark = index.postings.sparkSession
+    parsed = parse_query(query, default_field)
+    n_docs, avgdl = index.corpus_stats()
+    empty = spark.createDataFrame([], "docid long, score double")
+    if n_docs == 0:
+        return empty
+
+    # Partition clauses.
+    weights: list[tuple[str, float, str, int]] = []  # (term, w, occur, group)
+    const_score: list[tuple[str, float, int]] = []  # prefix-expanded
+    filter_preds: list[Column] = []
+    neg_terms: list[str] = []
+    must_groups = 0
+
+    tstats = index.term_stats()
+    gid = 0
+    for c in parsed.clauses:
+        if c.kind in ("term", "phrase"):
+            terms = analyze(c.text, index.analyzer)
+            if not terms:
+                continue
+            occur = c.occur if c.kind == "term" else ("must" if c.occur != "must_not" else "must_not")
+            if occur == "must_not":
+                neg_terms.extend(terms)
+                continue
+            if c.kind == "phrase" or occur == "must":
+                # every term of the phrase / must clause is required
+                for t in terms:
+                    gid += 1
+                    must_groups += 1
+                    weights.append((t, c.boost, "must", gid))
+            else:
+                for t in terms:
+                    gid += 1
+                    weights.append((t, c.boost, "should", gid))
+        elif c.kind == "prefix":
+            pref = analyze(c.text, index.analyzer)
+            pref_txt = pref[0] if pref else c.text.lower()
+            matched = [
+                r["term"]
+                for r in tstats.where(F.col("term").startswith(pref_txt))
+                .select("term")
+                .collect()
+            ]
+            gid += 1
+            if c.occur == "must":
+                must_groups += 1
+            for t in matched:
+                const_score.append((t, c.boost, gid))
+            if c.occur == "must_not":
+                neg_terms.extend(matched)
+        elif c.kind == "filter_eq":
+            pred = F.col(c.field) == F.lit(c.text)
+            filter_preds.append(~pred if c.occur == "must_not" else pred)
+        elif c.kind == "filter_range":
+            pred = _range_pred(c, index.docs)
+            filter_preds.append(~pred if c.occur == "must_not" else pred)
+
+    score_terms = {t for t, _, _, _ in weights} | {t for t, _, _ in const_score}
+    if not score_terms and not filter_preds:
+        return empty
+
+    if score_terms:
+        stats = {
+            r["term"]: r["df"]
+            for r in tstats.where(F.col("term").isin(list(score_terms))).collect()
+        }
+        rows = []
+        for t, boost, occur, g in weights:
+            if t in stats:
+                rows.append((t, boost * idf(n_docs, stats[t]), 0, g))
+            elif occur == "must":
+                return empty  # a required term absent from the corpus
+        for t, boost, g in const_score:
+            if t in stats:
+                rows.append((t, boost, 1, g))
+        if not rows and not filter_preds:
+            return empty
+        must_gids = {g for t, _, o, g in weights if o == "must" and t in stats}
+        if rows:
+            wdf = F.broadcast(
+                spark.createDataFrame(rows, ["term", "w", "const", "gid"])
+            )
+            dl_col = F.col("dl_quant") if quantize_norms else F.col("dl")
+            matched = (
+                index.postings.where(F.col("term").isin([r[0] for r in rows]))
+                .join(wdf, "term")
+                .join(index.doclens, "docid")
+                .withColumn(
+                    "contrib",
+                    F.when(F.col("const") == 1, F.col("w")).otherwise(
+                        F.col("w")
+                        * F.col("tf")
+                        / (
+                            F.col("tf")
+                            + F.lit(k1)
+                            * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))
+                        )
+                    ),
+                )
+            )
+            scored = matched.groupBy("docid").agg(
+                F.sum("contrib").alias("score"),
+                F.collect_set("gid").alias("gids"),
+            )
+            if must_gids:
+                scored = scored.where(
+                    F.size(
+                        F.array_intersect(
+                            F.col("gids"),
+                            F.array(*[F.lit(g) for g in sorted(must_gids)]),
+                        )
+                    )
+                    == len(must_gids)
+                )
+            scored = scored.select("docid", "score")
+        else:
+            scored = empty
+    else:
+        # Pure filter query: constant score 1.0 for all docs passing filters.
+        scored = index.docs.select("docid", F.lit(1.0).alias("score"))
+
+    if neg_terms:
+        neg = index.postings.where(F.col("term").isin(neg_terms)).select("docid")
+        scored = scored.join(neg, "docid", "left_anti")
+    if filter_preds:
+        keep = index.docs
+        for p in filter_preds:
+            keep = keep.where(p)
+        scored = scored.join(keep.select("docid"), "docid", "left_semi")
+
+    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

@@ -142,6 +142,92 @@ def _decode_all(r) -> tuple[np.ndarray, np.ndarray]:
     return decode_postings(r["gaps"], r["tfs"])
 
 
+class PhysicalIndex:
+    """Searcher over a physical index directory.
+
+    Opening is the expensive part (parquet file listing + schema + the
+    term-stats cache), exactly like opening a Lucene IndexSearcher — so open
+    once and reuse. The opened postings scan DataFrame caches its file index;
+    per-query work is just a filtered scan + one applyInPandas stage.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        from solr_spark.index.segments import read_corpus_stats
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stats = read_corpus_stats(index_dir)
+        self._postings = spark.read.parquet(
+            f"{index_dir}/seg/*/*/postings.parquet"
+        ).select(
+            "p", "gen", "term", "df", "gaps", "tfs",
+            "block_first_ord", "block_gap_off", "block_tf_off",
+            "block_max_tf", "block_min_norm",
+        )
+        # Term stats are small (one row per distinct term); broadcast-size
+        # caching driver-side makes per-query weight lookup a local dict hit.
+        self._term_df = {
+            r["term"]: r["df"]
+            for r in spark.read.parquet(f"{index_dir}/term_stats.parquet")
+            .select("term", "df")
+            .collect()
+        }
+
+    def topk(
+        self, query: str | list[str], k: int = 10, use_wand: bool = True
+    ) -> DataFrame:
+        from solr_spark.analysis.chain import analyze
+
+        stats = self.stats
+        k1, b, avgdl, n = stats["k1"], stats["b"], stats["avgdl"], stats["n_docs"]
+        terms = (
+            sorted(set(analyze(query, stats["analyzer"])))
+            if isinstance(query, str)
+            else sorted(set(query))
+        )
+        empty = self.spark.createDataFrame([], "docid long, score double")
+        weights = {t: idf(n, self._term_df[t]) for t in terms if t in self._term_df}
+        if not weights or n == 0:
+            return empty
+
+        postings = self._postings.where(F.col("term").isin(list(weights)))
+        index_dir = self.index_dir
+
+        def score(key, pdf_postings: pd.DataFrame) -> pd.DataFrame:
+            # The segment's doc table (ord -> docid, norm) is side-read
+            # directly from shared storage — the Lucene "open the segment's
+            # norms" move. Only the (tiny) query-term postings rows travel
+            # through the shuffle; the doc tables never do.
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            p = int(key[0])
+            parts = [
+                pq.read_table(f, columns=["gen", "ord", "docid", "norm"]).to_pandas()
+                for f in sorted(
+                    _glob.glob(f"{index_dir}/seg/p={p:05d}/gen=*/docs.parquet")
+                )
+            ]
+            docs = pd.concat(parts, ignore_index=True)
+            return _score_partition(
+                pdf_postings, docs, weights, k, k1, b, avgdl, use_wand
+            )
+
+        scored = postings.groupBy("p").applyInPandas(score, "docid long, score double")
+        return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+_READER_CACHE: dict[tuple[int, str], PhysicalIndex] = {}
+
+
+def open_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
+    key = (id(spark), index_dir)
+    if key not in _READER_CACHE:
+        _READER_CACHE[key] = PhysicalIndex(spark, index_dir)
+    return _READER_CACHE[key]
+
+
 def wand_topk(
     spark: SparkSession,
     index_dir: str,
@@ -150,42 +236,4 @@ def wand_topk(
     use_wand: bool = True,
 ) -> DataFrame:
     """Top-k (docid, score) from a physical index directory."""
-    from solr_spark.analysis.chain import analyze
-    from solr_spark.index.segments import read_corpus_stats
-
-    stats = read_corpus_stats(index_dir)
-    k1, b, avgdl, n = stats["k1"], stats["b"], stats["avgdl"], stats["n_docs"]
-    terms = (
-        sorted(set(analyze(query, stats["analyzer"])))
-        if isinstance(query, str)
-        else sorted(set(query))
-    )
-    empty = spark.createDataFrame([], "docid long, score double")
-    if not terms or n == 0:
-        return empty
-
-    tstats = (
-        spark.read.parquet(f"{index_dir}/term_stats.parquet")
-        .where(F.col("term").isin(terms))
-        .collect()
-    )
-    weights = {r["term"]: idf(n, r["df"]) for r in tstats}
-    if not weights:
-        return empty
-
-    postings = spark.read.parquet(f"{index_dir}/seg/*/*/postings.parquet").where(
-        F.col("term").isin(list(weights))
-    )
-    docs = spark.read.parquet(f"{index_dir}/seg/*/*/docs.parquet")
-
-    def score(key, pdf_postings: pd.DataFrame, pdf_docs: pd.DataFrame) -> pd.DataFrame:
-        return _score_partition(
-            pdf_postings, pdf_docs, weights, k, k1, b, avgdl, use_wand
-        )
-
-    scored = (
-        postings.groupBy("p")
-        .cogroup(docs.groupBy("p"))
-        .applyInPandas(score, "docid long, score double")
-    )
-    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    return open_index(spark, index_dir).topk(query, k=k, use_wand=use_wand)

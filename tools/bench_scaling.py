@@ -1,0 +1,119 @@
+"""Two-parallelism scaling protocol (BASELINE.md / north_rule evidence).
+
+A real multi-executor cluster is unavailable in this sandbox, so the
+north_rule's N-vs-4N-executor criterion is evidenced the sanctioned way: the
+SAME job runs at two parallelism levels (default local[8] vs local[32]) on
+the SAME input, each in a fresh JVM (separate subprocess), and we report
+throughput at both plus scaling efficiency = speedup / (cpu ratio).
+
+The job is the full physical index build (analyze → invert → compress →
+segment write → global stats) over the sf documents table replicated
+``--repeat`` times (deterministic doc_id remapping), plus a batch of WAND
+queries. Build work is Arrow-UDF CPU-bound — the representative scaling
+surface of the engine.
+
+Usage: python tools/bench_scaling.py [--cpus 8,32] [--repeat 40]
+Writes tools-local JSON and prints a summary table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+_WORKER = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import functions as F
+from solr_spark.session import get_spark
+from solr_spark.index.segments import build_index_dir
+from solr_spark.query.wand import wand_topk
+
+cpus = int(os.environ["CPUS"])
+repeat = int(os.environ["REPEAT"])
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark(
+    app_name=f"scaling_{cpus}",
+    master=f"local[{cpus}]",
+    shuffle_partitions=64,
+    extra_conf={"spark.ui.showConsoleProgress": "false"},
+)
+base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+n_base = base.count()
+# Replicate deterministically: doc_id' = doc_id + i * n_base (same corpus at
+# every parallelism level).
+rep = spark.range(repeat).select(F.col("id").alias("rep"))
+corpus = base.crossJoin(rep).select(
+    (F.col("doc_id") + F.col("rep") * n_base).alias("docid"),
+    F.col("text").alias("content"),
+)
+n_docs = n_base * repeat
+
+out = tempfile.mkdtemp(prefix=f"scale_{cpus}_") if False else f"/tmp/scale_idx_{cpus}"
+shutil.rmtree(out, ignore_errors=True)
+t0 = time.perf_counter()
+stats = build_index_dir(corpus, out, n_partitions=64, analyzer="simple")
+build_s = time.perf_counter() - t0
+assert stats["n_docs"] == n_docs, (stats["n_docs"], n_docs)
+
+queries = ["spark join data", "window batch order", "table", "customer query fast"]
+t0 = time.perf_counter()
+for q in queries:
+    wand_topk(spark, out, q, k=10).collect()
+query_s = time.perf_counter() - t0
+shutil.rmtree(out, ignore_errors=True)
+print(json.dumps({
+    "cpus": cpus, "n_docs": n_docs, "build_s": round(build_s, 2),
+    "docs_per_sec": round(n_docs / build_s, 1),
+    "query_total_s": round(query_s, 2),
+    "query_p_mean_s": round(query_s / len(queries), 3),
+}))
+"""
+
+
+def run_level(cpus: int, repeat: int) -> dict:
+    env = dict(os.environ)
+    env.update({"CPUS": str(cpus), "REPEAT": str(repeat), "REPO": os.path.abspath(".")})
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write("import tempfile\n" + _WORKER)
+        path = f.name
+    out = subprocess.run(
+        [sys.executable, path], env=env, capture_output=True, text=True, timeout=3600
+    )
+    os.unlink(path)
+    last = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if not last:
+        raise RuntimeError(f"worker failed (cpus={cpus}):\n{out.stderr[-3000:]}")
+    return json.loads(last[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", default="8,32")
+    ap.add_argument("--repeat", type=int, default=40)
+    args = ap.parse_args()
+    levels = [int(c) for c in args.cpus.split(",")]
+
+    results = [run_level(c, args.repeat) for c in levels]
+    lo, hi = results[0], results[-1]
+    ratio = hi["cpus"] / lo["cpus"]
+    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    eff = speedup / ratio
+    summary = {
+        "levels": results,
+        "cpu_ratio": ratio,
+        "build_speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "meets_0.8": eff >= 0.8,
+    }
+    with open("tools/scaling_result.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
