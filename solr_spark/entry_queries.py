@@ -740,6 +740,225 @@ for _qname, _qstr in [
     )
 
 
+# --- MLT / dismax / rerank / function queries (SURVEY §2.2) -----------------
+
+_MLT_GATE = "tf >= 2 AND df >= 5 AND df <= 0.5 * {n}"
+
+
+@register(
+    "mlt_doc0",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cand AS (
+  SELECT tf.term, tf.tf * ln(1 + ({NDOCS} - alldf.df + 0.5) / (alldf.df + 0.5)) AS ti
+  FROM tf JOIN alldf USING (term)
+  WHERE tf.doc_id = 0 AND tf.tf >= 1 AND alldf.df >= 5
+        AND alldf.df <= 0.9 * {NDOCS}
+  ORDER BY ti DESC, term ASC LIMIT 25),
+w AS (SELECT c.term, ln(1 + ({NDOCS} - d.df + 0.5) / (d.df + 0.5)) AS w
+      FROM cand c JOIN alldf d USING (term)),
+scored AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+  WHERE tf.doc_id <> 0
+  GROUP BY tf.doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM scored
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def mlt_doc0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this for doc 0 (MoreLikeThisHandler semantics)."""
+    from solr_spark.query.mlt import more_like_this
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = more_like_this(idx, 0, k=10, max_terms=25, min_tf=1, min_df=5, max_df_pct=0.9)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+_SRC_TOKS = (
+    "stoks AS (SELECT doc_id, unnest(list_filter("
+    "regexp_split_to_array(lower(source), '[^a-z0-9]+'), t -> t <> '')) AS term "
+    "FROM documents)"
+)
+
+
+@register(
+    "dismax_text_source",
+    f"""
+WITH {TOKS}, {TF}, {DL}, {_SRC_TOKS},
+stf AS (SELECT doc_id, term, count(*) AS tf FROM stoks GROUP BY doc_id, term),
+sdl AS (SELECT doc_id, count(*) AS dl FROM stoks GROUP BY doc_id),
+qt(term) AS (VALUES ('spark'), ('src3')),
+tdf AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+sdf AS (SELECT term, count(*) AS df FROM stf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+tscore AS (
+  SELECT tf.term, tf.doc_id,
+         1.0 * ln(1 + ({NDOCS} - tdf.df + 0.5) / (tdf.df + 0.5)) * tf.tf /
+           (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS fscore
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id)),
+sscore AS (
+  SELECT stf.term, stf.doc_id,
+         2.0 * ln(1 + ({NDOCS} - sdf.df + 0.5) / (sdf.df + 0.5)) * stf.tf /
+           (stf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * sdl.dl /
+             (SELECT sum(dl) * 1.0 / {NDOCS} FROM sdl))) AS fscore
+  FROM stf JOIN sdf USING (term) JOIN sdl USING (doc_id)),
+unioned AS (SELECT * FROM tscore UNION ALL SELECT * FROM sscore),
+per_term AS (
+  SELECT term, doc_id, max(fscore) + 0.3 * (sum(fscore) - max(fscore)) AS tscore
+  FROM unioned GROUP BY term, doc_id),
+scored AS (SELECT doc_id, sum(tscore) AS s FROM per_term GROUP BY doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM scored
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def dismax_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DisMax over (text, source^2) with tie=0.3 (DisMaxQParser semantics)."""
+    from solr_spark.query.dismax import build_multi_index, dismax_search
+
+    key = (id(spark), sf_dir, "dismax")
+    if key not in _MISC_CACHE:
+        d = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "docid")
+        idxs = build_multi_index(
+            d, {"text": "text", "source": "source"}, analyzer="simple"
+        )
+        for ix in idxs.values():
+            ix.postings = ix.postings.persist()
+            ix.doclens = ix.doclens.persist()
+        _MISC_CACHE[key] = idxs
+    out = dismax_search(
+        _MISC_CACHE[key], "spark src3", qf={"text": 1.0, "source": 2.0},
+        tie=0.3, k=10,
+    )
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "rerank_by_nchars",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES ('data')),
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+main AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id) GROUP BY tf.doc_id),
+win AS (SELECT doc_id, s FROM main
+        QUALIFY row_number() OVER (ORDER BY s DESC, doc_id ASC) <= 50),
+combined AS (
+  SELECT w.doc_id, w.s + 2.0 * (d.n_chars / 1000.0) AS s
+  FROM win w JOIN documents d USING (doc_id))
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM combined
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def rerank_by_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReRank: top-50 of q=data re-scored by +2·(n_chars/1000)."""
+    from solr_spark.query.bm25 import bm25_score_df
+    from solr_spark.query.rerank import rerank
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    main = bm25_score_df(idx, ["data"], quantize_norms=False)
+    rr = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("docid"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("score"),
+    )
+    out = rerank(main, rr, rerank_docs=50, rerank_weight=2.0, k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "frange_boosted",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES ('data')),
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+main AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id) GROUP BY tf.doc_id),
+boosted AS (
+  SELECT m.doc_id, m.s * ln(d.n_chars) AS s
+  FROM main m JOIN documents d USING (doc_id)
+  WHERE m.s >= 0.05 AND m.s <= 2.0)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM boosted
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def frange_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!frange} on the BM25 score + {!boost b=ln(n_chars)}."""
+    from solr_spark.query.bm25 import bm25_score_df
+    from solr_spark.query.rerank import boost_by, frange
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    main = frange(
+        bm25_score_df(idx, ["data"], quantize_norms=False),
+        F.col("score"), lower=0.05, upper=2.0,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("docid"), "n_chars"
+    )
+    out = boost_by(main, d, F.log(F.col("n_chars")), k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "lucene_query_parser",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES ('spark'), ('join')),
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+hits AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s,
+         count(*) AS nm
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+filtered AS (
+  SELECT h.doc_id, h.s FROM hits h
+  JOIN documents d USING (doc_id)
+  WHERE h.nm = 2 AND d.lang = 'en'
+        AND h.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'slow'))
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM filtered
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def lucene_query_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grammar: `+spark +join -slow lang:en` through parse_query/search."""
+    from solr_spark.query.parser import search
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = search(idx, "+spark +join -slow lang:en", k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+_MISC_CACHE: dict = {}
+
+
 # --- vector similarity (training-data ops) ----------------------------------
 
 

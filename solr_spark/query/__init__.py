@@ -1,3 +1,8 @@
-"""Query engine: BM25 scoring, top-k, query parsing."""
+"""Query engine: BM25 scoring, top-k, parser, dismax, MLT, rerank, WAND."""
 
 from solr_spark.query.bm25 import bm25_score_df, bm25_topk  # noqa: F401
+from solr_spark.query.dismax import build_multi_index, dismax_search  # noqa: F401
+from solr_spark.query.mlt import interesting_terms, more_like_this  # noqa: F401
+from solr_spark.query.parser import parse_query, search  # noqa: F401
+from solr_spark.query.rerank import boost_by, frange, rerank  # noqa: F401
+from solr_spark.query.wand import open_index, wand_topk  # noqa: F401

@@ -1,0 +1,124 @@
+"""DisMax: per-term disjunction-max scoring across multiple fields.
+
+Reference semantics (solr/core/src/java/org/apache/solr/search/
+DisMaxQParser.java, 296 LoC; SURVEY.md §2.2): each query term becomes a
+DisjunctionMaxQuery over the ``qf`` fields — the term's score for a doc is
+the MAX of its per-field BM25 scores (each multiplied by the field boost),
+plus ``tie`` times the sum of the non-max field scores; the doc's score is
+the sum over terms; ``mm`` (min-should-match) requires at least that many
+distinct query terms to match in at least one field.
+
+Spark shape: per-field postings union'ed with a field tag → per
+(field, term, docid) BM25 contribution (per-field idf/avgdl, as Lucene
+computes per-field stats) → groupBy (term, docid) for the max+tie combine →
+groupBy docid for the sum + matched-term count. Two shuffles, both keyed by
+docid-dominated keys; the weight table is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.analysis.chain import analyze
+from solr_spark.index.build import IndexTables, build_index
+from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf
+
+
+def build_multi_index(
+    corpus: DataFrame,
+    fields: dict[str, str],
+    id_col: str = "docid",
+    analyzer: str = "simple",
+) -> dict[str, IndexTables]:
+    """One logical index per searchable field. ``fields`` maps field name →
+    source column. Each field gets its own postings/doclens/stats, matching
+    Lucene's per-field index structures."""
+    out = {}
+    for fname, col in fields.items():
+        out[fname] = build_index(
+            corpus, id_col=id_col, text_col=col, analyzer=analyzer,
+            stored_cols=(),
+        )
+    return out
+
+
+def dismax_search(
+    indexes: dict[str, IndexTables],
+    query: str,
+    qf: dict[str, float] | None = None,
+    tie: float = 0.0,
+    mm: int = 1,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Top-k (docid, score) under DisMax combination."""
+    fields = list(indexes)
+    qf = qf or {f: 1.0 for f in fields}
+    some_index = indexes[fields[0]]
+    spark = some_index.postings.sparkSession
+    analyzer = some_index.analyzer
+    terms = sorted(set(analyze(query, analyzer)))
+    empty = spark.createDataFrame([], "docid long, score double")
+    if not terms:
+        return empty
+
+    per_field = []
+    for fname in fields:
+        ix = indexes[fname]
+        n, avgdl = ix.corpus_stats()
+        if n == 0:
+            continue
+        stats = {
+            r["term"]: r["df"]
+            for r in ix.term_stats().where(F.col("term").isin(terms)).collect()
+        }
+        weights = [
+            (t, qf.get(fname, 1.0) * idf(n, stats[t])) for t in terms if t in stats
+        ]
+        if not weights:
+            continue
+        wdf = F.broadcast(spark.createDataFrame(weights, ["term", "w"]))
+        contrib = (
+            ix.postings.where(F.col("term").isin([t for t, _ in weights]))
+            .join(wdf, "term")
+            .join(ix.doclens, "docid")
+            .select(
+                "term",
+                "docid",
+                (
+                    F.col("w")
+                    * F.col("tf")
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                    )
+                ).alias("fscore"),
+            )
+        )
+        per_field.append(contrib)
+
+    if not per_field:
+        return empty
+    allf = per_field[0]
+    for d in per_field[1:]:
+        allf = allf.unionByName(d)
+
+    per_term = allf.groupBy("term", "docid").agg(
+        (
+            F.max("fscore")
+            + F.lit(tie) * (F.sum("fscore") - F.max("fscore"))
+        ).alias("tscore")
+    )
+    scored = per_term.groupBy("docid").agg(
+        F.sum("tscore").alias("score"), F.count("*").alias("n_matched")
+    )
+    if mm > 1:
+        scored = scored.where(F.col("n_matched") >= mm)
+    return (
+        scored.select("docid", "score")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )

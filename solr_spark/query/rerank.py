@@ -1,0 +1,68 @@
+"""Re-ranking + function-query operators.
+
+- ``rerank``: re-score the top-N docs of a main query with a second scorer
+  and combine (reference: solr/core/src/java/org/apache/solr/search/
+  ReRankQParserPlugin.java — reRankDocs window, reRankWeight multiplier;
+  default combine is main + weight·rerank).
+- ``boost_by``: multiply a query's score by a function of stored fields
+  ({!boost b=f(x)} — search/BoostQParserPlugin.java).
+- ``frange``: filter by a function's value range
+  ({!frange l=.. u=..} — search/FunctionRangeQParserPlugin.java). Function
+  queries are arbitrary Column expressions — pyspark.sql.functions covers
+  Solr's ValueSourceParser registry nearly 1:1 (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rerank(
+    main_scored: DataFrame,
+    rerank_scored: DataFrame,
+    rerank_docs: int = 200,
+    rerank_weight: float = 2.0,
+    k: int = 10,
+) -> DataFrame:
+    """Re-rank the top ``rerank_docs`` of ``main_scored`` (docid, score) by
+    adding ``rerank_weight`` × the second query's score; docs outside the
+    window keep their original score and order (Solr semantics)."""
+    window = (
+        main_scored.orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(rerank_docs)
+    )
+    combined = (
+        window.join(
+            rerank_scored.withColumnRenamed("score", "rr_score"), "docid", "left"
+        )
+        .select(
+            "docid",
+            (
+                F.col("score")
+                + F.lit(rerank_weight) * F.coalesce(F.col("rr_score"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    return combined.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def boost_by(scored: DataFrame, docs: DataFrame, boost: Column, k: int | None = None) -> DataFrame:
+    """score ×= boost(doc). ``boost`` is any Column over ``docs``."""
+    out = (
+        scored.join(docs.select("docid", boost.alias("_b")), "docid")
+        .select("docid", (F.col("score") * F.col("_b")).alias("score"))
+    )
+    out = out.orderBy(F.col("score").desc(), F.col("docid").asc())
+    return out.limit(k) if k else out
+
+
+def frange(df: DataFrame, expr: Column, lower=None, upper=None,
+           incl_lower: bool = True, incl_upper: bool = True) -> DataFrame:
+    """Keep rows where the function value lies in [lower, upper]."""
+    pred = F.lit(True)
+    if lower is not None:
+        pred = pred & (expr >= lower if incl_lower else expr > lower)
+    if upper is not None:
+        pred = pred & (expr <= upper if incl_upper else expr < upper)
+    return df.where(pred)

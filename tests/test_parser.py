@@ -1,0 +1,105 @@
+"""Lucene-grammar parser: parse shapes + execution semantics vs set oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.index.build import build_index
+from solr_spark.query.bm25 import bm25_score_df
+from solr_spark.query.parser import parse_query, search
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def idx(docs):
+    i = build_index(docs, id_col="doc_id", text_col="text", analyzer="simple",
+                    stored_cols=("lang", "source", "n_chars"))
+    i.postings = i.postings.persist()
+    i.doclens = i.doclens.persist()
+    return i
+
+
+@pytest.fixture(scope="module")
+def term_docs(idx):
+    def _get(term):
+        return {
+            r.docid
+            for r in idx.postings.where(F.col("term") == term)
+            .select("docid").collect()
+        }
+
+    return _get
+
+
+def test_parse_shapes():
+    p = parse_query('spark +join -table lang:en n_chars:[100 TO 300] "fast scan" spar*^2')
+    kinds = [(c.kind, c.occur) for c in p.clauses]
+    assert kinds == [
+        ("term", "should"), ("term", "must"), ("term", "must_not"),
+        ("filter_eq", "should"), ("filter_range", "should"),
+        ("phrase", "should"), ("prefix", "should"),
+    ]
+    assert p.clauses[-1].boost == 2.0
+    assert p.clauses[4].lo == "100" and p.clauses[4].hi == "300"
+
+
+def test_or_equals_bm25(idx):
+    a = [(r.docid, round(r.score, 9)) for r in search(idx, "spark join data", k=10).collect()]
+    b = [
+        (r.docid, round(r.score, 9))
+        for r in bm25_score_df(idx, ["spark", "join", "data"], quantize_norms=False)
+        .orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10).collect()
+    ]
+    assert a == b
+
+
+def test_and_semantics(idx, term_docs):
+    got = {r.docid for r in search(idx, "spark AND join", k=1000).collect()}
+    assert got == term_docs("spark") & term_docs("join")
+
+
+def test_not_semantics(idx, term_docs):
+    got = {r.docid for r in search(idx, "spark -join", k=1000).collect()}
+    assert got == term_docs("spark") - term_docs("join")
+
+
+def test_phrase_is_conjunction(idx, term_docs):
+    got = {r.docid for r in search(idx, '"spark join"', k=1000).collect()}
+    assert got == term_docs("spark") & term_docs("join")
+
+
+def test_filters(idx, docs, term_docs):
+    rows = search(idx, "spark lang:en n_chars:[100 TO 300]", k=1000).collect()
+    meta = {r["doc_id"]: (r["lang"], r["n_chars"]) for r in docs.collect()}
+    assert rows
+    for r in rows:
+        assert r.docid in term_docs("spark")
+        assert meta[r.docid][0] == "en"
+        assert 100 <= meta[r.docid][1] <= 300
+
+
+def test_pure_filter_query(idx, docs):
+    got = {r.docid for r in search(idx, "lang:zh", k=1000).collect()}
+    want = {r["doc_id"] for r in docs.where(F.col("lang") == "zh").collect()}
+    assert got == want
+
+
+def test_prefix_constant_score(idx):
+    rows = search(idx, "quer*", k=5).collect()
+    assert rows and all(r.score == 1.0 for r in rows)
+
+
+def test_boost_reweights(idx, term_docs):
+    # With a huge boost on a term, its docs must dominate the top-k.
+    rows = search(idx, "spark^100 join", k=5).collect()
+    assert all(r.docid in term_docs("spark") for r in rows)
+
+
+def test_absent_must_term_empty(idx):
+    assert search(idx, "+zzznotaterm spark", k=10).count() == 0
+    assert search(idx, "", k=10).count() == 0

@@ -1,0 +1,99 @@
+"""DisMax / MLT / rerank / function-query semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.index.build import build_index
+from solr_spark.query.bm25 import bm25_score_df
+from solr_spark.query.dismax import build_multi_index, dismax_search
+from solr_spark.query.mlt import interesting_terms, more_like_this
+from solr_spark.query.rerank import boost_by, frange, rerank
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("doc_id", "docid")
+    )
+
+
+@pytest.fixture(scope="module")
+def idx(docs):
+    i = build_index(docs, text_col="text", analyzer="simple")
+    i.postings = i.postings.persist()
+    i.doclens = i.doclens.persist()
+    return i
+
+
+@pytest.fixture(scope="module")
+def multi(docs):
+    m = build_multi_index(docs, {"text": "text", "source": "source"},
+                          analyzer="simple")
+    for ix in m.values():
+        ix.postings = ix.postings.persist()
+        ix.doclens = ix.doclens.persist()
+    return m
+
+
+def test_dismax_single_field_reduces_to_bm25(multi, idx):
+    """With one field and tie=0, DisMax == plain BM25 on that field."""
+    got = dismax_search({"text": multi["text"]}, "spark join", k=10)
+    want = (
+        bm25_score_df(idx, ["join", "spark"], quantize_norms=False)
+        .orderBy(F.col("score").desc(), F.col("docid").asc()).limit(10)
+    )
+    a = [(r.docid, round(r.score, 9)) for r in got.collect()]
+    b = [(r.docid, round(r.score, 9)) for r in want.collect()]
+    assert a == b
+
+
+def test_dismax_field_match_found(multi):
+    """A term that only matches the source field still scores."""
+    rows = dismax_search(multi, "src3", qf={"text": 1.0, "source": 1.0},
+                         k=5).collect()
+    assert rows and all(r.score > 0 for r in rows)
+
+
+def test_dismax_mm(multi):
+    both = dismax_search(multi, "spark join", mm=2, k=1000).count()
+    any_ = dismax_search(multi, "spark join", mm=1, k=1000).count()
+    assert 0 < both < any_
+
+
+def test_mlt_excludes_source_and_ranks(idx):
+    terms = interesting_terms(idx, 0, max_terms=10, min_tf=1, min_df=2,
+                              max_df_pct=1.0)
+    assert terms and all(w > 0 for _, w in terms)
+    rows = more_like_this(idx, 0, k=10, min_tf=1, min_df=2,
+                          max_df_pct=1.0).collect()
+    assert rows
+    assert all(r.docid != 0 for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rerank_window_semantics(idx, docs):
+    main = bm25_score_df(idx, ["data"], quantize_norms=False)
+    rr = docs.select("docid", (F.col("n_chars") / 100.0).alias("score"))
+    out = rerank(main, rr, rerank_docs=20, rerank_weight=1.0, k=5).collect()
+    assert len(out) == 5
+    # Every returned doc must come from the top-20 main window.
+    window = {
+        r.docid
+        for r in main.orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(20).collect()
+    }
+    assert all(r.docid in window for r in out)
+
+
+def test_frange_and_boost(idx, docs):
+    main = bm25_score_df(idx, ["data"], quantize_norms=False)
+    lo, hi = 0.05, 2.0
+    kept = frange(main, F.col("score"), lo, hi)
+    assert kept.where((F.col("score") < lo) | (F.col("score") > hi)).count() == 0
+    boosted = boost_by(kept, docs.select("docid", "n_chars"),
+                       F.log(F.col("n_chars")))
+    assert boosted.count() == kept.count()
