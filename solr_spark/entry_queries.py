@@ -1033,6 +1033,121 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup family (training-data) -------------------------------------------
+
+# Shared SQL fragment: per-doc distinct hashed 3-gram shingles, hash =
+# md5-hex-prefix (bit-identical to solr_spark.functions.dedup.content_hash).
+_SH = """
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(1, len(l) - 1)),
+           i -> ('0x' || substring(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]), 1, 15))::BIGINT
+         ))) AS h
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS l
+        FROM documents))
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+WITH {_SH},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       {_sql_scaled('inter * 1.0 / (sa.sz + sb.sz - inter)')} AS jaccard_x10k
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+""",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at tau=0.5."""
+    from solr_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return out.select("id_a", "id_b", scaled("jaccard").alias("jaccard_x10k"))
+
+
+def _minhash_params_sql(k: int = 32, seed: int = 1337) -> str:
+    from solr_spark.functions.dedup import minhash_params
+
+    return ", ".join(
+        f"({i}, {a}::HUGEINT, {b}::HUGEINT)"
+        for i, (a, b) in enumerate(minhash_params(k, seed))
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    f"""
+WITH {_SH},
+params(i, a, b) AS (VALUES {_minhash_params_sql()}),
+mh AS (
+  SELECT doc_id, i, min((a * h + b) % 2305843009213693951::HUGEINT)::BIGINT AS mh
+  FROM sh, params GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 4 AS band, string_agg(mh, '-' ORDER BY i) AS sig
+  FROM mh GROUP BY doc_id, i // 4)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(DISTINCT a.band) AS n_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=32) + LSH banding (8 bands x 4 rows) candidate pairs."""
+    from solr_spark.functions.dedup import minhash_lsh_pairs, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "text", "doc_id", k=32)
+    return minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+
+
+@register(
+    "simhash_near_pairs",
+    """
+WITH toksd AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS term
+  FROM documents),
+tfh AS (
+  SELECT doc_id, term, count(*) AS tf,
+         ('0x' || substring(md5(term), 1, 15))::BIGINT AS h
+  FROM toksd GROUP BY doc_id, term),
+bits AS (
+  SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS s
+  FROM tfh, unnest(range(0, 60)) AS t(j)
+  GROUP BY doc_id, j),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS dist
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups at Hamming distance <= 3 (block-pigeonhole join in
+    Spark; the oracle brute-forces all pairs — identical result because
+    d=3 < 4 blocks guarantees a full-block collision)."""
+    from solr_spark.functions.dedup import simhash, simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    sig = simhash(d, "text", "doc_id")
+    out = simhash_pairs(sig, max_distance=3, n_blocks=4)
+    return out.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
 # --- text pipeline ops (training-data) --------------------------------------
 
 
@@ -1104,6 +1219,266 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled(F.col("n_types") / F.col("dl")).alias("ttr_x10k"),
         scaled(F.col("dl") / F.col("n_chars")).alias("density_x10k"),
     ).orderBy("doc_id")
+
+
+# --- ANN variants + text curation ops ---------------------------------------
+
+
+def _lsh_planes_sql(planes) -> list[str]:
+    return [
+        "[" + ", ".join(f"{float(x)!r}" for x in plane) + "]::DOUBLE[]"
+        for plane in planes
+    ]
+
+
+def _make_lsh_entry() -> None:
+    import numpy as np
+
+    from solr_spark.functions.ann import lsh_planes
+
+    planes = lsh_planes(dim=64, n_planes=6, seed=777)
+    plane_sqls = _lsh_planes_sql(planes)
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(e.embedding::DOUBLE[], {p}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(plane_sqls)
+    )
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from solr_spark.functions.ann import lsh_topk, with_lsh_bucket
+
+        e = _t(spark, sf_dir, "embeddings")
+        qvec = e.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        bucketed = with_lsh_bucket(e.where(F.col("vec_id") != 0), planes)
+        out = lsh_topk(bucketed, list(qvec), planes, k=10, multiprobe=1)
+        return (
+            out.select("vec_id", scaled("sim").alias("sim_x10k"))
+            .orderBy(F.col("sim_x10k").desc(), F.col("vec_id").asc())
+            .limit(10)
+        )
+
+    # The probe set (query bucket + Hamming-1 neighbors) is data-dependent,
+    # so the oracle recomputes it IN SQL from the same literal planes.
+    sql = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT ({bucket_expr.replace('e.embedding', 'q.embedding')}) AS b FROM q),
+probes AS (
+  SELECT b AS p FROM qb
+  UNION ALL
+  SELECT xor(b, (1::BIGINT << i)) FROM qb, unnest(range(0, 6)) AS t(i)),
+bucketed AS (
+  SELECT e.vec_id, e.embedding, ({bucket_expr}) AS bucket
+  FROM embeddings e WHERE e.vec_id <> 0)
+SELECT e.vec_id, {_sql_scaled(_COS)} AS sim_x10k
+FROM bucketed e, q
+WHERE e.bucket IN (SELECT p FROM probes)
+ORDER BY sim_x10k DESC, vec_id ASC LIMIT 10
+"""
+    CATALOG["lsh_ann_top10"] = Entry(fn=fn, sql=sql)
+
+
+_make_lsh_entry()
+
+
+@register("ivf_ann_top10", None)  # rows-only: k-means centroids live driver-side
+def ivf_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF similarity search: 16 k-means cells, probe the 4 nearest.
+    Recall vs brute force is asserted by tests/test_functions.py; the
+    centroid training is numpy-side, so no SQL oracle."""
+    import numpy as np
+
+    from solr_spark.functions.ann import ivf_topk, train_centroids, with_ivf_cell
+
+    e = _t(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [r["embedding"] for r in e.orderBy("vec_id").limit(500).collect()],
+        dtype=np.float64,
+    )
+    cents = train_centroids(sample, n_cells=16, iters=10, seed=99)
+    qvec = list(sample[0])
+    celled = with_ivf_cell(e.where(F.col("vec_id") != 0), cents)
+    out = ivf_topk(celled, qvec, cents, k=10, n_probe=4)
+    return (
+        out.select("vec_id", scaled("sim").alias("sim_x10k"))
+        .orderBy(F.col("sim_x10k").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _profile_sql() -> str:
+    from solr_spark.functions.textstats import LANG_PROFILES
+
+    cases = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        cases.append(f"len(list_filter(l, t -> list_contains([{words}], t)))")
+    return cases
+
+
+def _make_langid_entry() -> None:
+    hits = _profile_sql()
+    langs = ["de", "en", "es", "fr"]
+    # alphabetical strict-> argmax, 'und' when all zero
+    expr = "'und'"
+    best = "0"
+    sel = []
+    for lang, h in zip(langs, hits):
+        sel.append(f"{h} AS h_{lang}")
+    pred = "CASE "
+    # build greatest-with-first-wins: compare each lang's hits against max
+    pred = (
+        "CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und' "
+        "WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de' "
+        "WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en' "
+        "WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es' "
+        "ELSE 'fr' END"
+    )
+    sql = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS l
+  FROM documents),
+scored AS (SELECT doc_id, {', '.join(sel)} FROM base),
+pred AS (SELECT doc_id, {pred} AS pred_lang FROM scored)
+SELECT pred_lang, count(*) AS n FROM pred GROUP BY pred_lang ORDER BY pred_lang
+"""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from solr_spark.functions.textstats import identify_language
+
+        d = _t(spark, sf_dir, "documents")
+        out = identify_language(d, "text", "doc_id")
+        return (
+            out.groupBy("pred_lang").agg(F.count("*").alias("n"))
+            .orderBy("pred_lang")
+        )
+
+    CATALOG["lang_id_distribution"] = Entry(fn=fn, sql=sql)
+
+
+_make_langid_entry()
+
+
+@register(
+    "quality_features_sample",
+    f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents WHERE doc_id < 20)
+SELECT doc_id AS id,
+       length(text) AS n_chars,
+       len(l) AS n_tokens,
+       len(list_distinct(l)) AS n_types,
+       {_sql_scaled('len(list_distinct(l)) * 1.0 / greatest(len(l), 1)')} AS ttr_x10k,
+       {_sql_scaled("length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1)")} AS digit_ratio_x10k
+FROM base ORDER BY id
+""",
+)
+def quality_features_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solr_spark.functions.textstats import quality_features
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    out = quality_features(d, "text", "doc_id")
+    return out.select(
+        "id",
+        "n_chars",
+        "n_tokens",
+        "n_types",
+        scaled("ttr").alias("ttr_x10k"),
+        scaled("digit_ratio").alias("digit_ratio_x10k"),
+    ).orderBy("id")
+
+
+@register(
+    "token_counts_total",
+    r"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS ws,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents)
+SELECT sum(ws)::BIGINT AS ws_tokens,
+       sum(len(l))::BIGINT AS analyzer_tokens,
+       sum(coalesce(list_aggregate(
+             list_transform(l, tok -> ceil(length(tok) / 4.0)), 'sum'), 0)
+          )::BIGINT AS bpe_est_tokens
+FROM base
+""",
+)
+def token_counts_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solr_spark.functions.textstats import token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    out = token_counts(d, "text", "doc_id")
+    return out.agg(
+        F.sum("ws_tokens").alias("ws_tokens"),
+        F.sum("analyzer_tokens").alias("analyzer_tokens"),
+        F.sum("bpe_est_tokens").alias("bpe_est_tokens"),
+    )
+
+
+@register(
+    "fingerprint_top",
+    """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents),
+sh AS (
+  SELECT doc_id, list_sort(list_distinct(list_transform(
+           range(1, greatest(1, len(l) - 1)),
+           i -> ('0x' || substring(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]), 1, 15))::BIGINT
+         ))) AS hs
+  FROM base),
+fp AS (
+  SELECT doc_id,
+         array_to_string(hs[1:4], '-') AS fingerprint
+  FROM sh)
+SELECT fingerprint, count(*) AS n FROM fp
+GROUP BY fingerprint ORDER BY n DESC, fingerprint ASC LIMIT 10
+""",
+)
+def fingerprint_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite fingerprints; top groups = near-dup clusters."""
+    from solr_spark.functions.textstats import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    out = fingerprint(d, "text", "doc_id", n=3, n_mins=4)
+    return (
+        out.groupBy("fingerprint").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("fingerprint").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "multimodal_decode_meta",
+    """
+SELECT doc_id AS id, octet_length(encode(text))::INT AS n_bytes,
+       (16 + octet_length(encode(text)) % 64)::INT AS width,
+       (16 + (octet_length(encode(text)) // 64) % 64)::INT AS height
+FROM documents WHERE doc_id < 10 ORDER BY id
+""",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: pack text bytes as an opaque payload,
+    run the Arrow-batched decode stage (deterministic fake decoder), return
+    the typed metadata. The SQL oracle reproduces the fake's arithmetic."""
+    from solr_spark.functions.multimodal import decode_image_batch, pack_binary
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
+    packed = pack_binary(d, "text", "doc_id")
+    out = decode_image_batch(packed, fake=True)
+    return out.select(
+        "id", F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    ).orderBy("id")
 
 
 # ---------------------------------------------------------------------------

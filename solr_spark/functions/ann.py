@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns: brute-force, LSH, IVF.
+
+Three tiers for the 100 TB curation use-case:
+
+- ``cosine_topk``  — exact brute-force: one scan, JVM-side zip_with dot
+  product, TakeOrderedAndProject top-k. The correctness baseline and the
+  right choice when the query batch is small.
+- ``lsh_topk``     — random-hyperplane LSH: each vector gets a bucket id
+  from the sign pattern of ``n_planes`` fixed hyperplanes; a query probes
+  only its bucket (optionally multi-probe with Hamming-1 neighbors).
+  Sub-linear scan at the cost of recall; the planes are deterministic
+  (seeded) so results are reproducible and SQL-checkable.
+- ``ivf_topk``     — inverted-file index: k-means centroids (trained
+  driver-side on a sample with numpy, fixed seed/iterations), vectors
+  assigned to nearest centroid; a query probes the ``n_probe`` nearest
+  cells. The standard big-index layout (probe set is a pushed-down IN
+  filter on the cell column, so a cell-partitioned parquet layout prunes
+  partitions).
+
+All distances run in float64 JVM expressions — no Python in the scan path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    vectors: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        vectors.select(F.col(id_col).alias("vec_id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+# --- LSH --------------------------------------------------------------------
+
+
+def lsh_planes(dim: int, n_planes: int = 12, seed: int = 777) -> np.ndarray:
+    """Deterministic random hyperplanes (n_planes x dim, float64)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id: bit i = 1 iff vec · plane_i >= 0."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def with_lsh_bucket(
+    vectors: DataFrame, planes: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add the ``bucket`` column. At scale, write the result partitioned/
+    bucketed by this column so a probe prunes to one partition."""
+    return vectors.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    bucketed: DataFrame, query_vec: list[float], planes: np.ndarray,
+    k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket (+ Hamming-``multiprobe``
+    neighbor buckets) and rank exactly within."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if float(qv @ plane) >= 0:
+            qbucket |= 1 << i
+    probes = {qbucket}
+    if multiprobe >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(len(planes))}
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        bucketed.where(F.col("bucket").isin(list(probes)))
+        .select(F.col(id_col).alias("vec_id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+# --- IVF --------------------------------------------------------------------
+
+
+def train_centroids(
+    sample: np.ndarray, n_cells: int = 16, iters: int = 10, seed: int = 99
+) -> np.ndarray:
+    """Plain Lloyd k-means on an in-memory sample (deterministic)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=n_cells, replace=False)
+    cents = sample[idx].astype(np.float64)
+    for _ in range(iters):
+        # cosine assignment on normalized vectors
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_cells):
+            m = sample[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    return cents
+
+
+def assign_cell(vec: Column, centroids: np.ndarray) -> Column:
+    """argmax_c (vec · centroid_c). Built as one sims array + array_position
+    (a chained-when formulation would double the expression tree per
+    centroid — 2^n_cells nodes — and stall Catalyst)."""
+    sims = F.array(
+        *[
+            dot(vec, F.array(*[F.lit(float(x)) for x in cent]))
+            for cent in centroids
+        ]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def with_ivf_cell(
+    vectors: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    return vectors.withColumn("cell", assign_cell(F.col(vec_col), centroids))
+
+
+def ivf_topk(
+    celled: DataFrame, query_vec: list[float], centroids: np.ndarray,
+    k: int = 10, n_probe: int = 4, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest cells, rank exactly within them."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(-(centroids @ qv))
+    probes = [int(c) for c in order[:n_probe]]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        celled.where(F.col("cell").isin(probes))
+        .select(F.col(id_col).alias("vec_id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

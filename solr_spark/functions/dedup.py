@@ -1,0 +1,311 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The reference ships dedup as an ingest transform
+(solr/core/src/java/org/apache/solr/update/processor/
+SignatureUpdateProcessorFactory.java — md5 of concatenated fields — and
+Lookup3Signature/TextProfileSignature variants) plus a MinHash query
+(search/MinHashQParserPlugin.java). Here the family is rebuilt as DataFrame
+operators sized for corpus-scale curation.
+
+Scale shapes:
+- exact:     one groupBy on the content hash (map-side combine; no skew —
+             dup groups are small by definition).
+- jaccard:   exact pairwise via a self-join on shingle hash. O(Σ df²) —
+             the VERIFY step for candidates, not the discovery step.
+- minhash:   per-doc signature arrays computed with JVM expressions (no
+             shingle explosion — the k hash functions run inside
+             F.transform/array_min), then LSH banding: docs sharing any
+             (band, band-signature) bucket become candidate pairs. The only
+             shuffle is on band signatures — the classic sub-quadratic path.
+- simhash:   64-bit-ish (60-bit) signature from tf-weighted term-hash bits;
+             near-dups = signatures within Hamming distance d, discovered by
+             exact-match on bit-blocks (pigeonhole: d/4-block partitioning).
+
+Determinism/portability: hashes derive from md5 hex (identical across
+engines); modular arithmetic runs in DECIMAL(38) (Spark) / HUGEINT (DuckDB)
+so no 64-bit overflow semantics leak in. MinHash parameters come from a
+seeded generator shared with the SQL oracle builder.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+H_PRIME = (1 << 61) - 1  # Mersenne prime 2^61-1; shingle hashes are < 2^60
+
+
+def _dec(c: Column | int) -> Column:
+    col = F.lit(c) if isinstance(c, int) else c
+    return col.cast("decimal(38,0)")
+
+
+def content_hash(text: Column) -> Column:
+    """Portable 60-bit content hash (md5 hex prefix as int64)."""
+    return F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("long")
+
+
+def minhash_params(k: int, seed: int = 1337) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs for h_i(x) = (a·x + b) mod p."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, H_PRIME), rng.randrange(0, H_PRIME)) for _ in range(k)
+    ]
+
+
+def tokens_col(text: Column) -> Column:
+    """simple-analyzer tokenization as a JVM expression (matches
+    analysis.chain 'simple' and the SQL oracle's regexp_split_to_array)."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct hashed token n-gram shingles of a text column (array<long>).
+
+    Pure JVM expressions: tokenize → sliding n-gram join → md5-hash.
+    """
+    toks = tokens_col(text)
+    n_sh = F.greatest(F.lit(0), F.size(toks) - F.lit(n - 1))
+    idx = F.sequence(F.lit(1), n_sh)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(
+        F.transform(grams, lambda s: content_hash(s))
+    )
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Duplicate groups by exact content hash: (hash, canonical_id, n_dups).
+
+    canonical = min id (the row a curation pipeline would keep)."""
+    return (
+        df.select(
+            content_hash(F.col(text_col)).alias("hash"), F.col(id_col).alias("id")
+        )
+        .groupBy("hash")
+        .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+# --- exact n-gram Jaccard ---------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+
+    Exact O(pairs-sharing-a-shingle) self-join — the verification-grade
+    measure. At corpus scale run it only on LSH candidates."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 32,
+    n: int = 3, seed: int = 1337,
+) -> DataFrame:
+    """(id, minhash: array<long>[k]) — k permutation-min signatures.
+
+    The k hash functions run INSIDE array expressions (one pass over the
+    per-doc shingle array; no row explosion) — the map-side-combine shape
+    that keeps the shuffle at one row per doc."""
+    params = minhash_params(k, seed)
+    sh = shingle_hashes(F.col(text_col), n)
+
+    def _perm_min(a: int, b: int) -> Column:
+        def h(x: Column) -> Column:
+            return ((_dec(a) * _dec(x) + _dec(b)) % _dec(H_PRIME)).cast("long")
+
+        return F.array_min(F.transform(sh, h))
+
+    mins = F.array(*[_perm_min(a, b) for a, b in params])
+    return df.select(F.col(id_col).alias("id"), mins.alias("minhash")).where(
+        F.size(F.filter(F.col("minhash"), lambda v: v.isNotNull())) == k
+    )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs from LSH banding over signatures.
+
+    Docs sharing the full r-row signature of ANY band collide. Returns
+    distinct (id_a < id_b, n_bands) — n_bands = number of colliding bands
+    (a cheap confidence proxy). Verify candidates with ngram_jaccard_pairs
+    or the minhash Jaccard estimate."""
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("minhash")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.countDistinct("a.band").alias("n_bands"))
+    )
+
+
+def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame, k: int = 32) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    s_a = sigs.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a"))
+    s_b = sigs.select(F.col("id").alias("id_b"), F.col("minhash").alias("mh_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
+        pairs.join(s_a, "id_a")
+        .join(s_b, "id_b")
+        .select("id_a", "id_b", (agree / F.lit(k)).alias("est_jaccard"))
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 60  # content_hash yields 60-bit values
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash long) — tf-weighted 60-bit SimHash of the token stream.
+
+    bit_j(sig) = 1 iff Σ_terms tf·(2·bit_j(h(term)) − 1) > 0. Long-format
+    implementation (terms × bits rows through one hash aggregate) so the
+    SQL oracle can reproduce it exactly; an array-expression variant would
+    avoid the row blowup at scale at the cost of oracle-ability.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("h", content_hash(F.col("term")))
+    bits = tf.select(
+        "id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    ).withColumn(
+        "contrib",
+        F.col("tf") * (F.expr("shiftright(h, j) & 1L") * 2 - 1),
+    )
+    per_bit = bits.groupBy("id", "j").agg(F.sum("contrib").alias("s"))
+    return (
+        per_bit.withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    sig: DataFrame, max_distance: int = 3, n_blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_distance.
+
+    Pigeonhole blocking: split the signature into n_blocks bit-blocks; any
+    pair within distance d < n_blocks must agree exactly on >= 1 block, so
+    candidates come from equality joins on block values (sub-quadratic),
+    then exact bit_count verification."""
+    width = SIMHASH_BITS // n_blocks
+    blocked = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "simhash", "bv.blk", "bv.val")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("dist") <= max_distance)
+        .select("id_a", "id_b", "dist")
+    )

@@ -1,0 +1,213 @@
+"""Training-data ops: dedup family, ANN variants, textstats, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.functions.ann import (
+    cosine_topk,
+    ivf_topk,
+    lsh_planes,
+    lsh_topk,
+    train_centroids,
+    with_ivf_cell,
+    with_lsh_bucket,
+)
+from solr_spark.functions.dedup import (
+    exact_dedup,
+    minhash_jaccard_estimate,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from solr_spark.functions.multimodal import (
+    decode_image_batch,
+    frame_sample_plan,
+    pack_binary,
+)
+from solr_spark.functions.textstats import (
+    fingerprint,
+    identify_language,
+    quality_features,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def test_exact_dedup_finds_planted_dup(spark, docs):
+    dup = docs.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    with_dup = docs.unionByName(dup)
+    groups = exact_dedup(with_dup, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n"] == 2
+
+
+def test_jaccard_pair_symmetric_bounds(docs):
+    rows = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0.3 <= r.jaccard <= 1.0
+
+
+def test_minhash_estimates_jaccard(docs):
+    """MinHash agreement must approximate true Jaccard on high-sim pairs."""
+    sigs = minhash_signatures(docs, "text", "doc_id", k=32)
+    pairs = minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+    est = minhash_jaccard_estimate(sigs, pairs, k=32)
+    true = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0)
+    joined = est.join(true, ["id_a", "id_b"]).collect()
+    assert joined
+    for r in joined:
+        assert abs(r.est_jaccard - r.jaccard) < 0.35  # k=32 sketch tolerance
+
+
+def test_simhash_identical_docs_distance_zero(spark, docs):
+    dup = docs.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    both = docs.select("doc_id", "text").unionByName(dup)
+    sig = simhash(both, "text", "doc_id")
+    pairs = simhash_pairs(sig, max_distance=0).collect()
+    planted = [p for p in pairs if p.id_b == p.id_a + 100000]
+    assert planted and planted[0].dist == 0
+
+
+# --- ANN --------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def qvec(embeddings):
+    return list(embeddings.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+
+
+def test_bruteforce_topk_is_sorted(embeddings, qvec):
+    rows = cosine_topk(embeddings.where(F.col("vec_id") != 0), qvec, k=10).collect()
+    sims = [r.sim for r in rows]
+    assert len(rows) == 10
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 + 1e-9 for s in sims)
+
+
+def test_lsh_finds_planted_neighbors(spark, embeddings, qvec):
+    """On near-uniform random vectors no ANN beats brute force, so test the
+    mechanism: plant 5 near-copies of the query (sim ~0.99) and require LSH
+    to retrieve them — high-similarity vectors share sign buckets w.h.p."""
+    rng = np.random.default_rng(5)
+    q = np.asarray(qvec, dtype=np.float64)
+    planted = [
+        (10_000 + i, (q + 0.05 * rng.standard_normal(len(q))).tolist(), -1)
+        for i in range(5)
+    ]
+    extra = spark.createDataFrame(
+        [(i, [float(x) for x in v], lbl) for i, v, lbl in planted],
+        "vec_id long, embedding array<float>, label int",
+    )
+    all_vecs = embeddings.select("vec_id", "embedding", "label").unionByName(extra)
+    planes = lsh_planes(64, n_planes=6, seed=777)
+    bucketed = with_lsh_bucket(all_vecs.where(F.col("vec_id") != 0), planes)
+    got = {
+        r.vec_id
+        for r in lsh_topk(bucketed, qvec, planes, k=5, multiprobe=1).collect()
+    }
+    assert len(got & {i for i, _, _ in planted}) >= 4
+
+
+def test_ivf_recall_vs_bruteforce(embeddings, qvec):
+    sample = np.array(
+        [r["embedding"] for r in embeddings.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    cents = train_centroids(sample, n_cells=8, iters=5, seed=99)
+    celled = with_ivf_cell(embeddings.where(F.col("vec_id") != 0), cents)
+    approx = {r.vec_id for r in ivf_topk(celled, qvec, cents, k=10, n_probe=4).collect()}
+    exact = {
+        r.vec_id
+        for r in cosine_topk(embeddings.where(F.col("vec_id") != 0), qvec, 10).collect()
+    }
+    assert len(exact & approx) >= 5
+
+
+# --- textstats --------------------------------------------------------------
+
+
+def test_identify_language_plants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog was in the house"),
+            (2, "el perro y la casa de un gato"),
+            (3, "xyzzy qwerty asdf"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.pred_lang for r in identify_language(df, "text", "id").collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_quality_features_ranges(docs):
+    rows = quality_features(docs.limit(50), "text", "doc_id").collect()
+    for r in rows:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 < r.ttr <= 1.0
+        assert r.n_types <= r.n_tokens
+
+
+def test_token_counts_consistency(docs):
+    rows = token_counts(docs.limit(20), "text", "doc_id").collect()
+    for r in rows:
+        assert r.bpe_est_tokens >= r.analyzer_tokens  # ceil(len/4) >= 1 per token
+
+
+def test_fingerprint_stable(docs):
+    a = {r.id: r.fingerprint for r in fingerprint(docs.limit(20), "text", "doc_id").collect()}
+    b = {r.id: r.fingerprint for r in fingerprint(docs.limit(20), "text", "doc_id").collect()}
+    assert a == b
+    assert all(f for f in a.values())
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def test_multimodal_decode_fake(docs):
+    packed = pack_binary(docs.limit(5), "text", "doc_id")
+    out = decode_image_batch(packed, fake=True).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.width == 16 + r.n_bytes % 64
+        assert abs(sum(r.hist) - 1.0) < 1e-9
+
+
+def test_multimodal_decode_stub_raises(docs):
+    packed = pack_binary(docs.limit(1), "text", "doc_id")
+    with pytest.raises(Exception):
+        decode_image_batch(packed, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 3.5), (2, 0.4)], "id long, duration_s double")
+    rows = frame_sample_plan(df, every_n_seconds=1.0).collect()
+    per_id = {}
+    for r in rows:
+        per_id.setdefault(r.id, []).append(r.frame_ts)
+    assert sorted(per_id[1]) == [0.0, 1.0, 2.0]
+    assert per_id[2] == [0.0]
