@@ -1,0 +1,96 @@
+"""Physical plan shape assertions (.explain-driven).
+
+Correctness tests prove the WHAT; these prove the HOW holds at scale: the
+term filter reaches the postings scan (partition/row-group pruning), tiny
+weight tables broadcast instead of shuffling, and top-k compiles to
+TakeOrderedAndProject (per-partition heap + driver merge — Solr's two-phase
+distributed top-k, built in).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.index.build import build_index
+from solr_spark.query.bm25 import bm25_topk
+
+
+@pytest.fixture(scope="module")
+def idx_parquet(spark, tmp_path_factory):
+    """Index whose postings are PERSISTED AS PARQUET so pushdown is visible
+    in the scan node (in-memory frames don't show PushedFilters)."""
+    d = str(tmp_path_factory.mktemp("plans") / "postings")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(docs, id_col="doc_id", text_col="text", analyzer="simple")
+    idx.postings.write.parquet(d)
+    return spark.read.parquet(d)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark_explain_mode(df.sparkSession)
+    )
+
+
+def spark_explain_mode(spark):
+    jvm = spark.sparkContext._jvm
+    return jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+
+def test_term_filter_pushdown(idx_parquet):
+    q = idx_parquet.where(F.col("term").isin("spark", "join")).select("docid", "tf")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan
+    assert "In(term" in plan  # the IN filter reached the parquet scan
+    # Column pruning: content-bearing columns not read
+    assert "ReadSchema" in plan
+
+
+def test_bm25_plan_broadcasts_and_takeordered(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(docs, id_col="doc_id", text_col="text", analyzer="simple")
+    idx.postings = idx.postings.persist()
+    idx.doclens = idx.doclens.persist()
+    top = bm25_topk(idx, ["spark", "join"], k=10, quantize_norms=False)
+    plan = _plan(top)
+    assert "TakeOrderedAndProject" in plan  # two-phase top-k merge
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_facet_partial_final_aggregate(spark):
+    from solr_spark.operators.facets import terms_facet
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(terms_facet(docs, "lang", limit=5))
+    # partial (map-side combine) + final hash aggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_collapse_single_shuffle(spark):
+    from solr_spark.operators.collapse import collapse
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = collapse(
+        docs.select("source", "doc_id", "n_chars"),
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    plan = _plan(out)
+    # one shuffle for the window partitioning, and a WindowGroupLimit /
+    # rank-pushdown should bound the sort (Spark 3.5+ optimization)
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_broadcast_dim_join(spark):
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    j = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).groupBy("n_name").count()
+    assert "BroadcastHashJoin" in _plan(j)
