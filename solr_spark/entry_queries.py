@@ -1481,6 +1481,241 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+# --- graph / suggest / highlight / realtime get / hash / SQL handler --------
+
+
+@register(
+    "graph_gather_nodes",
+    """
+WITH seeds AS (SELECT 'o:' || o_orderkey::VARCHAR AS node FROM orders WHERE o_custkey = 7),
+e AS (
+  SELECT 'o:' || l_orderkey::VARCHAR AS src, 'p:' || l_partkey::VARCHAR AS dst FROM lineitem
+  UNION ALL
+  SELECT 'p:' || l_partkey::VARCHAR, 'o:' || l_orderkey::VARCHAR FROM lineitem),
+hop1 AS (
+  SELECT DISTINCT e.dst AS node FROM seeds JOIN e ON seeds.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM seeds)),
+hop2 AS (
+  SELECT DISTINCT e.dst AS node FROM hop1 JOIN e ON hop1.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM seeds)
+    AND e.dst NOT IN (SELECT node FROM hop1))
+SELECT node, 1 AS hop FROM hop1
+UNION ALL
+SELECT node, 2 AS hop FROM hop2
+ORDER BY hop, node
+""",
+)
+def graph_gather_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gatherNodes 2-hop BFS over the bipartite order—part graph: orders of
+    customer 7 → their parts → other orders containing those parts."""
+    from solr_spark.operators.graph import gather_nodes
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") == 7)
+        .select(F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("node"))
+    )
+    return gather_nodes(edges, seeds, hops=2).orderBy("hop", "node")
+
+
+@register(
+    "suggest_prefix",
+    f"""
+WITH {TOKS}, {TF}
+SELECT term, count(*) AS df FROM tf WHERE term LIKE 'c%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+""",
+)
+def suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suggester: dictionary terms with prefix 'c' weighted by df."""
+    from solr_spark.query.suggest import suggest
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    return suggest(idx, "c", count=10)
+
+
+@register(
+    "highlight_snippets",
+    r"""
+WITH hits AS (
+  SELECT doc_id, text, strpos(lower(text), 'spark') AS pos
+  FROM documents WHERE doc_id < 50 AND strpos(lower(text), 'spark') > 0)
+SELECT doc_id,
+       regexp_replace(lower(substring(text, greatest(1, pos - 20)::INT, 80)),
+                      '\bspark\b', '<em>spark</em>', 'g') AS snippet
+FROM hits ORDER BY doc_id
+""",
+)
+def highlight_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting: 80-char snippet around the first 'spark' match."""
+    from solr_spark.query.highlight import highlight
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    out = highlight(d, "text", ["spark"], frag_size=80)
+    return (
+        out.where(F.col("snippet").isNotNull())
+        .select("doc_id", "snippet")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "realtime_get",
+    """
+SELECT doc_id AS docid, lang, source, n_chars, sha256(text) AS content_sha256
+FROM documents WHERE doc_id IN (1, 2, 3) ORDER BY docid
+""",
+)
+def realtime_get_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realtime get: point lookup of stored fields + content sha256 (the
+    per-row invariant column) by uniqueKey."""
+    from solr_spark.query.suggest import realtime_get
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    return realtime_get(idx, [1, 2, 3]).orderBy("docid")
+
+
+@register(
+    "hash_partition_filter",
+    """
+SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+WHERE (('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 4) = 1
+""",
+)
+def hash_partition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!hash workers=4 worker=1}` partition filter over documents."""
+    from solr_spark.operators.streams import hash_partition_filter
+
+    d = _t(spark, sf_dir, "documents")
+    part = hash_partition_filter(d, ["doc_id"], workers=4, worker=1)
+    return part.agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_SQL_HANDLER_QUERY = """
+SELECT n_name, count(*) AS n_orders,
+       CAST(floor(sum(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS revenue_x100
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("sql_handler", _SQL_HANDLER_QUERY)
+def sql_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /sql entry point (SURVEY §3.3): Solr parses SQL via Calcite and
+    pushes fragments into queries; here the SAME SQL text runs through
+    spark.sql over registered views — the whole layer is Spark SQL."""
+    for t in ["orders", "customer", "nation"]:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_HANDLER_QUERY)
+
+
+# --- statistical stream evaluators (SURVEY §2.8) ----------------------------
+
+
+@register(
+    "describe_totalprice",
+    f"""
+SELECT count(o_totalprice) AS count,
+       {_sql_scaled('avg(o_totalprice)', 2)} AS mean_x100,
+       {_sql_scaled('stddev_samp(o_totalprice)', 2)} AS stddev_x100,
+       {_sql_scaled('min(o_totalprice)', 2)} AS min_x100,
+       {_sql_scaled('quantile_cont(o_totalprice, 0.25)', 2)} AS p25_x100,
+       {_sql_scaled('quantile_cont(o_totalprice, 0.5)', 2)} AS p50_x100,
+       {_sql_scaled('quantile_cont(o_totalprice, 0.75)', 2)} AS p75_x100,
+       {_sql_scaled('max(o_totalprice)', 2)} AS max_x100
+FROM orders
+""",
+)
+def describe_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solr_spark.functions.mathstream import describe
+
+    out = describe(_t(spark, sf_dir, "orders"), "o_totalprice")
+    return out.select(
+        "count",
+        scaled("mean", 2).alias("mean_x100"),
+        scaled("stddev", 2).alias("stddev_x100"),
+        scaled("min", 2).alias("min_x100"),
+        scaled("p25", 2).alias("p25_x100"),
+        scaled("p50", 2).alias("p50_x100"),
+        scaled("p75", 2).alias("p75_x100"),
+        scaled("max", 2).alias("max_x100"),
+    )
+
+
+@register(
+    "corr_quantity_price",
+    f"""
+SELECT {_sql_scaled('corr(l_quantity, l_extendedprice)', 6)} AS corr_x1m,
+       {_sql_scaled('covar_samp(l_quantity, l_extendedprice)', 2)} AS cov_x100
+FROM lineitem
+""",
+)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        scaled(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_x1m"),
+        scaled(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_x100"),
+    )
+
+
+@register(
+    "moving_avg_daily_events",
+    f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts)::DATE AS day, sum(value) AS total
+  FROM events GROUP BY day)
+SELECT day,
+       {_sql_scaled('avg(total) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)', 2)} AS ma7_x100
+FROM daily ORDER BY day
+""",
+)
+def moving_avg_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solr_spark.functions.mathstream import moving_avg
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day")).agg(
+        F.sum("value").alias("total")
+    )
+    out = moving_avg(daily, "total", "day", window=7)
+    return out.select("day", scaled("moving_avg", 2).alias("ma7_x100")).orderBy("day")
+
+
+@register(
+    "zscores_acctbal",
+    f"""
+SELECT c_custkey,
+       {_sql_scaled('(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey)) / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey)')} AS z_x10k
+FROM customer
+QUALIFY c_custkey < 20
+ORDER BY c_custkey
+""",
+)
+def zscores_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solr_spark.functions.mathstream import zscores
+
+    c = _t(spark, sf_dir, "customer")
+    out = zscores(c, "c_acctbal", partition_by="c_nationkey")
+    return (
+        out.where(F.col("c_custkey") < 20)
+        .select("c_custkey", scaled("zscore").alias("z_x10k"))
+        .orderBy("c_custkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

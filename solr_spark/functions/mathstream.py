@@ -1,0 +1,89 @@
+"""Statistical stream evaluators as DataFrame helpers.
+
+Reference (SURVEY.md §2.8): Solr registers ~300 stream evaluators in
+solrj io/Lang.java backed by commons-math — corr, cov, regression,
+percentiles, movingAvg, zscores, describe... The Spark mapping is mostly
+built-in aggregate/window functions; these helpers pin the exact shapes the
+catalog exposes (and that the SQL oracles reproduce).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def describe(df: DataFrame, col: str) -> DataFrame:
+    """`describe(col)`: count/mean/stddev/min/p25/p50/p75/max."""
+    c = F.col(col)
+    return df.agg(
+        F.count(c).alias("count"),
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("stddev"),
+        F.min(c).alias("min"),
+        F.percentile(c, F.lit(0.25)).alias("p25"),
+        F.percentile(c, F.lit(0.5)).alias("p50"),
+        F.percentile(c, F.lit(0.75)).alias("p75"),
+        F.max(c).alias("max"),
+    )
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations: (col_a, col_b, corr)."""
+    spark = df.sparkSession
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.corr(F.col(a), F.col(b)).alias(f"{a}|{b}"))
+            names.append((a, b))
+    row = df.agg(*aggs).collect()[0]
+    return spark.createDataFrame(
+        [(a, b, float(row[f"{a}|{b}"])) for a, b in names],
+        "col_a string, col_b string, corr double",
+    )
+
+
+def covariance(df: DataFrame, a: str, b: str) -> DataFrame:
+    return df.agg(
+        F.covar_samp(F.col(a), F.col(b)).alias("cov"),
+        F.corr(F.col(a), F.col(b)).alias("corr"),
+    )
+
+
+def moving_avg(
+    df: DataFrame, value: str, order_by: str, window: int,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """`movingAvg(values, n)`: trailing-window mean over a sorted stream.
+
+    Row-frame window function — one shuffle on the partition key (or a
+    global sort when partition_by is None, matching Solr's sorted-stream
+    contract)."""
+    w = Window.orderBy(order_by).rowsBetween(-(window - 1), 0)
+    if partition_by:
+        w = Window.partitionBy(partition_by).orderBy(order_by).rowsBetween(
+            -(window - 1), 0
+        )
+    return df.withColumn("moving_avg", F.avg(F.col(value)).over(w))
+
+
+def zscores(df: DataFrame, value: str, partition_by: str | None = None) -> DataFrame:
+    """`zscores(values)`: (x - mean) / stddev, computed with an analytic
+    window (no second scan; partial aggregates broadcast by the window)."""
+    w = Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
+    mean = F.avg(F.col(value)).over(w)
+    sd = F.stddev_samp(F.col(value)).over(w)
+    return df.withColumn("zscore", (F.col(value) - mean) / sd)
+
+
+def percentiles(df: DataFrame, col: str, ps: Sequence[float]) -> DataFrame:
+    """Exact interpolated percentiles (Solr uses a t-digest sketch —
+    AVLTreeDigest(100) — so its values are approximate; exact is the
+    stronger contract and matches DuckDB's quantile_cont)."""
+    c = F.col(col)
+    return df.agg(
+        *[F.percentile(c, F.lit(p)).alias(f"p{int(p * 100)}") for p in ps]
+    )

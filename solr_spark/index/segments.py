@@ -75,30 +75,36 @@ def _invert_partition(
     docs_table: (ord, docid, dl, norm) sorted by docid (ord = rank).
     postings_table: one row per term, columns per _POSTINGS_COLS minus p/gen.
     """
+    from collections import Counter
+
     fn = ANALYZERS[analyzer]
     order = np.argsort(docids, kind="stable")
     docids = docids[order]
     texts = texts.iloc[order].reset_index(drop=True)
 
-    token_lists = texts.map(lambda s: fn(s) if s is not None else [])
-    # Flatten: per-token rows, then doc-local tf combine via groupby.
-    counts = token_lists.map(len).to_numpy(dtype=np.int64)
-    ords_rep = np.repeat(np.arange(len(docids), dtype=np.int64), counts)
-    flat_terms = np.concatenate(
-        [np.asarray(t, dtype=object) for t in token_lists] or
-        [np.empty(0, dtype=object)]
-    )
-    tok = pd.DataFrame({"term": flat_terms, "ord": ords_rep})
-    tf = tok.groupby(["term", "ord"], sort=True).size().rename("tf").reset_index()
-
+    # Invert doc-at-a-time into per-term (ord, tf) builders. Docs arrive in
+    # ord order, so each term's ord list is born sorted — no global
+    # object-dtype flatten/sort (a pandas groupby over the flattened token
+    # stream was the memory-bandwidth hot spot at high concurrency).
+    term_ords: dict[str, list[int]] = {}
+    term_tfs: dict[str, list[int]] = {}
     dl = np.zeros(len(docids), dtype=np.int64)
-    np.add.at(dl, ords_rep, 1)
+    for ord_, s in enumerate(texts):
+        counts = Counter(fn(s)) if s is not None else {}
+        dl[ord_] = sum(counts.values())
+        for t, c in counts.items():
+            if t in term_ords:
+                term_ords[t].append(ord_)
+                term_tfs[t].append(c)
+            else:
+                term_ords[t] = [ord_]
+                term_tfs[t] = [c]
     norms = norm_byte_array(dl)
 
     rows = []
-    for term, grp in tf.groupby("term", sort=True):
-        o = grp["ord"].to_numpy(dtype=np.int64)
-        t = grp["tf"].to_numpy(dtype=np.int64)
+    for term in sorted(term_ords):
+        o = np.asarray(term_ords[term], dtype=np.int64)
+        t = np.asarray(term_tfs[term], dtype=np.int64)
         enc = encode_postings(o, t, norms[o])
         rows.append(
             (

@@ -118,6 +118,20 @@ def select_stream(df: DataFrame, mapping: dict[str, Column | str]) -> DataFrame:
     return df.select(*cols)
 
 
+def hash_partition_filter(
+    df: DataFrame, keys: Sequence[str], workers: int, worker: int
+) -> DataFrame:
+    """`{!hash workers=N worker=i}` — keep rows whose key-hash lands on this
+    worker (search/HashQParserPlugin.java; the shuffle primitive under
+    `parallel(...)`). Uses the portable md5-derived hash so results are
+    engine-independent; in a pure-Spark pipeline `df.repartition(N, *keys)`
+    is the same data movement without materializing the filter."""
+    from solr_spark.functions.dedup import content_hash
+
+    h = content_hash(F.concat_ws("\x00", *[F.col(k).cast("string") for k in keys]))
+    return df.where(F.pmod(h, F.lit(workers)) == F.lit(worker))
+
+
 def timeseries_stream(
     df: DataFrame,
     ts_col: str,

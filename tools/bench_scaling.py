@@ -53,31 +53,54 @@ corpus = base.crossJoin(rep).select(
 )
 n_docs = n_base * repeat
 
-out = tempfile.mkdtemp(prefix=f"scale_{cpus}_") if False else f"/tmp/scale_idx_{cpus}"
+corpus = corpus.persist()
+corpus.count()  # materialize input (input generation is not the system under test)
+
+out = f"/tmp/scale_idx_{cpus}"
+from solr_spark.index.segments import build_segments, finalize_index
+
+# Warmup pass: spins up the Python worker pool + JIT (a long-lived cluster's
+# steady state). Untimed, then discarded.
 shutil.rmtree(out, ignore_errors=True)
+build_segments(corpus, out, n_partitions=64, analyzer="simple")
+shutil.rmtree(out, ignore_errors=True)
+
 t0 = time.perf_counter()
-stats = build_index_dir(corpus, out, n_partitions=64, analyzer="simple")
+manifests = build_segments(corpus, out, n_partitions=64, analyzer="simple")
 build_s = time.perf_counter() - t0
+assert int(manifests["n_docs"].sum()) == n_docs
+t0 = time.perf_counter()
+stats = finalize_index(spark, out, "simple")
+finalize_s = time.perf_counter() - t0
 assert stats["n_docs"] == n_docs, (stats["n_docs"], n_docs)
 
 queries = ["spark join data", "window batch order", "table", "customer query fast"]
-t0 = time.perf_counter()
+lat = []
+results_sig = []
 for q in queries:
-    wand_topk(spark, out, q, k=10).collect()
-query_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = wand_topk(spark, out, q, k=10).collect()
+    lat.append(time.perf_counter() - t0)
+    results_sig.append([(r.docid, round(r.score, 6)) for r in rows])
+lat_sorted = sorted(lat)
 shutil.rmtree(out, ignore_errors=True)
+import hashlib
+sig = hashlib.md5(json.dumps(results_sig).encode()).hexdigest()[:12]
 print(json.dumps({
     "cpus": cpus, "n_docs": n_docs, "build_s": round(build_s, 2),
     "docs_per_sec": round(n_docs / build_s, 1),
-    "query_total_s": round(query_s, 2),
-    "query_p_mean_s": round(query_s / len(queries), 3),
+    "finalize_s": round(finalize_s, 2),
+    "query_total_s": round(sum(lat), 2),
+    "query_p50_s": round(lat_sorted[len(lat)//2], 3),
+    "topk_signature": sig,
 }))
 """
 
 
 def run_level(cpus: int, repeat: int) -> dict:
     env = dict(os.environ)
-    env.update({"CPUS": str(cpus), "REPEAT": str(repeat), "REPO": os.path.abspath(".")})
+    env.update({"CPUS": str(cpus), "REPEAT": str(repeat), "REPO": os.path.abspath("."),
+                "SOLR_SPARK_DRIVER_MEM": env.get("SOLR_SPARK_DRIVER_MEM", "24g")})
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write("import tempfile\n" + _WORKER)
         path = f.name
@@ -109,6 +132,9 @@ def main() -> None:
         "build_speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "meets_0.8": eff >= 0.8,
+        "rank_identical_across_levels": len(
+            {r["topk_signature"] for r in results}
+        ) == 1,
     }
     with open("tools/scaling_result.json", "w") as f:
         json.dump(summary, f, indent=2)
