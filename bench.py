@@ -80,6 +80,25 @@ def main() -> None:
         CATALOG[name].fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Physical path: segment build + block-max WAND queries.
+    import shutil
+
+    from solr_spark.index.segments import build_index_dir
+    from solr_spark.query.wand import open_index
+
+    phys_dir = f"/tmp/solr_spark_bench_phys_{os.getpid()}"
+    shutil.rmtree(phys_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index_dir(docs, phys_dir, n_partitions=32, analyzer="simple",
+                    id_col="doc_id", text_col="text")
+    phys_build_sec = time.perf_counter() - t0
+    ix = open_index(spark, phys_dir)
+    for name, q in BM25_QUERIES:
+        t0 = time.perf_counter()
+        ix.topk(q, k=10).collect()
+        timings[f"wand_{name}"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(phys_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -92,6 +111,8 @@ def main() -> None:
                 "n_docs": n_docs,
                 "index_build_sec": round(build_sec, 3),
                 "index_docs_per_sec": round(n_docs / build_sec, 1),
+                "phys_index_build_sec": round(phys_build_sec, 3),
+                "phys_docs_per_sec": round(n_docs / phys_build_sec, 1),
             }
         )
     )

@@ -1716,6 +1716,169 @@ def zscores_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- joins / block join / spellcheck / atomic update / index-stat fns -------
+
+
+@register(
+    "join_filter_customers",
+    """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c_custkey
+""",
+)
+def join_filter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!join from=o_custkey to=c_custkey}o_totalprice:[400000 TO *]`."""
+    from solr_spark.operators.joins import join_filter
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return join_filter(c, o, "o_custkey", "c_custkey").select(
+        "c_custkey", "c_mktsegment"
+    ).orderBy("c_custkey")
+
+
+@register(
+    "score_join_max",
+    f"""
+WITH from_side AS (
+  SELECT o_custkey, o_totalprice / 100000.0 AS score
+  FROM orders WHERE o_orderstatus = 'O'),
+agg AS (
+  SELECT o_custkey AS c_custkey, max(score) AS score
+  FROM from_side GROUP BY o_custkey)
+SELECT c.c_custkey, {_sql_scaled('a.score')} AS score_x10k
+FROM customer c JOIN agg a USING (c_custkey)
+ORDER BY score_x10k DESC, c_custkey ASC LIMIT 20
+""",
+)
+def score_join_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScoreJoin score=max: customers scored by their best open order."""
+    from solr_spark.operators.joins import score_join
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O").select(
+        "o_custkey", (F.col("o_totalprice") / 100000.0).alias("score")
+    )
+    out = score_join(c, o, "o_custkey", "c_custkey", mode="max")
+    return (
+        out.select("c_custkey", scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "block_join_parent",
+    """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49 AND l_discount > 0.09)
+ORDER BY o_orderkey LIMIT 50
+""",
+)
+def block_join_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!parent}`: orders (parents) having a qualifying lineitem child."""
+    from solr_spark.operators.joins import parent_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    out = parent_join(
+        o, li, "o_orderkey",
+        (F.col("l_quantity") >= 49) & (F.col("l_discount") > 0.09),
+    )
+    return out.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").limit(50)
+
+
+@register(
+    "atomic_update_merge",
+    """
+WITH upd AS (
+  SELECT doc_id, 'merged' AS new_source, 10 AS add_chars
+  FROM documents WHERE doc_id % 50 = 0)
+SELECT d.doc_id,
+       coalesce(u.new_source, d.source) AS source,
+       d.n_chars + coalesce(u.add_chars, 0) AS n_chars
+FROM documents d LEFT JOIN upd u USING (doc_id)
+ORDER BY d.doc_id LIMIT 100
+""",
+)
+def atomic_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic update: set `source`, inc `n_chars` for every 50th doc."""
+    from solr_spark.operators.joins import atomic_update
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    upd = (
+        d.where(F.col("doc_id") % 50 == 0)
+        .select("doc_id", F.lit("merged").alias("source"),
+                F.lit(10).alias("n_chars"))
+    )
+    out = atomic_update(d, upd, "doc_id", set_cols=["source"], inc_cols=["n_chars"])
+    return out.orderBy("doc_id").limit(100)
+
+
+@register(
+    "spellcheck_candidates",
+    f"""
+WITH {TOKS}, {TF},
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT term, df, levenshtein(term, 'tabel') AS dist
+FROM dict
+WHERE term LIKE 't%' AND levenshtein(term, 'tabel') <= 2 AND term <> 'tabel'
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+""",
+)
+def spellcheck_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectSpellChecker: corrections for the misspelling 'tabel'."""
+    from solr_spark.query.spellcheck import spellcheck
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    return spellcheck(idx, "tabel", max_edits=2, count=5)
+
+
+@register(
+    "index_stat_functions",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+dict AS (SELECT term, count(*) AS df, sum(tf)::BIGINT AS ttf FROM tf GROUP BY term)
+SELECT t.doc_id,
+       t.tf AS termfreq,
+       d.df AS docfreq,
+       d.ttf AS totaltermfreq,
+       {NDOCS} AS numdocs,
+       dl.dl AS norm_len,
+       {_sql_scaled(f'ln(1 + ({NDOCS} - d.df + 0.5) / (d.df + 0.5))')} AS idf_x10k
+FROM tf t JOIN dict d USING (term) JOIN dl USING (doc_id)
+WHERE t.term = 'spark' AND t.doc_id < 100
+ORDER BY t.doc_id
+""",
+)
+def index_stat_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function queries termfreq/docfreq/totaltermfreq/numdocs/norm/idf
+    (ValueSourceParser registry, SURVEY §2.8) as joins against the index
+    tables — per-doc index statistics exposed as columns."""
+    import math
+
+    idx, n, _ = documents_index(spark, sf_dir)
+    stats = idx.term_stats().where(F.col("term") == "spark")
+    out = (
+        idx.postings.where((F.col("term") == "spark") & (F.col("docid") < 100))
+        .join(stats, "term")
+        .join(idx.doclens, "docid")
+    )
+    return out.select(
+        F.col("docid").alias("doc_id"),
+        F.col("tf").cast("long").alias("termfreq"),
+        F.col("df").alias("docfreq"),
+        F.col("ttf").alias("totaltermfreq"),
+        F.lit(n).cast("long").alias("numdocs"),
+        F.col("dl").cast("long").alias("norm_len"),
+        scaled(
+            F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        ).alias("idf_x10k"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

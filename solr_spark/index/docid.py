@@ -25,3 +25,21 @@ def docid_col(*key_cols: str | Column) -> Column:
 def with_docid(df: DataFrame, key_cols: tuple[str, ...] = ("repo", "path", "commit"),
                out: str = "docid") -> DataFrame:
     return df.withColumn(out, docid_col(*key_cols))
+
+
+def docid_long_col(*key_cols: str | Column) -> Column:
+    """Content-derived int64 docid: first 15 hex chars of the sha256 (60
+    bits, always positive). The physical segment layer keys docs by int64;
+    like the hex form, it is stable across partitioning/parallelism."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    return F.conv(
+        F.substring(F.sha2(F.concat_ws("\x00", *cols), 256), 1, 15), 16, 10
+    ).cast("long")
+
+
+def with_docid_long(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    out: str = "docid",
+) -> DataFrame:
+    return df.withColumn(out, docid_long_col(*key_cols))

@@ -57,7 +57,7 @@ MANIFEST_SCHEMA = (
 )
 
 _POSTINGS_COLS = [
-    "p", "gen", "term", "df", "ttf", "gaps", "tfs",
+    "p", "gen", "term", "df", "ttf", "gaps", "tfs", "norms",
     "block_first_ord", "block_last_ord", "block_gap_off", "block_tf_off",
     "block_max_tf", "block_min_norm",
 ]
@@ -105,10 +105,15 @@ def _invert_partition(
     for term in sorted(term_ords):
         o = np.asarray(term_ords[term], dtype=np.int64)
         t = np.asarray(term_tfs[term], dtype=np.int64)
-        enc = encode_postings(o, t, norms[o])
+        pn = norms[o]
+        enc = encode_postings(o, t, pn)
+        # The norm byte rides WITH the postings (1 byte per posting, like
+        # Lucene's impact pairs): scoring then never touches the doc table —
+        # the doc table is consulted only to map the winning top-k ords back
+        # to docids via a filtered read.
         rows.append(
             (
-                term, enc.df, enc.ttf, enc.gaps, enc.tfs,
+                term, enc.df, enc.ttf, enc.gaps, enc.tfs, pn.tobytes(),
                 enc.block_first_ord.tolist(), enc.block_last_ord.tolist(),
                 enc.block_gap_off.tolist(), enc.block_tf_off.tolist(),
                 enc.block_max_tf.tolist(),
@@ -137,6 +142,9 @@ def _write_segment(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # Executor-side: one pyarrow thread per task (Spark supplies the
+    # parallelism; a per-process all-cores arrow pool oversubscribes).
+    pa.set_cpu_count(1)
     final = _seg_dir(index_dir, p, gen)
     tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
     os.makedirs(tmp, exist_ok=True)
@@ -148,8 +156,11 @@ def _write_segment(
     docs.insert(0, "p", np.int32(p))
     pq.write_table(pa.Table.from_pandas(postings, preserve_index=False),
                    os.path.join(tmp, "postings.parquet"))
+    # Small row groups on the doc table: queries read it only to map top-k
+    # ords -> docids with a row-group-pruned filtered read, so row-group
+    # granularity IS the read granularity.
     pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
-                   os.path.join(tmp, "docs.parquet"))
+                   os.path.join(tmp, "docs.parquet"), row_group_size=16384)
     manifest = {
         "p": p,
         "gen": gen,
@@ -191,6 +202,28 @@ def _manifest_row(m: dict, skipped: bool) -> pd.DataFrame:
     )
 
 
+def partition_col(id_col: str = "docid", n_partitions: int = 32):
+    """The segment-partition assignment (= Iceberg bucket(docid) layout)."""
+    return F.pmod(F.xxhash64(id_col), F.lit(n_partitions)).cast("int")
+
+
+def _build_one(index_dir: str, generation: int, analyzer: str,
+               p: int, pdf: pd.DataFrame) -> pd.DataFrame:
+    final = _seg_dir(index_dir, p, generation)
+    mpath = os.path.join(final, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return _manifest_row(json.load(f), skipped=True)
+    t0 = time.time()
+    docids = pdf["docid"].to_numpy(dtype=np.int64)
+    checksum = int(np.bitwise_xor.reduce(docids.astype(np.uint64)) or 0)
+    docs, postings = _invert_partition(docids, pdf["text"], analyzer)
+    m = _write_segment(
+        index_dir, p, generation, docs, postings, checksum, time.time() - t0
+    )
+    return _manifest_row(m, skipped=False)
+
+
 def build_segments(
     corpus: DataFrame,
     index_dir: str,
@@ -199,31 +232,42 @@ def build_segments(
     generation: int = 0,
     id_col: str = "docid",
     text_col: str = "content",
+    assume_partitioned: bool = False,
 ) -> pd.DataFrame:
     """Build one generation of segments from ``corpus`` (docid must be int64).
 
     Returns the manifest table (one row per partition; ``skipped=True`` rows
     were already committed by a previous run — the resume path).
+
+    ``assume_partitioned=True`` is the bucketed-input fast path: when the
+    corpus is already laid out by ``partition_col`` (an Iceberg table
+    bucketed by docid hash, or a caller-side ``repartition(n, "p")``), the
+    build runs as mapInPandas with ZERO shuffle — each task groups its
+    co-located rows by p locally. The default path shuffles once on p.
     """
+    if assume_partitioned:
+        df = corpus.select(
+            F.col(id_col).cast("long").alias("docid"),
+            F.col(text_col).alias("text"),
+            F.col("p").cast("int").alias("p"),
+        )
+
+        def writer_local(batches):
+            parts = list(batches)
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            for p, grp in pdf.groupby("p", sort=True):
+                yield _build_one(index_dir, generation, analyzer, int(p), grp)
+
+        return df.mapInPandas(writer_local, MANIFEST_SCHEMA).toPandas()
+
     df = corpus.select(
         F.col(id_col).cast("long").alias("docid"), F.col(text_col).alias("text")
-    ).withColumn("p", F.pmod(F.xxhash64("docid"), F.lit(n_partitions)).cast("int"))
+    ).withColumn("p", partition_col("docid", n_partitions))
 
     def writer(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        p = int(key[0])
-        final = _seg_dir(index_dir, p, generation)
-        mpath = os.path.join(final, "manifest.json")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                return _manifest_row(json.load(f), skipped=True)
-        t0 = time.time()
-        docids = pdf["docid"].to_numpy(dtype=np.int64)
-        checksum = int(np.bitwise_xor.reduce(docids.astype(np.uint64)) or 0)
-        docs, postings = _invert_partition(docids, pdf["text"], analyzer)
-        m = _write_segment(
-            index_dir, p, generation, docs, postings, checksum, time.time() - t0
-        )
-        return _manifest_row(m, skipped=False)
+        return _build_one(index_dir, generation, analyzer, int(key[0]), pdf)
 
     manifests = (
         df.groupBy("p").applyInPandas(writer, MANIFEST_SCHEMA).toPandas()
@@ -318,8 +362,10 @@ def merge_index(
     ps = [int(os.path.basename(d).split("=")[1]) for d in pdirs]
 
     def merge_one(pdf_iter: Iterable[pd.DataFrame]):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        pa.set_cpu_count(1)
         for pdf in pdf_iter:
             for p in pdf["p"]:
                 p = int(p)
@@ -366,10 +412,11 @@ def merge_index(
                     t = np.concatenate(ts_)
                     so = np.argsort(o, kind="stable")
                     o, t = o[so], t[so]
-                    enc = encode_postings(o, t, norms[o])
+                    pn = norms[o]
+                    enc = encode_postings(o, t, pn)
                     rows.append(
                         (
-                            term, enc.df, enc.ttf, enc.gaps, enc.tfs,
+                            term, enc.df, enc.ttf, enc.gaps, enc.tfs, pn.tobytes(),
                             enc.block_first_ord.tolist(), enc.block_last_ord.tolist(),
                             enc.block_gap_off.tolist(), enc.block_tf_off.tolist(),
                             enc.block_max_tf.tolist(),

@@ -111,6 +111,19 @@ def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
         pending_occur = "should"
         prev_op = None
 
+        def _term_clause(raw: str) -> Clause:
+            # fuzzy: term~ (maxEdits default 2, QueryParser.jj:139-141) or
+            # term~N; prefix: term*
+            m_f = re.fullmatch(r"(.+?)~(\d?)", raw)
+            if m_f:
+                return Clause(
+                    kind="fuzzy", occur=occur, text=m_f.group(1),
+                    lo=m_f.group(2) or "2",
+                )
+            if raw.endswith("*") and len(raw) > 1:
+                return Clause(kind="prefix", occur=occur, text=raw.rstrip("*"))
+            return Clause(kind="term", occur=occur, text=raw)
+
         if m.group("phrase") is not None:
             clauses.append(
                 Clause(kind="phrase", occur=occur, text=m.group("phrase_body"))
@@ -130,18 +143,13 @@ def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
         elif m.group("fielded") is not None:
             f_name, f_val = m.group("ffield"), m.group("fval")
             if f_name == default_field:
-                kind = "prefix" if f_val.endswith("*") else "term"
-                clauses.append(
-                    Clause(kind=kind, occur=occur, text=f_val.rstrip("*"))
-                )
+                clauses.append(_term_clause(f_val))
             else:
                 clauses.append(
                     Clause(kind="filter_eq", occur=occur, field=f_name, text=f_val)
                 )
         elif m.group("term") is not None:
-            t = m.group("term")
-            kind = "prefix" if t.endswith("*") and len(t) > 1 else "term"
-            clauses.append(Clause(kind=kind, occur=occur, text=t.rstrip("*")))
+            clauses.append(_term_clause(m.group("term")))
     return ParsedQuery(clauses=clauses)
 
 
@@ -215,6 +223,31 @@ def search(
                 for t in terms:
                     gid += 1
                     weights.append((t, c.boost, "should", gid))
+        elif c.kind == "fuzzy":
+            # FuzzyQuery: expand against the dictionary within maxEdits and
+            # score each expanded term with BM25. Divergences from Lucene
+            # (documented): plain Levenshtein (Lucene defaults to Damerau,
+            # transpositions=1) and no edit-distance score damping.
+            base = analyze(c.text, index.analyzer)
+            base_t = base[0] if base else c.text.lower()
+            matched = [
+                r["term"]
+                for r in tstats.where(
+                    F.levenshtein(F.col("term"), F.lit(base_t)) <= int(c.lo)
+                ).select("term").collect()
+            ]
+            if not matched:
+                if c.occur == "must":
+                    return empty
+                continue
+            if c.occur == "must_not":
+                neg_terms.extend(matched)
+                continue
+            gid += 1
+            if c.occur == "must":
+                must_groups += 1
+            for t in matched:
+                weights.append((t, c.boost, c.occur, gid))
         elif c.kind == "prefix":
             pref = analyze(c.text, index.analyzer)
             pref_txt = pref[0] if pref else c.text.lower()

@@ -25,22 +25,26 @@ machinery itself is Lucene's, rebuilt here from the published algorithm
    (TakeOrderedAndProject — Spark's built-in two-phase top-k, the analogue
    of Solr's PURPOSE_GET_TOP_IDS merge, QueryComponent.java:833-1040).
 
-Scores use the SmallFloat-QUANTIZED doc length (Lucene parity; the norm byte
-ships inside the docs table). Rank-identity across partition counts holds
-because scoring is per-doc exact and the tiebreak (score desc, docid asc) is
-total.
+Scores use the SmallFloat-QUANTIZED doc length (Lucene parity). The norm
+byte travels INSIDE the posting list (1 byte per posting, like Lucene's
+impact data), so scoring touches ONLY the query terms' postings rows —
+never the doc table. The doc table is read once per partition at the very
+end, with an ord-IN filtered, row-group-pruned parquet read, purely to map
+the winning top-k ordinals back to docids: per-query IO is O(query postings
++ k), not O(corpus).
+
+Rank-identity across partition counts holds because scoring is per-doc
+exact and the tiebreak (score desc, docid asc) is total.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterable
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from solr_spark.index.codec import decode_blocks
+from solr_spark.index.codec import BLOCK_SIZE, decode_blocks, decode_postings
 from solr_spark.index.norms import DECODE_TABLE
 from solr_spark.query.bm25 import idf
 
@@ -49,27 +53,49 @@ def _contrib(tf, dl, k1: float, b: float, avgdl: float):
     return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def _decode_all(r) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    o, t = decode_postings(r["gaps"], r["tfs"])
+    norms = np.frombuffer(r["norms"], dtype=np.uint8)
+    return o, t, norms
+
+
+def _lookup_docids(
+    index_dir: str, p: int, gen: int, ords: np.ndarray
+) -> np.ndarray:
+    """Map segment-local ordinals to docids via a filtered parquet read
+    (row-group pruned; the doc table is written with small row groups)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # Executor-side: parallelism comes from Spark tasks; pyarrow's own
+    # thread pool (defaults to ALL machine cores, PER task process) would
+    # oversubscribe the box n_tasks × n_cores-fold.
+    pa.set_cpu_count(1)
+    path = f"{index_dir}/seg/p={p:05d}/gen={gen}/docs.parquet"
+    tbl = pq.read_table(
+        path,
+        columns=["ord", "docid"],
+        filters=[("ord", "in", [int(o) for o in ords])],
+        use_threads=False,
+    )
+    m = dict(zip(tbl["ord"].to_pylist(), tbl["docid"].to_pylist()))
+    return np.array([m[int(o)] for o in ords], dtype=np.int64)
+
+
 def _score_partition(
     postings: pd.DataFrame,
-    docs: pd.DataFrame,
     weights: dict[str, float],
     k: int,
     k1: float,
     b: float,
     avgdl: float,
     use_wand: bool,
+    index_dir: str,
+    p: int,
 ) -> pd.DataFrame:
     out_docids: list[np.ndarray] = []
     out_scores: list[np.ndarray] = []
-    for gen, dgrp in docs.groupby("gen", sort=True):
-        dgrp = dgrp.sort_values("ord")
-        norms = dgrp["norm"].to_numpy(dtype=np.int64)
-        docids = dgrp["docid"].to_numpy(dtype=np.int64)
-        dlq = DECODE_TABLE[norms].astype(np.float64)
-        pg = postings[postings["gen"] == gen]
-        if pg.empty:
-            continue
-
+    for gen, pg in postings.groupby("gen", sort=True):
         rows = []
         for _, r in pg.iterrows():
             w = weights[r["term"]]
@@ -85,14 +111,17 @@ def _score_partition(
             seed_i = None
 
         theta = -np.inf
-        decoded: list[tuple[np.ndarray, np.ndarray, float]] = []
+        decoded: list[tuple[np.ndarray, np.ndarray, np.ndarray, float]] = []
         if seed_i is not None:
             r, w, _, _ = rows[seed_i]
-            o, t = _decode_all(r)
-            s = w * _contrib(t.astype(np.float64), dlq[o], k1, b, avgdl)
+            o, t, nrm = _decode_all(r)
+            s = w * _contrib(
+                t.astype(np.float64), DECODE_TABLE[nrm].astype(np.float64),
+                k1, b, avgdl,
+            )
             if s.size >= k:
                 theta = float(np.partition(s, -k)[-k])
-            decoded.append((o, t, w))
+            decoded.append((o, t, nrm, w))
             gmax_sum = sum(x[3] for i, x in enumerate(rows) if i != seed_i)
 
         for i, (r, w, ub, _) in enumerate(rows):
@@ -106,27 +135,43 @@ def _score_partition(
             if keep.size == 0:
                 continue
             if keep.size == ub.size:
-                o, t = _decode_all(r)
+                o, t, nrm = _decode_all(r)
             else:
+                df_ = int(r["df"])
                 o, t = decode_blocks(
                     r["gaps"], r["tfs"], keep,
                     np.asarray(r["block_first_ord"], dtype=np.int64),
                     np.asarray(r["block_gap_off"], dtype=np.int64),
                     np.asarray(r["block_tf_off"], dtype=np.int64),
-                    int(r["df"]),
+                    df_,
                 )
-            decoded.append((o, t, w))
+                all_norms = np.frombuffer(r["norms"], dtype=np.uint8)
+                nrm = np.concatenate(
+                    [
+                        all_norms[bi * BLOCK_SIZE : min((bi + 1) * BLOCK_SIZE, df_)]
+                        for bi in keep
+                    ]
+                )
+            decoded.append((o, t, nrm, w))
 
-        acc = np.zeros(len(dgrp), dtype=np.float64)
-        for o, t, w in decoded:
-            np.add.at(acc, o, w * _contrib(t.astype(np.float64), dlq[o], k1, b, avgdl))
+        if not decoded:
+            continue
+        size = int(max(o.max() for o, _, _, _ in decoded if o.size)) + 1
+        acc = np.zeros(size, dtype=np.float64)
+        for o, t, nrm, w in decoded:
+            acc_contrib = w * _contrib(
+                t.astype(np.float64), DECODE_TABLE[nrm].astype(np.float64),
+                k1, b, avgdl,
+            )
+            np.add.at(acc, o, acc_contrib)
         nz = np.flatnonzero(acc > 0)
         if nz.size > k:
             top = nz[np.argpartition(acc[nz], -k)[-k:]]
         else:
             top = nz
-        out_docids.append(docids[top])
-        out_scores.append(acc[top])
+        if top.size:
+            out_docids.append(_lookup_docids(index_dir, p, int(gen), top))
+            out_scores.append(acc[top])
 
     if not out_docids:
         return pd.DataFrame({"docid": pd.Series(dtype="int64"),
@@ -134,12 +179,6 @@ def _score_partition(
     return pd.DataFrame(
         {"docid": np.concatenate(out_docids), "score": np.concatenate(out_scores)}
     )
-
-
-def _decode_all(r) -> tuple[np.ndarray, np.ndarray]:
-    from solr_spark.index.codec import decode_postings
-
-    return decode_postings(r["gaps"], r["tfs"])
 
 
 class PhysicalIndex:
@@ -160,7 +199,7 @@ class PhysicalIndex:
         self._postings = spark.read.parquet(
             f"{index_dir}/seg/*/*/postings.parquet"
         ).select(
-            "p", "gen", "term", "df", "gaps", "tfs",
+            "p", "gen", "term", "df", "gaps", "tfs", "norms",
             "block_first_ord", "block_gap_off", "block_tf_off",
             "block_max_tf", "block_min_norm",
         )
@@ -194,24 +233,9 @@ class PhysicalIndex:
         index_dir = self.index_dir
 
         def score(key, pdf_postings: pd.DataFrame) -> pd.DataFrame:
-            # The segment's doc table (ord -> docid, norm) is side-read
-            # directly from shared storage — the Lucene "open the segment's
-            # norms" move. Only the (tiny) query-term postings rows travel
-            # through the shuffle; the doc tables never do.
-            import glob as _glob
-
-            import pyarrow.parquet as pq
-
-            p = int(key[0])
-            parts = [
-                pq.read_table(f, columns=["gen", "ord", "docid", "norm"]).to_pandas()
-                for f in sorted(
-                    _glob.glob(f"{index_dir}/seg/p={p:05d}/gen=*/docs.parquet")
-                )
-            ]
-            docs = pd.concat(parts, ignore_index=True)
             return _score_partition(
-                pdf_postings, docs, weights, k, k1, b, avgdl, use_wand
+                pdf_postings, weights, k, k1, b, avgdl, use_wand,
+                index_dir, int(key[0]),
             )
 
         scored = postings.groupBy("p").applyInPandas(score, "docid long, score double")

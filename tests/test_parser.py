@@ -100,6 +100,19 @@ def test_boost_reweights(idx, term_docs):
     assert all(r.docid in term_docs("spark") for r in rows)
 
 
+def test_fuzzy_expansion(idx, term_docs):
+    p = parse_query("tabel~1")
+    assert p.clauses[0].kind == "fuzzy"
+    assert p.clauses[0].lo == "1"
+    # plain Levenshtein: the 'le'<->'el' transposition costs 2 edits
+    # (Lucene's FuzzyQuery defaults to Damerau — transpositions=1 — a
+    # documented divergence; see parser.py).
+    got = {r.docid for r in search(idx, "tabel~2", k=1000).collect()}
+    assert term_docs("table") <= got
+    # default maxEdits is 2
+    assert parse_query("tabel~").clauses[0].lo == "2"
+
+
 def test_absent_must_term_empty(idx):
     assert search(idx, "+zzznotaterm spark", k=10).count() == 0
     assert search(idx, "", k=10).count() == 0

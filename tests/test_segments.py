@@ -100,3 +100,26 @@ def test_merge_generations(spark, docs, idx_dir, tmp_path_factory):
     assert stats["generations"] == [0]
     assert _rows(wand_topk(spark, merged, "spark join data", k=10)) == want
     shutil.rmtree(gen_dir, ignore_errors=True)
+
+
+def test_bucketed_build_equivalent(spark, docs, idx_dir, tmp_path_factory):
+    """The zero-shuffle bucketed-input path must produce an index that
+    answers identically to the shuffled default path."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.index.segments import partition_col
+
+    d2 = str(tmp_path_factory.mktemp("idx") / "bucketed")
+    bucketed = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.col("text").alias("content"),
+        )
+        .withColumn("p", partition_col("docid", 8))
+        .repartition(8, "p")
+    )
+    m = build_segments(bucketed, d2, 8, "simple", assume_partitioned=True)
+    assert m["n_docs"].sum() == 500
+    finalize_index(spark, d2, "simple")
+    want = _rows(wand_topk(spark, idx_dir, "spark join data", k=10))
+    assert _rows(wand_topk(spark, d2, "spark join data", k=10)) == want

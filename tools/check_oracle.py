@@ -65,19 +65,19 @@ def main() -> int:
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {exc}")
+            print(f"FAIL {name}: spark error: {exc}", flush=True)
             failures.append(name)
             continue
         if name not in oracles:
             print(f"okR  {name}: rows-only, {len(srows)} rows "
-                  f"({time.time() - t0:.1f}s)")
+                  f"({time.time() - t0:.1f}s)", flush=True)
             continue
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {exc}")
+            print(f"FAIL {name}: duckdb error: {exc}", flush=True)
             failures.append(name)
             continue
         problems = []
@@ -91,10 +91,10 @@ def main() -> int:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
-            print(f"FAIL {name}: " + "; ".join(problems))
+            print(f"FAIL {name}: " + "; ".join(problems), flush=True)
             failures.append(name)
         else:
-            print(f"ok   {name}: {len(srows)} rows ({time.time() - t0:.1f}s)")
+            print(f"ok   {name}: {len(srows)} rows ({time.time() - t0:.1f}s)", flush=True)
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
