@@ -646,7 +646,10 @@ def significant_terms_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("fg_df"))
     )
-    alldf = idx.postings.groupBy("term").agg(F.count("*").alias("df"))
+    # Background df comes from the persisted global term_stats — NOT a fresh
+    # aggregation over all postings (which would add a full-postings scan
+    # per call, linear in corpus size).
+    alldf = idx.term_stats().select("term", "df")
     return (
         fgdf.join(alldf, "term")
         .where(F.col("fg_df") >= 3)

@@ -180,12 +180,28 @@ def _write_segment(
     try:
         os.rename(tmp, final)
     except OSError:
-        # Concurrent attempt won the rename; trust its manifest.
+        # A concurrent attempt won the rename. Legitimate only when both
+        # attempts indexed the SAME rows (speculative re-execution of one
+        # task); if the winner saw a different row set, the precondition
+        # (each p fully co-located in one task) was violated and adopting
+        # the winner would silently drop our rows.
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
         with open(os.path.join(final, "manifest.json")) as f:
-            manifest = json.load(f)
+            winner = json.load(f)
+        if (
+            winner["n_docs"] != manifest["n_docs"]
+            or winner["docid_checksum"] != manifest["docid_checksum"]
+        ):
+            raise RuntimeError(
+                f"segment p={p} gen={gen}: concurrent build committed a "
+                f"DIFFERENT row set (n_docs {winner['n_docs']} vs "
+                f"{manifest['n_docs']}, checksum mismatch) — rows for this "
+                "partition are not co-located; rebuild without "
+                "assume_partitioned or fix the input layout"
+            )
+        manifest = winner
     return manifest
 
 
@@ -211,12 +227,26 @@ def _build_one(index_dir: str, generation: int, analyzer: str,
                p: int, pdf: pd.DataFrame) -> pd.DataFrame:
     final = _seg_dir(index_dir, p, generation)
     mpath = os.path.join(final, "manifest.json")
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            return _manifest_row(json.load(f), skipped=True)
-    t0 = time.time()
     docids = pdf["docid"].to_numpy(dtype=np.int64)
     checksum = int(np.bitwise_xor.reduce(docids.astype(np.uint64)) or 0)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            m = json.load(f)
+        # Resume is only valid if the committed segment covers EXACTLY the
+        # rows this task holds — a cheap lineage check (no re-analysis) that
+        # also catches an assume_partitioned layout violation, where two
+        # tasks each hold part of p and the second would otherwise silently
+        # drop its rows.
+        if m["n_docs"] != len(docids) or m["docid_checksum"] != checksum:
+            raise RuntimeError(
+                f"segment p={p} gen={generation}: committed manifest covers "
+                f"{m['n_docs']} docs (checksum {m['docid_checksum']}) but "
+                f"this task holds {len(docids)} (checksum {checksum}) — "
+                "input changed since the checkpoint, or rows for this "
+                "partition are not co-located (assume_partitioned violated)"
+            )
+        return _manifest_row(m, skipped=True)
+    t0 = time.time()
     docs, postings = _invert_partition(docids, pdf["text"], analyzer)
     m = _write_segment(
         index_dir, p, generation, docs, postings, checksum, time.time() - t0

@@ -113,12 +113,14 @@ def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
 
         def _term_clause(raw: str) -> Clause:
             # fuzzy: term~ (maxEdits default 2, QueryParser.jj:139-141) or
-            # term~N; prefix: term*
-            m_f = re.fullmatch(r"(.+?)~(\d?)", raw)
+            # term~N; N is clamped to Lucene's maximum supported edit
+            # distance of 2 (LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE).
+            # prefix: term*
+            m_f = re.fullmatch(r"(.+?)~(\d*)", raw)
             if m_f:
+                edits = min(int(m_f.group(2) or 2), 2)
                 return Clause(
-                    kind="fuzzy", occur=occur, text=m_f.group(1),
-                    lo=m_f.group(2) or "2",
+                    kind="fuzzy", occur=occur, text=m_f.group(1), lo=str(edits),
                 )
             if raw.endswith("*") and len(raw) > 1:
                 return Clause(kind="prefix", occur=occur, text=raw.rstrip("*"))
@@ -197,7 +199,7 @@ def search(
 
     # Partition clauses.
     weights: list[tuple[str, float, str, int]] = []  # (term, w, occur, group)
-    const_score: list[tuple[str, float, int]] = []  # prefix-expanded
+    const_score: list[tuple[str, float, int, str]] = []  # (term, boost, gid, occur)
     filter_preds: list[Column] = []
     neg_terms: list[str] = []
     must_groups = 0
@@ -257,13 +259,20 @@ def search(
                 .select("term")
                 .collect()
             ]
+            if c.occur == "must_not":
+                # Excluded expansions must NOT also accumulate as positive
+                # scoring rows (would waste a scan; the anti-join masks it).
+                neg_terms.extend(matched)
+                continue
+            if not matched:
+                if c.occur == "must":
+                    return empty  # +prefix* with zero dictionary expansions
+                continue
             gid += 1
             if c.occur == "must":
                 must_groups += 1
             for t in matched:
-                const_score.append((t, c.boost, gid))
-            if c.occur == "must_not":
-                neg_terms.extend(matched)
+                const_score.append((t, c.boost, gid, c.occur))
         elif c.kind == "filter_eq":
             pred = F.col(c.field) == F.lit(c.text)
             filter_preds.append(~pred if c.occur == "must_not" else pred)
@@ -271,7 +280,7 @@ def search(
             pred = _range_pred(c, index.docs)
             filter_preds.append(~pred if c.occur == "must_not" else pred)
 
-    score_terms = {t for t, _, _, _ in weights} | {t for t, _, _ in const_score}
+    score_terms = {t for t, _, _, _ in weights} | {t for t, _, _, _ in const_score}
     if not score_terms and not filter_preds:
         return empty
 
@@ -286,12 +295,16 @@ def search(
                 rows.append((t, boost * idf(n_docs, stats[t]), 0, g))
             elif occur == "must":
                 return empty  # a required term absent from the corpus
-        for t, boost, g in const_score:
+        for t, boost, g, _o in const_score:
             if t in stats:
                 rows.append((t, boost, 1, g))
         if not rows and not filter_preds:
             return empty
+        # A required group is satisfied when ANY of its expansions match, so
+        # must-ness is enforced at the gid level — and must PREFIX/FUZZY gids
+        # count too (a +foo* clause must constrain the result set).
         must_gids = {g for t, _, o, g in weights if o == "must" and t in stats}
+        must_gids |= {g for t, _, g, o in const_score if o == "must" and t in stats}
         if rows:
             wdf = F.broadcast(
                 spark.createDataFrame(rows, ["term", "w", "const", "gid"])

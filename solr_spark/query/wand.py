@@ -166,7 +166,12 @@ def _score_partition(
             np.add.at(acc, o, acc_contrib)
         nz = np.flatnonzero(acc > 0)
         if nz.size > k:
-            top = nz[np.argpartition(acc[nz], -k)[-k:]]
+            # Keep EVERY doc tied with the k-th best score (argpartition alone
+            # picks an arbitrary subset of boundary ties, which could drop a
+            # tied doc with a smaller docid before the global
+            # (score desc, docid asc) merge — breaking rank-identity).
+            kth = np.partition(acc[nz], -k)[-k]
+            top = nz[acc[nz] >= kth]
         else:
             top = nz
         if top.size:
@@ -190,11 +195,18 @@ class PhysicalIndex:
     per-query work is just a filtered scan + one applyInPandas stage.
     """
 
+    # Driver-side per-term df cache cap. Query workloads touch a tiny,
+    # heavily-reused slice of the dictionary; the cap bounds driver memory
+    # INDEPENDENT of dictionary size (a 100 TB corpus has 10^8-10^9 terms —
+    # collecting the dictionary on open would OOM the driver).
+    TERM_CACHE_MAX = 262_144
+
     def __init__(self, spark: SparkSession, index_dir: str):
         from solr_spark.index.segments import read_corpus_stats
 
         self.spark = spark
         self.index_dir = index_dir
+        self.commit_token = _commit_token(index_dir)
         self.stats = read_corpus_stats(index_dir)
         self._postings = spark.read.parquet(
             f"{index_dir}/seg/*/*/postings.parquet"
@@ -203,13 +215,33 @@ class PhysicalIndex:
             "block_first_ord", "block_gap_off", "block_tf_off",
             "block_max_tf", "block_min_norm",
         )
-        # Term stats are small (one row per distinct term); broadcast-size
-        # caching driver-side makes per-query weight lookup a local dict hit.
-        self._term_df = {
-            r["term"]: r["df"]
-            for r in spark.read.parquet(f"{index_dir}/term_stats.parquet")
-            .select("term", "df")
-            .collect()
+        self._term_stats = spark.read.parquet(
+            f"{index_dir}/term_stats.parquet"
+        ).select("term", "df")
+        # term -> global df, or None for a term known absent from the corpus
+        # (negative caching avoids re-scanning for repeated OOV query terms).
+        # Insertion-ordered dict doubles as the LRU eviction order.
+        self._term_df_cache: dict[str, int | None] = {}
+
+    def _df_for_terms(self, terms: list[str]) -> dict[str, int]:
+        """Global df for ``terms`` via a term-IN filtered (row-group pruned)
+        read of term_stats — never a full dictionary collect."""
+        missing = [t for t in terms if t not in self._term_df_cache]
+        if missing:
+            found = {
+                r["term"]: r["df"]
+                for r in self._term_stats.where(
+                    F.col("term").isin(missing)
+                ).collect()
+            }
+            for t in missing:
+                self._term_df_cache[t] = found.get(t)
+            while len(self._term_df_cache) > self.TERM_CACHE_MAX:
+                self._term_df_cache.pop(next(iter(self._term_df_cache)))
+        return {
+            t: self._term_df_cache[t]
+            for t in terms
+            if self._term_df_cache.get(t) is not None
         }
 
     def topk(
@@ -225,14 +257,15 @@ class PhysicalIndex:
             else sorted(set(query))
         )
         empty = self.spark.createDataFrame([], "docid long, score double")
-        weights = {t: idf(n, self._term_df[t]) for t in terms if t in self._term_df}
+        dfs = self._df_for_terms(terms)
+        weights = {t: idf(n, df_) for t, df_ in dfs.items()}
         if not weights or n == 0:
             return empty
 
         postings = self._postings.where(F.col("term").isin(list(weights)))
         index_dir = self.index_dir
 
-        def score(key, pdf_postings: pd.DataFrame) -> pd.DataFrame:
+        def score(key: tuple, pdf_postings: pd.DataFrame) -> pd.DataFrame:
             return _score_partition(
                 pdf_postings, weights, k, k1, b, avgdl, use_wand,
                 index_dir, int(key[0]),
@@ -242,12 +275,31 @@ class PhysicalIndex:
         return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
 
-_READER_CACHE: dict[tuple[int, str], PhysicalIndex] = {}
+_READER_CACHE: dict[tuple[str, str], PhysicalIndex] = {}
+
+
+def _commit_token(index_dir: str) -> tuple:
+    """Identity of the index's committed state: corpus_stats.json mtime +
+    the committed generation list. Changes on every finalize_index/merge, so
+    a cached reader can detect staleness without re-listing segments."""
+    import os
+
+    st = os.stat(f"{index_dir}/corpus_stats.json")
+    from solr_spark.index.segments import read_corpus_stats
+
+    gens = tuple(read_corpus_stats(index_dir).get("generations", ()))
+    return (st.st_mtime_ns, st.st_size, gens)
 
 
 def open_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
-    key = (id(spark), index_dir)
-    if key not in _READER_CACHE:
+    """Open (or reuse) a searcher. The cache is keyed by Spark application +
+    directory and invalidated by commit token: after incremental_index_sink
+    adds a generation or merge_index rewrites the directory, the next open
+    sees a changed token and reopens (fresh N/avgdl/df + file listing) —
+    the analogue of Solr's openSearcher-on-commit."""
+    key = (spark.sparkContext.applicationId, index_dir)
+    cached = _READER_CACHE.get(key)
+    if cached is None or cached.commit_token != _commit_token(index_dir):
         _READER_CACHE[key] = PhysicalIndex(spark, index_dir)
     return _READER_CACHE[key]
 

@@ -51,4 +51,19 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # Reading a glob path (seg/*/*/postings.parquet) makes FileStreamSink
+    # probe the literal glob string for streaming metadata and log a benign
+    # WARN with a full FileNotFoundException stack trace. Silence that one
+    # logger so benchmark/driver stderr carries only real signal.
+    try:
+        jvm = spark.sparkContext._jvm
+        logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink"
+        )
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            logger.getName(), jvm.org.apache.logging.log4j.Level.ERROR
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: the WARN is cosmetic
+    return spark

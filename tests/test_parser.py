@@ -116,3 +116,33 @@ def test_fuzzy_expansion(idx, term_docs):
 def test_absent_must_term_empty(idx):
     assert search(idx, "+zzznotaterm spark", k=10).count() == 0
     assert search(idx, "", k=10).count() == 0
+
+
+def test_must_prefix_enforced(idx, term_docs):
+    # A required prefix restricts results to docs matching an expansion.
+    prefix_docs = {
+        r.docid
+        for r in idx.postings.where(F.col("term").startswith("tabl"))
+        .select("docid").collect()
+    }
+    got = {r.docid for r in search(idx, "+tabl* spark", k=10000).collect()}
+    assert got and got <= prefix_docs
+    # A required prefix with ZERO dictionary expansions -> empty result.
+    assert search(idx, "+zzznotaprefix* spark", k=10).count() == 0
+
+
+def test_must_not_prefix_excludes(idx):
+    prefix_docs = {
+        r.docid
+        for r in idx.postings.where(F.col("term").startswith("tabl"))
+        .select("docid").collect()
+    }
+    got = {r.docid for r in search(idx, "spark -tabl*", k=10000).collect()}
+    assert got and not (got & prefix_docs)
+
+
+def test_fuzzy_multidigit_clamped():
+    # term~10 parses as fuzzy with maxEdits clamped to Lucene's max of 2,
+    # not as the literal term 'term~10'.
+    p = parse_query("spark~10")
+    assert p.clauses[0].kind == "fuzzy" and p.clauses[0].lo == "2"

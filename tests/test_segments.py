@@ -123,3 +123,63 @@ def test_bucketed_build_equivalent(spark, docs, idx_dir, tmp_path_factory):
     finalize_index(spark, d2, "simple")
     want = _rows(wand_topk(spark, idx_dir, "spark join data", k=10))
     assert _rows(wand_topk(spark, d2, "spark join data", k=10)) == want
+
+
+def test_open_no_full_dictionary_collect(spark, idx_dir):
+    """Opening an index must NOT collect the term dictionary to the driver;
+    only the query's terms are looked up (and cached) per query."""
+    from solr_spark.query import wand as wand_mod
+
+    ix = wand_mod.PhysicalIndex(spark, idx_dir)
+    assert ix._term_df_cache == {}
+    ix.topk("spark join data", k=5).collect()
+    assert set(ix._term_df_cache) == {"spark", "join", "data"}
+    # OOV terms are negative-cached, not re-scanned.
+    ix.topk("zzznotaterm", k=5).collect()
+    assert ix._term_df_cache["zzznotaterm"] is None
+
+
+def test_reader_cache_invalidation(spark, docs, tmp_path_factory):
+    """A cached searcher reopens after a new generation is committed."""
+    from solr_spark.query.wand import open_index
+
+    d = str(tmp_path_factory.mktemp("inval") / "phys")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    build_segments(half, d, n_partitions=4, analyzer="simple",
+                   id_col="doc_id", text_col="text", generation=0)
+    finalize_index(spark, d, analyzer="simple")
+    ix1 = open_index(spark, d)
+    n1 = ix1.stats["n_docs"]
+    assert open_index(spark, d) is ix1  # unchanged commit -> cache hit
+    build_segments(docs.where(F.col("doc_id") % 2 == 1), d, n_partitions=4,
+                   analyzer="simple", id_col="doc_id", text_col="text",
+                   generation=1)
+    finalize_index(spark, d, analyzer="simple")
+    ix2 = open_index(spark, d)
+    assert ix2 is not ix1 and ix2.stats["n_docs"] == docs.count() > n1
+
+
+def test_topk_tie_break_at_boundary(spark, tmp_path_factory):
+    """40 identical docs in ONE segment: the k-th score ties 40-way; the
+    returned top-10 must be the 10 SMALLEST docids (score desc, docid asc),
+    not an arbitrary argpartition subset."""
+    d = str(tmp_path_factory.mktemp("ties") / "phys")
+    rows = [(i, "alpha beta gamma") for i in range(40)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index_dir(corpus, d, n_partitions=1, analyzer="simple",
+                    id_col="doc_id", text_col="text")
+    got = [int(r.docid) for r in wand_topk(spark, d, "alpha beta", k=10).collect()]
+    assert got == list(range(10))
+
+
+def test_assume_partitioned_violation_raises(spark, tmp_path_factory):
+    """Rows of one p split across two Spark partitions must RAISE, not
+    silently drop the losing task's rows."""
+    d = str(tmp_path_factory.mktemp("viol") / "phys")
+    rows = [(i, f"word{i} common", 0) for i in range(100)]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, text string, p int"
+    ).repartition(4, "doc_id")  # p=0 rows scattered over 4 partitions
+    with pytest.raises(Exception, match="not co-located|checksum|DIFFERENT"):
+        build_segments(corpus, d, analyzer="simple", id_col="doc_id",
+                       text_col="text", assume_partitioned=True)
