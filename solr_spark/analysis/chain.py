@@ -76,6 +76,41 @@ ANALYZERS: dict[str, Callable[[str], list[str]]] = {
 }
 
 
+def simple_tokenize_pos(text: str) -> list[tuple[str, int]]:
+    """(term, position) pairs; positions number the NON-EMPTY tokens (the
+    split's empty artifacts are not tokens, so they don't consume positions
+    — matches the DuckDB oracle's row_number over filtered tokens)."""
+    return [(t, i) for i, t in enumerate(simple_tokenize(text))]
+
+
+def text_general_pos(text: str) -> list[tuple[str, int]]:
+    return [(t.lower(), i) for i, t in enumerate(standard_tokenize(text))]
+
+
+def text_en_pos(text: str) -> list[tuple[str, int]]:
+    """standard -> stop(en) -> lowercase -> possessive -> porter, with
+    Lucene position-increment semantics: dropped stopwords consume a
+    position (StopFilter enablePositionIncrements=true)."""
+    out: list[tuple[str, int]] = []
+    for i, tok in enumerate(standard_tokenize(text)):
+        low = tok.lower()
+        if low in ENGLISH_STOP_WORDS:
+            continue
+        out.append((porter_stem(_strip_possessive(low)), i))
+    return out
+
+
+ANALYZERS_POS: dict[str, Callable[[str], list[tuple[str, int]]]] = {
+    "simple": simple_tokenize_pos,
+    "text_general": text_general_pos,
+    "text_en": text_en_pos,
+}
+
+
+def analyze_pos(text: str, analyzer: str = "text_en") -> list[tuple[str, int]]:
+    return ANALYZERS_POS[analyzer](text)
+
+
 def analyze(text: str, analyzer: str = "text_en") -> list[str]:
     return ANALYZERS[analyzer](text)
 
@@ -89,6 +124,22 @@ TERM_FREQ_TYPE = ArrayType(
         [
             StructField("term", StringType(), False),
             StructField("tf", IntegerType(), False),
+        ]
+    )
+)
+
+# With positions: one entry per distinct term per doc, carrying the sorted
+# 0-based token positions. Position numbering follows Lucene's increment
+# semantics (StopFilter enablePositionIncrements=true, the reference default):
+# a dropped stopword CONSUMES a position without emitting a token, so
+# "quick AND dirty" indexes quick@0 dirty@2 and the phrase "quick dirty"
+# does not match — exactly Lucene's behavior.
+TERM_POS_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("term", StringType(), False),
+            StructField("tf", IntegerType(), False),
+            StructField("positions", ArrayType(IntegerType(), False), False),
         ]
     )
 )
@@ -120,6 +171,31 @@ def analyze_terms_udf(analyzer: str = "text_en"):
         return sorted(Counter(fn(s)).items())
 
     @F.pandas_udf(TERM_FREQ_TYPE)
+    def _terms(col: pd.Series) -> pd.Series:
+        return col.map(_one)
+
+    return _terms
+
+
+def analyze_terms_positions_udf(analyzer: str = "text_en"):
+    """pandas UDF: content -> array<struct<term,tf,positions>>.
+
+    Same doc-local combine as analyze_terms_udf, plus the sorted token
+    positions per term — the payload Lucene stores when a field has
+    IndexOptions.DOCS_AND_FREQS_AND_POSITIONS (the reference's text-field
+    default), which is what makes true PhraseQuery adjacency checks work.
+    """
+    fn = ANALYZERS_POS[analyzer]
+
+    def _one(s: str | None) -> list[tuple[str, int, list[int]]]:
+        if s is None:
+            return []
+        acc: dict[str, list[int]] = {}
+        for t, i in fn(s):
+            acc.setdefault(t, []).append(i)
+        return [(t, len(ps), ps) for t, ps in sorted(acc.items())]
+
+    @F.pandas_udf(TERM_POS_TYPE)
     def _terms(col: pd.Series) -> pd.Series:
         return col.map(_one)
 

@@ -959,6 +959,96 @@ def lucene_query_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Position-aware tokens: pos numbers the NON-EMPTY tokens 0-based per doc —
+# the same numbering the simple analyzer chain produces for stored positions.
+TOKP = (
+    "tokp AS (SELECT doc_id, term, "
+    "row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) - 1 AS pos "
+    "FROM (SELECT doc_id, unnest(arr) AS term, "
+    "generate_subscripts(arr, 1) AS rawpos FROM "
+    "(SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr "
+    "FROM documents)) WHERE term <> '')"
+)
+
+
+def _phrase_sql(terms: list[str], slop: int, k: int = 10) -> str:
+    """Oracle for PhraseQuery BM25: tf = number of in-order matches within
+    the (n-1)+slop window (exact adjacency when slop=0), idf = Σ member
+    idfs — the same semantics query/phrase.py implements."""
+    n = len(terms)
+    window = n - 1 + slop
+    if slop == 0:
+        joins = " ".join(
+            f"JOIN tokp t{i} ON t{i}.doc_id = t0.doc_id AND "
+            f"t{i}.term = '{terms[i]}' AND t{i}.pos = t0.pos + {i}"
+            for i in range(1, n)
+        )
+        match_cte = f"""
+matches AS (
+  SELECT t0.doc_id, count(*) AS tfp
+  FROM tokp t0 {joins}
+  WHERE t0.term = '{terms[0]}'
+  GROUP BY t0.doc_id)"""
+    else:
+        # in-order within window: nested EXISTS mirroring phrase_tf_col
+        cond = "TRUE"
+        for i in range(n - 1, 0, -1):
+            cond = (
+                f"EXISTS (SELECT 1 FROM tokp t{i} WHERE "
+                f"t{i}.doc_id = t0.doc_id AND t{i}.term = '{terms[i]}' "
+                f"AND t{i}.pos > {'t0' if i == 1 else f't{i-1}'}.pos "
+                f"AND t{i}.pos - t0.pos <= {window} AND {cond})"
+            )
+        match_cte = f"""
+matches AS (
+  SELECT t0.doc_id, count(*) AS tfp
+  FROM tokp t0
+  WHERE t0.term = '{terms[0]}' AND {cond}
+  GROUP BY t0.doc_id)"""
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {TOKS}, {TF}, {DL}, {TOKP}, {match_cte},
+qt(term) AS (VALUES {tlist}),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT sum(ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5))) AS w FROM dfs),
+scored AS (
+  SELECT m.doc_id,
+         (SELECT w FROM w) * m.tfp /
+         (m.tfp + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS s
+  FROM matches m JOIN dl ON dl.doc_id = m.doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM scored
+ORDER BY score_x10k DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _mk_phrase(qs: str, slop: int):
+    def _fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from solr_spark.query.phrase import phrase_topk
+
+        idx, _, _ = documents_index(spark, sf_dir)
+        out = phrase_topk(idx, qs, k=10, slop=slop, quantize_norms=False)
+        return (
+            out.select(
+                F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k")
+            )
+            .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+            .limit(10)
+        )
+
+    return _fn
+
+
+for _qname, _qstr, _slop in [
+    ("phrase_adjacency", "part filter scan", 0),
+    ("phrase_slop", "spark join", 2),
+]:
+    CATALOG[_qname] = Entry(
+        fn=_mk_phrase(_qstr, _slop),
+        sql=_phrase_sql(analyze(_qstr, "simple"), _slop),
+    )
+
+
 _MISC_CACHE: dict = {}
 
 

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solr_spark.analysis.chain import analyze_terms_udf
+from solr_spark.analysis.chain import analyze_terms_positions_udf, analyze_terms_udf
 from solr_spark.index.norms import quantize_doclen
 
 
@@ -38,6 +38,7 @@ class IndexTables:
     doclens: DataFrame
     docs: DataFrame
     analyzer: str
+    has_positions: bool = False
     _stats: tuple[int, float] | None = None
     _term_stats: DataFrame | None = None
 
@@ -72,6 +73,7 @@ def build_index(
     analyzer: str = "text_en",
     stored_cols: tuple[str, ...] | None = None,
     cache: bool = True,
+    positions: bool = True,
 ) -> IndexTables:
     """Tokenize ``corpus`` and derive the logical index tables.
 
@@ -79,8 +81,17 @@ def build_index(
     ``solr_spark.index.docid.with_docid``). ``cache=True`` persists the
     analyzed intermediate: postings AND doclens derive from it, so without
     caching the (expensive) analysis UDF would run once per consumer.
+
+    ``positions=True`` (default — Lucene indexes text fields with
+    DOCS_AND_FREQS_AND_POSITIONS) adds a ``positions array<int>`` column to
+    the postings, enabling true phrase/slop queries. Term-only workloads can
+    opt out to shrink the shuffle: positions roughly double postings bytes
+    (Lucene's .prx/.pos files are the same trade).
     """
-    terms_udf = analyze_terms_udf(analyzer)
+    terms_udf = (
+        analyze_terms_positions_udf(analyzer) if positions
+        else analyze_terms_udf(analyzer)
+    )
     analyzed = corpus.select(
         F.col(id_col).alias("docid"),
         terms_udf(F.col(text_col)).alias("term_freqs"),
@@ -90,12 +101,14 @@ def build_index(
 
     # One row per distinct (term, docid): the doc-local combine already
     # happened inside the Arrow UDF.
+    pos_cols = [F.col("tf_entry.positions").alias("positions")] if positions else []
     postings = analyzed.select(
         "docid", F.explode("term_freqs").alias("tf_entry")
     ).select(
         F.col("tf_entry.term").alias("term"),
         "docid",
         F.col("tf_entry.tf").alias("tf"),
+        *pos_cols,
     )
 
     # discountOverlaps=true and no overlap-emitting filters => dl = Σ tf.
@@ -115,4 +128,7 @@ def build_index(
         F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("content_sha256"),
     )
 
-    return IndexTables(postings=postings, doclens=doclens, docs=docs, analyzer=analyzer)
+    return IndexTables(
+        postings=postings, doclens=doclens, docs=docs, analyzer=analyzer,
+        has_positions=positions,
+    )

@@ -8,9 +8,12 @@ ranges, boosts, prefix wildcards; SURVEY.md §2.2):
 - bare terms on the default text field: analyzed, OR'ed (SHOULD), BM25-scored
 - ``+term`` / ``AND``: MUST — doc must match every must clause
 - ``-term`` / ``NOT``: MUST_NOT — excluded
-- ``"a phrase"``: all terms required together (conjunction). Positions are
-  not stored in the v1 index, so true adjacency is NOT enforced — this is
-  the documented divergence (Lucene PhraseQuery would also check positions).
+- ``"a phrase"`` / ``"a phrase"~N``: TRUE PhraseQuery — position adjacency
+  (or an in-order window of slop N) enforced via the index's stored
+  positions, scored with tf = phrase frequency and idf = Σ member idfs
+  (Lucene PhraseQuery/BM25 parity; see query/phrase.py for the one
+  documented slop divergence). On an index built with ``positions=False``
+  the clause degrades to a conjunction of its terms (documented fallback).
 - ``field:value`` on a stored (non-text) field: exact-match filter, like
   Solr's fq/{!term}; ``field:[a TO b]``/``{a TO b}``: range filter
 - ``term^2.5``: boost multiplies the term's BM25 weight
@@ -42,7 +45,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<op>AND\b|OR\b|NOT\b|&&|\|\|)
   | (?P<mod>[+\-])
-  | (?P<phrase>"(?P<phrase_body>[^"]*)")
+  | (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<pslop>\d+))?)
   | (?P<range>(?P<rfield>[A-Za-z_][\w.]*):(?P<lb>[\[\{])(?P<lo>[^\s\]\}]+)\s+TO\s+(?P<hi>[^\s\]\}]+)(?P<rb>[\]\}]))
   | (?P<fielded>(?P<ffield>[A-Za-z_][\w.]*):(?P<fval>[^\s^]+))
   | (?P<term>[^\s^+\-][^\s^]*)
@@ -65,6 +68,7 @@ class Clause:
     hi: str | None = None
     incl_lo: bool = True
     incl_hi: bool = True
+    slop: int = 0  # phrase slop ("a b"~N)
 
 
 @dataclass
@@ -128,7 +132,10 @@ def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
 
         if m.group("phrase") is not None:
             clauses.append(
-                Clause(kind="phrase", occur=occur, text=m.group("phrase_body"))
+                Clause(
+                    kind="phrase", occur=occur, text=m.group("phrase_body"),
+                    slop=int(m.group("pslop") or 0),
+                )
             )
         elif m.group("range") is not None:
             clauses.append(
@@ -206,17 +213,18 @@ def search(
 
     tstats = index.term_stats()
     gid = 0
+    # (terms, offsets, slop, boost, occur, gid) per quoted clause
+    phrase_clauses: list[tuple[list[str], list[int], int, float, str, int]] = []
+
     for c in parsed.clauses:
-        if c.kind in ("term", "phrase"):
+        if c.kind == "term":
             terms = analyze(c.text, index.analyzer)
             if not terms:
                 continue
-            occur = c.occur if c.kind == "term" else ("must" if c.occur != "must_not" else "must_not")
-            if occur == "must_not":
+            if c.occur == "must_not":
                 neg_terms.extend(terms)
                 continue
-            if c.kind == "phrase" or occur == "must":
-                # every term of the phrase / must clause is required
+            if c.occur == "must":
                 for t in terms:
                     gid += 1
                     must_groups += 1
@@ -225,6 +233,51 @@ def search(
                 for t in terms:
                     gid += 1
                     weights.append((t, c.boost, "should", gid))
+        elif c.kind == "phrase":
+            if index.has_positions:
+                # True PhraseQuery: adjacency (or ~slop window) enforced via
+                # the stored positions; query-side stopword gaps preserved
+                # (QueryParser.jj phrase+slop, SolrQueryParserBase phrase).
+                from solr_spark.analysis.chain import analyze_pos
+
+                tp = analyze_pos(c.text, index.analyzer)
+                if not tp:
+                    continue
+                if c.occur != "must_not" and len(tp) == 1:
+                    # single surviving term: Lucene degrades to a TermQuery
+                    gid += 1
+                    occ = c.occur
+                    if occ == "must":
+                        must_groups += 1
+                    weights.append((tp[0][0], c.boost, occ, gid))
+                    continue
+                gid += 1
+                phrase_clauses.append(
+                    (
+                        [t for t, _ in tp],
+                        [p - tp[0][1] for _, p in tp],
+                        c.slop,
+                        c.boost,
+                        c.occur,
+                        gid,
+                    )
+                )
+                if c.occur == "must":
+                    must_groups += 1
+            else:
+                # positions not indexed: documented fallback — phrase becomes
+                # a conjunction of its terms (over-matches; build the index
+                # with positions=True for true adjacency).
+                terms = analyze(c.text, index.analyzer)
+                if not terms:
+                    continue
+                if c.occur == "must_not":
+                    neg_terms.extend(terms)
+                    continue
+                for t in terms:
+                    gid += 1
+                    must_groups += 1
+                    weights.append((t, c.boost, "must", gid))
         elif c.kind == "fuzzy":
             # FuzzyQuery: expand against the dictionary within maxEdits and
             # score each expanded term with BM25. Divergences from Lucene
@@ -280,11 +333,20 @@ def search(
             pred = _range_pred(c, index.docs)
             filter_preds.append(~pred if c.occur == "must_not" else pred)
 
-    score_terms = {t for t, _, _, _ in weights} | {t for t, _, _, _ in const_score}
+    phrase_terms = {t for terms, *_ in phrase_clauses for t in terms}
+    score_terms = (
+        {t for t, _, _, _ in weights}
+        | {t for t, _, _, _ in const_score}
+        | phrase_terms
+    )
     if not score_terms and not filter_preds:
         return empty
 
+    dl_col = F.col("dl_quant") if quantize_norms else F.col("dl")
+    neg_dfs: list[DataFrame] = []
     if score_terms:
+        from solr_spark.query.phrase import phrase_match_df
+
         stats = {
             r["term"]: r["df"]
             for r in tstats.where(F.col("term").isin(list(score_terms))).collect()
@@ -298,24 +360,26 @@ def search(
         for t, boost, g, _o in const_score:
             if t in stats:
                 rows.append((t, boost, 1, g))
-        if not rows and not filter_preds:
-            return empty
+
         # A required group is satisfied when ANY of its expansions match, so
         # must-ness is enforced at the gid level — and must PREFIX/FUZZY gids
         # count too (a +foo* clause must constrain the result set).
         must_gids = {g for t, _, o, g in weights if o == "must" and t in stats}
         must_gids |= {g for t, _, g, o in const_score if o == "must" and t in stats}
+
+        # contrib streams: (docid, contrib, gid) from the term/const scan plus
+        # one per live phrase clause; a single aggregate merges them all.
+        contrib_parts: list[DataFrame] = []
         if rows:
             wdf = F.broadcast(
                 spark.createDataFrame(rows, ["term", "w", "const", "gid"])
             )
-            dl_col = F.col("dl_quant") if quantize_norms else F.col("dl")
-            matched = (
+            contrib_parts.append(
                 index.postings.where(F.col("term").isin([r[0] for r in rows]))
                 .join(wdf, "term")
                 .join(index.doclens, "docid")
-                .withColumn(
-                    "contrib",
+                .select(
+                    "docid",
                     F.when(F.col("const") == 1, F.col("w")).otherwise(
                         F.col("w")
                         * F.col("tf")
@@ -324,10 +388,45 @@ def search(
                             + F.lit(k1)
                             * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))
                         )
-                    ),
+                    ).alias("contrib"),
+                    F.col("gid").cast("int").alias("gid"),
                 )
             )
-            scored = matched.groupBy("docid").agg(
+        for terms, offsets, slop, boost, occur, g in phrase_clauses:
+            if any(t not in stats for t in terms):
+                if occur == "must":
+                    return empty  # required phrase can never match
+                continue
+            pm = phrase_match_df(index, terms, slop, offsets)
+            if occur == "must_not":
+                neg_dfs.append(pm.select("docid"))
+                continue
+            if occur == "must":
+                must_gids.add(g)
+            w = boost * sum(idf(n_docs, stats[t]) for t in terms)
+            contrib_parts.append(
+                pm.join(index.doclens, "docid").select(
+                    "docid",
+                    (
+                        F.lit(w)
+                        * F.col("tf_p")
+                        / (
+                            F.col("tf_p")
+                            + F.lit(k1)
+                            * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))
+                        )
+                    ).alias("contrib"),
+                    F.lit(g).cast("int").alias("gid"),
+                )
+            )
+
+        if not contrib_parts and not filter_preds:
+            return empty
+        if contrib_parts:
+            allc = contrib_parts[0]
+            for part in contrib_parts[1:]:
+                allc = allc.unionByName(part)
+            scored = allc.groupBy("docid").agg(
                 F.sum("contrib").alias("score"),
                 F.collect_set("gid").alias("gids"),
             )
@@ -351,6 +450,8 @@ def search(
     if neg_terms:
         neg = index.postings.where(F.col("term").isin(neg_terms)).select("docid")
         scored = scored.join(neg, "docid", "left_anti")
+    for nd in neg_dfs:
+        scored = scored.join(nd, "docid", "left_anti")
     if filter_preds:
         keep = index.docs
         for p in filter_preds:

@@ -1,0 +1,181 @@
+"""True phrase / slop queries over position-aware postings.
+
+Reference semantics: Lucene PhraseQuery as produced by the classic parser's
+quoted clauses (grammar: solr/core/src/java/org/apache/solr/parser/
+QueryParser.jj — PHRASE plus optional ~slop; wiring:
+parser/SolrQueryParserBase.java getFieldQuery/phraseSlop). Scoring parity:
+BM25 with tf = number of phrase matches and idf = SUM of the member terms'
+idfs (Lucene's BM25Similarity receives the summed idf Explanation for a
+phrase).
+
+Match semantics implemented here, per doc:
+- slop=0: positions p, p+1, ..., p+n-1 — exact adjacency; tf = number of
+  start positions (identical to Lucene's exact PhraseQuery freq).
+- slop>0: an IN-ORDER match within a window — strictly increasing positions
+  p_0 < p_1 < ... < p_{n-1} with p_{n-1} - p_0 <= (n-1) + slop; tf = number
+  of start positions with at least one such completion. DIVERGENCE
+  (documented): Lucene's sloppy matcher also permits OUT-OF-ORDER
+  arrangements whose edit cost fits the slop and weights each match
+  1/(distance+1) in the freq; the in-order window is the common substring
+  use-case and keeps the operator a pure JVM expression.
+
+Spark shape — everything stays in whole-stage codegen:
+- one postings scan per DISTINCT phrase term with a pushed-down term=…
+  filter (partition/row-group prunable exactly like the BM25 term scan);
+- n-way join on docid: Catalyst reorders; the first join shrinks candidates
+  to docs containing the rarest term, so join input is O(min df);
+- adjacency via nested EXISTS over the position arrays (HigherOrderFunction
+  — no explode, no Python): tf_p = size(filter(pos_0, p -> exists(pos_1,
+  q -> q>p & ... ))).
+
+At 100 TB this is the plan you want: per-query IO is O(postings of the
+phrase terms), the join is a shuffle on docid over only those postings (AQE
+demotes to broadcast when one side is small), and no row explosion happens
+— position arrays stay packed inside their postings rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.index.build import IndexTables
+from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf
+
+
+def phrase_tf_col(
+    pos_cols: list[Column], slop: int = 0, offsets: list[int] | None = None
+) -> Column:
+    """Number of in-order phrase matches given one position-array column per
+    phrase term (in phrase order). Pure JVM higher-order functions.
+
+    ``offsets`` are the query-side token positions (0, d_1, ..., d_{n-1});
+    gaps arise when the query analyzer drops stopwords ("quick and dirty"
+    in text_en -> quick@0 dirty@2) — Lucene builds the PhraseQuery with
+    those gaps, so an exact match requires term_i at p + d_i exactly.
+    """
+    n = len(pos_cols)
+    offsets = offsets if offsets is not None else list(range(n))
+    window = offsets[-1] + slop
+
+    def completion(i: int, prev: Column, first: Column) -> Column:
+        if i == n:
+            return F.lit(True)
+        if slop == 0:
+            cond = lambda q: (q == first + F.lit(offsets[i])) & completion(  # noqa: E731
+                i + 1, q, first
+            )
+        else:
+            cond = lambda q: (  # noqa: E731
+                (q > prev)
+                & ((q - first) <= F.lit(window))
+                & completion(i + 1, q, first)
+            )
+        return F.exists(pos_cols[i], cond)
+
+    return F.size(F.filter(pos_cols[0], lambda p: completion(1, p, p)))
+
+
+def phrase_match_df(
+    index: IndexTables,
+    terms: list[str],
+    slop: int = 0,
+    offsets: list[int] | None = None,
+) -> DataFrame:
+    """(docid, tf_p) for docs containing ``terms`` as a phrase (tf_p >= 1).
+
+    Requires ``index.has_positions``.
+    """
+    if not index.has_positions:
+        raise ValueError(
+            "phrase matching requires a position-aware index "
+            "(build_index(..., positions=True))"
+        )
+    if not terms:
+        raise ValueError("empty phrase")
+    parts = []
+    for i, t in enumerate(terms):
+        parts.append(
+            index.postings.where(F.col("term") == t).select(
+                "docid", F.col("positions").alias(f"pos_{i}")
+            )
+        )
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.join(p, "docid")
+    tf_p = phrase_tf_col(
+        [F.col(f"pos_{i}") for i in range(len(terms))], slop, offsets
+    )
+    return (
+        joined.withColumn("tf_p", tf_p)
+        .where(F.col("tf_p") > 0)
+        .select("docid", "tf_p")
+    )
+
+
+def phrase_score_df(
+    index: IndexTables,
+    terms: list[str],
+    slop: int = 0,
+    boost: float = 1.0,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize_norms: bool = True,
+    offsets: list[int] | None = None,
+) -> DataFrame:
+    """(docid, score) BM25-scored phrase matches: weight = boost · Σ idf(t_i),
+    tf = phrase frequency — Lucene PhraseQuery scoring."""
+    spark = index.postings.sparkSession
+    n_docs, avgdl = index.corpus_stats()
+    stats = {
+        r["term"]: r["df"]
+        for r in index.term_stats()
+        .where(F.col("term").isin(sorted(set(terms))))
+        .collect()
+    }
+    if n_docs == 0 or any(t not in stats for t in terms):
+        return spark.createDataFrame([], "docid long, score double")
+    w = boost * sum(idf(n_docs, stats[t]) for t in terms)
+    dl_col = F.col("dl_quant") if quantize_norms else F.col("dl")
+    return (
+        phrase_match_df(index, terms, slop, offsets)
+        .join(index.doclens, "docid")
+        .select(
+            "docid",
+            (
+                F.lit(w)
+                * F.col("tf_p")
+                / (
+                    F.col("tf_p")
+                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))
+                )
+            ).alias("score"),
+        )
+    )
+
+
+def phrase_topk(
+    index: IndexTables,
+    phrase: str,
+    k: int = 10,
+    slop: int = 0,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize_norms: bool = True,
+) -> DataFrame:
+    """Analyze ``phrase`` with the index's chain (keeping position gaps left
+    by dropped stopwords, like Lucene's query-time analysis) and return the
+    top-k matches."""
+    from solr_spark.analysis.chain import analyze_pos
+
+    tp = analyze_pos(phrase, index.analyzer)
+    spark = index.postings.sparkSession
+    if not tp:
+        return spark.createDataFrame([], "docid long, score double")
+    terms = [t for t, _ in tp]
+    offsets = [p - tp[0][1] for _, p in tp]
+    scored = phrase_score_df(
+        index, terms, slop=slop, k1=k1, b=b, quantize_norms=quantize_norms,
+        offsets=offsets,
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

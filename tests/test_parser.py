@@ -68,9 +68,49 @@ def test_not_semantics(idx, term_docs):
     assert got == term_docs("spark") - term_docs("join")
 
 
-def test_phrase_is_conjunction(idx, term_docs):
-    got = {r.docid for r in search(idx, '"spark join"', k=1000).collect()}
+def test_phrase_true_adjacency(idx, term_docs):
+    # True PhraseQuery: a quoted clause matches only docs where the terms
+    # are ADJACENT — a strict subset of the conjunction, verified against a
+    # positions-join oracle built from the raw postings.
+    got = {r.docid for r in search(idx, '"spark join"', k=100000).collect()}
+    conj = term_docs("spark") & term_docs("join")
+    pos = {
+        (r.docid, r.term): list(r.positions)
+        for r in idx.postings.where(F.col("term").isin(["spark", "join"]))
+        .collect()
+    }
+    want = {
+        d for d in conj
+        if any(q + 1 in pos[(d, "join")] for q in pos[(d, "spark")])
+    }
+    assert got == want and got < conj
+
+
+def test_phrase_slop_window(idx, term_docs):
+    # slop widens the match set monotonically, between adjacency and the
+    # full conjunction.
+    adj = {r.docid for r in search(idx, '"spark join"', k=100000).collect()}
+    s2 = {r.docid for r in search(idx, '"spark join"~2', k=100000).collect()}
+    conj = term_docs("spark") & term_docs("join")
+    assert adj <= s2 <= conj
+
+
+def test_phrase_fallback_without_positions(docs, term_docs):
+    # positions=False index: quoted clause degrades to a conjunction.
+    i = build_index(docs, id_col="doc_id", text_col="text",
+                    analyzer="simple", positions=False)
+    got = {r.docid for r in search(i, '"spark join"', k=100000).collect()}
     assert got == term_docs("spark") & term_docs("join")
+
+
+def test_must_not_phrase(idx):
+    base = {r.docid for r in search(idx, "data", k=100000).collect()}
+    adj = {r.docid for r in search(idx, '"spark join"', k=100000).collect()}
+    got = {
+        r.docid
+        for r in search(idx, 'data -"spark join"', k=100000).collect()
+    }
+    assert got == base - adj
 
 
 def test_filters(idx, docs, term_docs):

@@ -1,0 +1,101 @@
+"""True phrase/slop semantics on a hand-built corpus (position oracle by
+construction). Reference semantics: Lucene PhraseQuery via the classic
+parser's quoted clauses (parser/QueryParser.jj phrase+slop,
+SolrQueryParserBase getFieldQuery)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.index.build import build_index
+from solr_spark.query.phrase import phrase_match_df, phrase_topk
+
+ROWS = [
+    (0, "the quick brown fox"),
+    (1, "brown quick the fox"),
+    (2, "quick fox brown the quick brown dog"),
+    (3, "a quick and dirty hack"),
+    (4, "quick dirty hack"),
+    (5, "quick quick quick"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    corpus = spark.createDataFrame(ROWS, "docid long, text string")
+    i = build_index(corpus, analyzer="simple", text_col="text")
+    i.postings = i.postings.persist()
+    i.doclens = i.doclens.persist()
+    return i
+
+
+@pytest.fixture(scope="module")
+def idx_en(spark):
+    corpus = spark.createDataFrame(ROWS, "docid long, text string")
+    i = build_index(corpus, analyzer="text_en", text_col="text")
+    i.postings = i.postings.persist()
+    i.doclens = i.doclens.persist()
+    return i
+
+
+def _docids(df):
+    return sorted(r.docid for r in df.collect())
+
+
+def test_exact_adjacency(idx):
+    assert _docids(phrase_match_df(idx, ["quick", "brown"])) == [0, 2]
+
+
+def test_phrase_tf_counts_occurrences(idx):
+    tf = {
+        r.docid: r.tf_p
+        for r in phrase_match_df(idx, ["quick", "brown"]).collect()
+    }
+    assert tf == {0: 1, 2: 1}  # doc2: only quick@4 brown@5 is adjacent
+
+
+def test_repeated_term_phrase(idx):
+    tf = {r.docid: r.tf_p for r in phrase_match_df(idx, ["quick", "quick"]).collect()}
+    assert tf == {5: 2}  # positions 0-1 and 1-2
+
+
+def test_slop_window_in_order(idx):
+    # slop=1 admits one intervening token, in order only.
+    assert _docids(phrase_match_df(idx, ["quick", "fox"], slop=1)) == [0, 1, 2]
+    # "fox quick" never occurs in order within the window.
+    assert _docids(phrase_match_df(idx, ["fox", "quick"], slop=1)) == []
+
+
+def test_three_term_adjacency(idx):
+    assert _docids(phrase_match_df(idx, ["quick", "brown", "fox"])) == [0]
+    # doc0 at 0-2; doc2 at 3-5 ("... the quick brown dog")
+    assert _docids(phrase_match_df(idx, ["the", "quick", "brown"])) == [0, 2]
+
+
+def test_stopword_gap_lucene_parity(idx_en):
+    # text_en drops "and" but its position survives as a gap: the query
+    # "quick and dirty" compiles to quick@0 dirty@2 and must match doc3
+    # (same gap) but NOT doc4 (adjacent).
+    assert _docids(phrase_topk(idx_en, "quick and dirty", k=10)) == [3]
+    assert _docids(phrase_topk(idx_en, "quick dirty", k=10)) == [4]
+
+
+def test_phrase_requires_positions(spark):
+    corpus = spark.createDataFrame(ROWS, "docid long, text string")
+    bare = build_index(corpus, analyzer="simple", text_col="text", positions=False)
+    with pytest.raises(ValueError, match="positions"):
+        phrase_match_df(bare, ["quick", "brown"]).collect()
+
+
+def test_phrase_plan_no_explode(idx):
+    """The phrase plan must keep position arrays packed — adjacency runs as
+    JVM higher-order functions (lambdafunction in the join condition), never
+    exploding positions into rows. (The only Generate allowed is the index
+    build's own explode of term_freqs inside the cached relation.)"""
+    plan = (
+        phrase_match_df(idx, ["quick", "brown"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "lambdafunction" in plan
+    assert "explode(positions" not in plan and "explode(pos_" not in plan
