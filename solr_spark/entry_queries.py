@@ -675,7 +675,8 @@ def _phys_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
     from solr_spark.index.segments import build_index_dir
 
-    d = f"/tmp/solr_spark_phys_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    # v2: segment schema gained the positions blob (poss/block_pos_off)
+    d = f"/tmp/solr_spark_phys_v2_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     if not os.path.exists(f"{d}/corpus_stats.json"):
         docs = _t(spark, sf_dir, "documents")
         build_index_dir(
@@ -1047,6 +1048,46 @@ for _qname, _qstr, _slop in [
         fn=_mk_phrase(_qstr, _slop),
         sql=_phrase_sql(analyze(_qstr, "simple"), _slop),
     )
+
+
+def _phrase_quant_sql(terms: list[str], slop: int, k: int = 10) -> str:
+    """Phrase oracle with Lucene's lossy 1-byte norm (the physical path
+    scores with the quantized dl, like wand_bm25_*)."""
+    base = _phrase_sql(terms, slop, k)
+    # swap exact dl for the SmallFloat-quantized dl in the scoring CTE
+    return base.replace(
+        f"{DL},",
+        f"{DL}, qmap(v) AS (VALUES {_quant_sql_values()}), "
+        "dlq AS (SELECT doc_id, (SELECT max(v) FROM qmap WHERE v <= dl.dl) "
+        "AS dl FROM dl),",
+    ).replace(
+        "FROM matches m JOIN dl ON dl.doc_id = m.doc_id",
+        "FROM matches m JOIN dlq dl ON dl.doc_id = m.doc_id",
+    )
+
+
+@register("wand_phrase_adjacency", None)  # sql filled below (needs helpers)
+def wand_phrase_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PhraseQuery over the COMPRESSED physical segments: decode postings +
+    positions blobs, ordinal-conjunction then position check
+    (query/wand.py phrase_topk). Same result contract as phrase_adjacency
+    but through the segment codec with quantized norms."""
+    from solr_spark.query.wand import wand_phrase_topk
+
+    d = _phys_index_dir(spark, sf_dir)
+    out = wand_phrase_topk(spark, d, "part filter scan", k=10)
+    return (
+        out.select(
+            F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k")
+        )
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+CATALOG["wand_phrase_adjacency"].sql = _phrase_quant_sql(
+    analyze("part filter scan", "simple"), 0
+)
 
 
 _MISC_CACHE: dict = {}

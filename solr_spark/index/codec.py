@@ -92,11 +92,24 @@ class EncodedPostings:
     block_tf_off: np.ndarray  # int64 byte offset into tfs blob
     block_max_tf: np.ndarray  # int32
     block_min_norm: np.ndarray  # uint8 (smaller norm byte == shorter doc)
+    # Term positions (Lucene .pos-file role): per posting, tf positions,
+    # first absolute then delta-encoded, all varbyte in one blob; per-block
+    # byte offsets allow decoding a block's positions without predecessors.
+    # Empty when the index is built without positions.
+    poss: bytes = b""
+    block_pos_off: np.ndarray | None = None  # int64
 
 
-def encode_postings(ords: np.ndarray, tfs: np.ndarray, norms: np.ndarray) -> EncodedPostings:
+def encode_postings(
+    ords: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    positions: np.ndarray | None = None,
+) -> EncodedPostings:
     """Encode one term's postings. ``ords`` must be strictly increasing
-    segment-local ordinals; ``norms[i]`` is the norm BYTE of doc ords[i].
+    segment-local ordinals; ``norms[i]`` is the norm BYTE of doc ords[i];
+    ``positions`` (optional) is the FLAT concatenation of each posting's
+    sorted token positions (tfs[i] entries for posting i).
 
     Single vectorized pass: the whole list is encoded once and per-block
     byte offsets are read off the encoder's cumulative ends; block impact
@@ -125,6 +138,23 @@ def encode_postings(ords: np.ndarray, tfs: np.ndarray, norms: np.ndarray) -> Enc
     max_tf = np.maximum.reduceat(tfs, starts).astype(np.int32)
     min_norm = np.minimum.reduceat(norms.astype(np.uint8), starts)
 
+    pos_blob = b""
+    pos_off = np.zeros(n_blocks, dtype=np.int64)
+    if positions is not None and positions.size:
+        flat = np.ascontiguousarray(positions, dtype=np.int64)
+        # Per-posting delta encoding in one vectorized pass: the first
+        # position of each posting stays absolute, the rest become gaps.
+        pstarts = np.zeros(n, dtype=np.int64)
+        pstarts[1:] = np.cumsum(tfs)[:-1]
+        pgaps = np.empty(flat.size, dtype=np.int64)
+        pgaps[0] = flat[0]
+        pgaps[1:] = flat[1:] - flat[:-1]
+        pgaps[pstarts] = flat[pstarts]
+        pos_blob, pos_ends = _vb_encode_with_ends(pgaps.astype(np.uint64))
+        # Block b's positions start after all positions of earlier blocks.
+        first_pos_idx = pstarts[starts[1:]]  # flat index of each block's 1st pos
+        pos_off[1:] = np.where(first_pos_idx > 0, pos_ends[first_pos_idx - 1], 0)
+
     return EncodedPostings(
         df=n,
         ttf=int(tfs.sum()),
@@ -136,6 +166,8 @@ def encode_postings(ords: np.ndarray, tfs: np.ndarray, norms: np.ndarray) -> Enc
         block_tf_off=tf_off,
         block_max_tf=max_tf,
         block_min_norm=min_norm,
+        poss=pos_blob,
+        block_pos_off=pos_off,
     )
 
 
@@ -146,6 +178,28 @@ def decode_postings(
     g = vb_decode(gaps)
     t = vb_decode(tfs)
     return np.cumsum(g.astype(np.int64)), t.astype(np.int64)
+
+
+def decode_positions(poss: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode of a positions blob. Returns (flat, starts): posting i's
+    absolute positions are ``flat[starts[i] : starts[i] + tfs[i]]``.
+
+    Vectorized segment-cumsum: one global cumsum over the decoded gaps, then
+    a per-posting rebase (subtract the running total at each posting
+    boundary) via np.repeat — no per-posting Python loop.
+    """
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    starts = np.zeros(tfs.size, dtype=np.int64)
+    if tfs.size:
+        starts[1:] = np.cumsum(tfs)[:-1]
+    gaps = vb_decode(poss).astype(np.int64)
+    if gaps.size == 0:
+        return gaps, starts
+    cs = np.cumsum(gaps)
+    rebase = np.repeat(
+        np.concatenate([[0], cs[starts[1:] - 1]]) if tfs.size > 1 else [0], tfs
+    )
+    return cs - rebase, starts
 
 
 def decode_blocks(

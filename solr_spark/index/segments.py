@@ -47,7 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from solr_spark.analysis.chain import ANALYZERS
+from solr_spark.analysis.chain import ANALYZERS, ANALYZERS_POS
 from solr_spark.index.codec import encode_postings
 from solr_spark.index.norms import DECODE_TABLE, norm_byte_array
 
@@ -59,7 +59,7 @@ MANIFEST_SCHEMA = (
 _POSTINGS_COLS = [
     "p", "gen", "term", "df", "ttf", "gaps", "tfs", "norms",
     "block_first_ord", "block_last_ord", "block_gap_off", "block_tf_off",
-    "block_max_tf", "block_min_norm",
+    "block_max_tf", "block_min_norm", "poss", "block_pos_off",
 ]
 
 
@@ -68,7 +68,8 @@ def _seg_dir(index_dir: str, p: int, gen: int) -> str:
 
 
 def _invert_partition(
-    docids: np.ndarray, texts: pd.Series, analyzer: str
+    docids: np.ndarray, texts: pd.Series, analyzer: str,
+    store_positions: bool = True,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Analyze + invert one partition. Returns (docs_table, postings_table).
 
@@ -77,28 +78,50 @@ def _invert_partition(
     """
     from collections import Counter
 
-    fn = ANALYZERS[analyzer]
     order = np.argsort(docids, kind="stable")
     docids = docids[order]
     texts = texts.iloc[order].reset_index(drop=True)
 
-    # Invert doc-at-a-time into per-term (ord, tf) builders. Docs arrive in
-    # ord order, so each term's ord list is born sorted — no global
-    # object-dtype flatten/sort (a pandas groupby over the flattened token
-    # stream was the memory-bandwidth hot spot at high concurrency).
+    # Invert doc-at-a-time into per-term (ord, tf[, positions]) builders.
+    # Docs arrive in ord order, so each term's ord list is born sorted — no
+    # global object-dtype flatten/sort (a pandas groupby over the flattened
+    # token stream was the memory-bandwidth hot spot at high concurrency).
+    # Positions likewise arrive sorted within each doc (token order).
     term_ords: dict[str, list[int]] = {}
     term_tfs: dict[str, list[int]] = {}
+    term_pos: dict[str, list[int]] = {}
     dl = np.zeros(len(docids), dtype=np.int64)
-    for ord_, s in enumerate(texts):
-        counts = Counter(fn(s)) if s is not None else {}
-        dl[ord_] = sum(counts.values())
-        for t, c in counts.items():
-            if t in term_ords:
-                term_ords[t].append(ord_)
-                term_tfs[t].append(c)
-            else:
-                term_ords[t] = [ord_]
-                term_tfs[t] = [c]
+    if store_positions:
+        fn_pos = ANALYZERS_POS[analyzer]
+        for ord_, s in enumerate(texts):
+            doc_pos: dict[str, list[int]] = {}
+            ntok = 0
+            if s is not None:
+                for t, i in fn_pos(s):
+                    doc_pos.setdefault(t, []).append(i)
+                    ntok += 1
+            dl[ord_] = ntok
+            for t, ps in doc_pos.items():
+                if t in term_ords:
+                    term_ords[t].append(ord_)
+                    term_tfs[t].append(len(ps))
+                    term_pos[t].extend(ps)
+                else:
+                    term_ords[t] = [ord_]
+                    term_tfs[t] = [len(ps)]
+                    term_pos[t] = list(ps)
+    else:
+        fn = ANALYZERS[analyzer]
+        for ord_, s in enumerate(texts):
+            counts = Counter(fn(s)) if s is not None else {}
+            dl[ord_] = sum(counts.values())
+            for t, c in counts.items():
+                if t in term_ords:
+                    term_ords[t].append(ord_)
+                    term_tfs[t].append(c)
+                else:
+                    term_ords[t] = [ord_]
+                    term_tfs[t] = [c]
     norms = norm_byte_array(dl)
 
     rows = []
@@ -106,7 +129,11 @@ def _invert_partition(
         o = np.asarray(term_ords[term], dtype=np.int64)
         t = np.asarray(term_tfs[term], dtype=np.int64)
         pn = norms[o]
-        enc = encode_postings(o, t, pn)
+        pos = (
+            np.asarray(term_pos[term], dtype=np.int64)
+            if store_positions else None
+        )
+        enc = encode_postings(o, t, pn, positions=pos)
         # The norm byte rides WITH the postings (1 byte per posting, like
         # Lucene's impact pairs): scoring then never touches the doc table —
         # the doc table is consulted only to map the winning top-k ords back
@@ -118,6 +145,9 @@ def _invert_partition(
                 enc.block_gap_off.tolist(), enc.block_tf_off.tolist(),
                 enc.block_max_tf.tolist(),
                 enc.block_min_norm.astype(np.int32).tolist(),
+                enc.poss,
+                enc.block_pos_off.tolist() if enc.block_pos_off is not None
+                else [0] * len(enc.block_first_ord),
             )
         )
     postings = pd.DataFrame(
@@ -224,7 +254,8 @@ def partition_col(id_col: str = "docid", n_partitions: int = 32):
 
 
 def _build_one(index_dir: str, generation: int, analyzer: str,
-               p: int, pdf: pd.DataFrame) -> pd.DataFrame:
+               p: int, pdf: pd.DataFrame,
+               store_positions: bool = True) -> pd.DataFrame:
     final = _seg_dir(index_dir, p, generation)
     mpath = os.path.join(final, "manifest.json")
     docids = pdf["docid"].to_numpy(dtype=np.int64)
@@ -247,7 +278,9 @@ def _build_one(index_dir: str, generation: int, analyzer: str,
             )
         return _manifest_row(m, skipped=True)
     t0 = time.time()
-    docs, postings = _invert_partition(docids, pdf["text"], analyzer)
+    docs, postings = _invert_partition(
+        docids, pdf["text"], analyzer, store_positions
+    )
     m = _write_segment(
         index_dir, p, generation, docs, postings, checksum, time.time() - t0
     )
@@ -263,8 +296,14 @@ def build_segments(
     id_col: str = "docid",
     text_col: str = "content",
     assume_partitioned: bool = False,
+    store_positions: bool = True,
 ) -> pd.DataFrame:
     """Build one generation of segments from ``corpus`` (docid must be int64).
+
+    ``store_positions=True`` (Lucene's text-field default,
+    DOCS_AND_FREQS_AND_POSITIONS) writes the per-posting positions blob that
+    phrase queries need; term-only workloads can disable it to cut segment
+    bytes and build cost (Lucene's IndexOptions.DOCS_AND_FREQS equivalent).
 
     Returns the manifest table (one row per partition; ``skipped=True`` rows
     were already committed by a previous run — the resume path).
@@ -288,7 +327,10 @@ def build_segments(
                 return
             pdf = pd.concat(parts, ignore_index=True)
             for p, grp in pdf.groupby("p", sort=True):
-                yield _build_one(index_dir, generation, analyzer, int(p), grp)
+                yield _build_one(
+                    index_dir, generation, analyzer, int(p), grp,
+                    store_positions,
+                )
 
         return df.mapInPandas(writer_local, MANIFEST_SCHEMA).toPandas()
 
@@ -297,7 +339,9 @@ def build_segments(
     ).withColumn("p", partition_col("docid", n_partitions))
 
     def writer(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        return _build_one(index_dir, generation, analyzer, int(key[0]), pdf)
+        return _build_one(
+            index_dir, generation, analyzer, int(key[0]), pdf, store_positions
+        )
 
     manifests = (
         df.groupBy("p").applyInPandas(writer, MANIFEST_SCHEMA).toPandas()
@@ -358,11 +402,13 @@ def build_index_dir(
     text_col: str = "content",
     k1: float = 1.2,
     b: float = 0.75,
+    store_positions: bool = True,
 ) -> dict:
     """build_segments + finalize_index in one call. Idempotent/resumable."""
     build_segments(
         corpus, index_dir, n_partitions, analyzer,
         generation=0, id_col=id_col, text_col=text_col,
+        store_positions=store_positions,
     )
     return finalize_index(corpus.sparkSession, index_dir, analyzer, k1, b)
 
@@ -384,7 +430,7 @@ def merge_index(
     """
     import glob as _glob
 
-    from solr_spark.index.codec import decode_postings
+    from solr_spark.index.codec import decode_positions, decode_postings
 
     stats = read_corpus_stats(index_dir)
     analyzer = analyzer or stats["analyzer"]
@@ -412,7 +458,7 @@ def merge_index(
                     post_parts.append(
                         pq.read_table(
                             f"{gd}/postings.parquet",
-                            columns=["gen", "term", "gaps", "tfs"],
+                            columns=["gen", "term", "gaps", "tfs", "poss"],
                         ).to_pandas()
                     )
                 all_docs = pd.concat(docs_parts, ignore_index=True)
@@ -433,17 +479,33 @@ def merge_index(
                 all_posts = pd.concat(post_parts, ignore_index=True)
                 rows = []
                 for term, grp in all_posts.groupby("term", sort=True):
-                    os_, ts_ = [], []
+                    os_, ts_, flats, seg_starts = [], [], [], []
+                    pos_off = 0
                     for _, r in grp.iterrows():
                         o, t = decode_postings(r["gaps"], r["tfs"])
+                        flat, starts = decode_positions(r["poss"], t)
                         os_.append(remap[int(r["gen"])][o])
                         ts_.append(t)
+                        flats.append(flat)
+                        seg_starts.append(starts + pos_off)
+                        pos_off += flat.size
                     o = np.concatenate(os_)
                     t = np.concatenate(ts_)
                     so = np.argsort(o, kind="stable")
                     o, t = o[so], t[so]
                     pn = norms[o]
-                    enc = encode_postings(o, t, pn)
+                    # Positions travel with their posting through the merge
+                    # reorder: gather each posting's position segment in the
+                    # new order, then re-encode.
+                    flat_all = np.concatenate(flats) if flats else np.empty(0, np.int64)
+                    new_flat = None
+                    if flat_all.size:
+                        starts_all = np.concatenate(seg_starts)
+                        ends_all = starts_all + np.concatenate(ts_)
+                        new_flat = np.concatenate(
+                            [flat_all[starts_all[j]:ends_all[j]] for j in so]
+                        )
+                    enc = encode_postings(o, t, pn, positions=new_flat)
                     rows.append(
                         (
                             term, enc.df, enc.ttf, enc.gaps, enc.tfs, pn.tobytes(),
@@ -451,6 +513,10 @@ def merge_index(
                             enc.block_gap_off.tolist(), enc.block_tf_off.tolist(),
                             enc.block_max_tf.tolist(),
                             enc.block_min_norm.astype(np.int32).tolist(),
+                            enc.poss,
+                            enc.block_pos_off.tolist()
+                            if enc.block_pos_off is not None
+                            else [0] * len(enc.block_first_ord),
                         )
                     )
                 postings = pd.DataFrame(rows, columns=_POSTINGS_COLS[2:])

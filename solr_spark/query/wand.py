@@ -186,6 +186,113 @@ def _score_partition(
     )
 
 
+def _phrase_count(
+    pos_lists: list[np.ndarray], offsets: list[int], slop: int
+) -> int:
+    """Phrase matches in one doc. Exact (slop=0): size of the intersection
+    of offset-shifted position sets. Slop: in-order completion within the
+    window (same semantics as query/phrase.py's phrase_tf_col)."""
+    if slop == 0:
+        acc = pos_lists[0]
+        for i in range(1, len(pos_lists)):
+            acc = np.intersect1d(
+                acc, pos_lists[i] - np.int64(offsets[i]), assume_unique=True
+            )
+            if acc.size == 0:
+                return 0
+        return int(acc.size)
+    window = offsets[-1] + slop
+    n = len(pos_lists)
+
+    def completes(i: int, prev: int, first: int) -> bool:
+        if i == n:
+            return True
+        arr = pos_lists[i]
+        lo = int(np.searchsorted(arr, prev + 1))
+        for q in arr[lo:]:
+            if q - first > window:
+                return False
+            if completes(i + 1, int(q), first):
+                return True
+        return False
+
+    return sum(1 for p in pos_lists[0] if completes(1, int(p), int(p)))
+
+
+def _phrase_partition(
+    postings: pd.DataFrame,
+    terms: list[str],
+    offsets: list[int],
+    slop: int,
+    w: float,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    index_dir: str,
+    p: int,
+) -> pd.DataFrame:
+    """Per-partition phrase scoring over compressed segments: full decode of
+    the phrase terms' postings+positions, ordinal-intersection to get the
+    conjunction candidates, then a per-candidate position check. Work is
+    O(postings of the phrase terms) — the doc table is touched only for the
+    final ord→docid lookup of the (few) winners."""
+    from solr_spark.index.codec import decode_positions
+
+    uniq = sorted(set(terms))
+    out_docids: list[np.ndarray] = []
+    out_scores: list[np.ndarray] = []
+    for gen, pg in postings.groupby("gen", sort=True):
+        by_term = {r["term"]: r for _, r in pg.iterrows()}
+        if any(t not in by_term for t in uniq):
+            continue  # a phrase term absent from this segment: no match here
+        dec: dict[str, tuple] = {}
+        for t in uniq:
+            r = by_term[t]
+            o, tf = decode_postings(r["gaps"], r["tfs"])
+            flat, starts = decode_positions(r["poss"], tf)
+            nrm = np.frombuffer(r["norms"], dtype=np.uint8)
+            dec[t] = (o, tf, flat, starts, nrm)
+        # conjunction: ords present in every phrase term's postings
+        common = dec[uniq[0]][0]
+        for t in uniq[1:]:
+            common = np.intersect1d(common, dec[t][0], assume_unique=True)
+        if common.size == 0:
+            continue
+        docs_scored: list[int] = []
+        scores: list[float] = []
+        o0, _, _, _, nrm0 = dec[uniq[0]]
+        idx0 = np.searchsorted(o0, common)
+        for ci, ordv in enumerate(common):
+            pls = []
+            for t in terms:  # phrase order (duplicates share the decode)
+                o, tf, flat, starts, _ = dec[t]
+                j = int(np.searchsorted(o, ordv))
+                s = int(starts[j])
+                pls.append(flat[s : s + int(tf[j])])
+            tf_p = _phrase_count(pls, offsets, slop)
+            if tf_p:
+                dl = float(DECODE_TABLE[nrm0[idx0[ci]]])
+                scores.append(w * tf_p / (tf_p + k1 * (1.0 - b + b * dl / avgdl)))
+                docs_scored.append(int(ordv))
+        if not docs_scored:
+            continue
+        acc = np.asarray(scores)
+        ords_arr = np.asarray(docs_scored, dtype=np.int64)
+        if acc.size > k:
+            kth = np.partition(acc, -k)[-k]
+            keep = acc >= kth  # keep boundary ties (rank-identity)
+            acc, ords_arr = acc[keep], ords_arr[keep]
+        out_docids.append(_lookup_docids(index_dir, p, int(gen), ords_arr))
+        out_scores.append(acc)
+    if not out_docids:
+        return pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    return pd.DataFrame(
+        {"docid": np.concatenate(out_docids), "score": np.concatenate(out_scores)}
+    )
+
+
 class PhysicalIndex:
     """Searcher over a physical index directory.
 
@@ -208,9 +315,8 @@ class PhysicalIndex:
         self.index_dir = index_dir
         self.commit_token = _commit_token(index_dir)
         self.stats = read_corpus_stats(index_dir)
-        self._postings = spark.read.parquet(
-            f"{index_dir}/seg/*/*/postings.parquet"
-        ).select(
+        self._scan = spark.read.parquet(f"{index_dir}/seg/*/*/postings.parquet")
+        self._postings = self._scan.select(
             "p", "gen", "term", "df", "gaps", "tfs", "norms",
             "block_first_ord", "block_gap_off", "block_tf_off",
             "block_max_tf", "block_min_norm",
@@ -274,6 +380,41 @@ class PhysicalIndex:
         scored = postings.groupBy("p").applyInPandas(score, "docid long, score double")
         return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
+    def phrase_topk(self, phrase: str, k: int = 10, slop: int = 0) -> DataFrame:
+        """Top-k phrase matches over the compressed segments (PhraseQuery on
+        the physical path). Scoring parity with query/phrase.py: tf = phrase
+        freq, weight = Σ member idfs, quantized norms. Query-side stopword
+        gaps are preserved in the match pattern."""
+        from solr_spark.analysis.chain import analyze_pos
+
+        stats = self.stats
+        k1, b, avgdl, n = stats["k1"], stats["b"], stats["avgdl"], stats["n_docs"]
+        empty = self.spark.createDataFrame([], "docid long, score double")
+        tp = analyze_pos(phrase, stats["analyzer"])
+        if not tp or n == 0:
+            return empty
+        terms = [t for t, _ in tp]
+        offsets = [p - tp[0][1] for _, p in tp]
+        dfs = self._df_for_terms(sorted(set(terms)))
+        if any(t not in dfs for t in terms):
+            return empty
+        w = sum(idf(n, dfs[t]) for t in terms)
+        # Positions column only on THIS scan — term-query WAND never pays
+        # for the .pos bytes (parquet column pruning).
+        postings = self._scan.select(
+            "p", "gen", "term", "gaps", "tfs", "norms", "poss"
+        ).where(F.col("term").isin(sorted(set(terms))))
+        index_dir = self.index_dir
+
+        def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _phrase_partition(
+                pdf, terms, offsets, slop, w, k, k1, b, avgdl,
+                index_dir, int(key[0]),
+            )
+
+        scored = postings.groupBy("p").applyInPandas(score, "docid long, score double")
+        return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
 
 _READER_CACHE: dict[tuple[str, str], PhysicalIndex] = {}
 
@@ -313,3 +454,14 @@ def wand_topk(
 ) -> DataFrame:
     """Top-k (docid, score) from a physical index directory."""
     return open_index(spark, index_dir).topk(query, k=k, use_wand=use_wand)
+
+
+def wand_phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    slop: int = 0,
+) -> DataFrame:
+    """Top-k phrase matches from a physical index directory."""
+    return open_index(spark, index_dir).phrase_topk(phrase, k=k, slop=slop)

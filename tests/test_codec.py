@@ -61,3 +61,37 @@ def test_varbyte_extremes():
     assert np.array_equal(vb_decode(vb_encode(vals)), vals)
     assert vb_encode(np.empty(0, dtype=np.uint64)) == b""
     assert vb_decode(b"").size == 0
+
+
+def test_positions_roundtrip():
+    import numpy as np
+
+    from solr_spark.index.codec import (
+        BLOCK_SIZE,
+        decode_positions,
+        decode_postings,
+        encode_postings,
+        vb_decode,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 1000
+    ords = np.sort(rng.choice(100000, n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 6, n).astype(np.int64)
+    norms = rng.integers(0, 256, n).astype(np.uint8)
+    pls = [np.sort(rng.choice(500, int(t), replace=False)).astype(np.int64)
+           for t in tfs]
+    flat = np.concatenate(pls)
+    enc = encode_postings(ords, tfs, norms, positions=flat)
+    o2, t2 = decode_postings(enc.gaps, enc.tfs)
+    f2, starts = decode_positions(enc.poss, t2)
+    assert (f2 == flat).all()
+    for i in (0, 1, 57, n - 1):
+        assert (f2[starts[i]:starts[i] + tfs[i]] == pls[i]).all()
+    # block offsets let a block's positions decode without predecessors
+    bi = 3
+    s, e = int(enc.block_pos_off[bi]), int(enc.block_pos_off[bi + 1])
+    gaps_blk = vb_decode(enc.poss[s:e])
+    assert gaps_blk.size == tfs[bi * BLOCK_SIZE:(bi + 1) * BLOCK_SIZE].sum()
+    first = np.cumsum(gaps_blk.astype(np.int64))[: int(tfs[bi * BLOCK_SIZE])]
+    assert (first == pls[bi * BLOCK_SIZE]).all()

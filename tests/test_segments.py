@@ -183,3 +183,38 @@ def test_assume_partitioned_violation_raises(spark, tmp_path_factory):
     with pytest.raises(Exception, match="not co-located|checksum|DIFFERENT"):
         build_segments(corpus, d, analyzer="simple", id_col="doc_id",
                        text_col="text", assume_partitioned=True)
+
+
+PHRASES = [("part filter scan", 0), ("spark join", 0), ("spark join", 2)]
+
+
+@pytest.mark.parametrize("q,slop", PHRASES)
+def test_wand_phrase_matches_dataframe(spark, idx_dir, logical, q, slop):
+    """Physical phrase path must be rank- AND score-identical to the logical
+    positions-join path (quantized norms on both)."""
+    from solr_spark.query.phrase import phrase_topk
+    from solr_spark.query.wand import wand_phrase_topk
+
+    want = _rows(phrase_topk(logical, q, k=10, slop=slop, quantize_norms=True))
+    got = _rows(wand_phrase_topk(spark, idx_dir, q, k=10, slop=slop))
+    assert got == want and got  # non-empty
+
+
+def test_merge_preserves_positions(spark, docs, tmp_path_factory):
+    """Positions survive a generation merge: phrase results over the merged
+    index equal those over the multi-generation index."""
+    from solr_spark.query.wand import wand_phrase_topk
+
+    d = str(tmp_path_factory.mktemp("mergepos") / "multi")
+    m = str(tmp_path_factory.mktemp("mergepos") / "merged")
+    build_segments(docs.where(F.col("doc_id") % 2 == 0), d, n_partitions=4,
+                   analyzer="simple", id_col="doc_id", text_col="text",
+                   generation=0)
+    build_segments(docs.where(F.col("doc_id") % 2 == 1), d, n_partitions=4,
+                   analyzer="simple", id_col="doc_id", text_col="text",
+                   generation=1)
+    finalize_index(spark, d, analyzer="simple")
+    merge_index(spark, d, m)
+    a = _rows(wand_phrase_topk(spark, d, "spark join", k=10))
+    bb = _rows(wand_phrase_topk(spark, m, "spark join", k=10))
+    assert a == bb and a
