@@ -1090,6 +1090,86 @@ CATALOG["wand_phrase_adjacency"].sql = _phrase_quant_sql(
 )
 
 
+def _edismax_pf_sql() -> str:
+    """Oracle for edismax: BM25 main query + additive phrase boosts
+    (pf whole-phrase ×2.0, pf2 bigrams ×1.5) on 'part filter scan'."""
+    terms = ["part", "filter", "scan"]
+    k1, b1 = K1_DEFAULT, B_DEFAULT
+    norm = f"({k1} * ({1.0 - b1} + {b1} * dl.dl / {AVGDL}))"
+
+    def phrase_cte(tag: str, gram: list[str], boost: float) -> str:
+        joins = " ".join(
+            f"JOIN tokp {tag}_t{i} ON {tag}_t{i}.doc_id = {tag}_t0.doc_id "
+            f"AND {tag}_t{i}.term = '{gram[i]}' "
+            f"AND {tag}_t{i}.pos = {tag}_t0.pos + {i}"
+            for i in range(1, len(gram))
+        )
+        wsum = " + ".join(
+            f"ln(1 + ({NDOCS} - (SELECT df FROM dfs WHERE term='{t}') + 0.5) / "
+            f"((SELECT df FROM dfs WHERE term='{t}') + 0.5))"
+            for t in gram
+        )
+        norm2 = f"({k1} * ({1.0 - b1} + {b1} * dl2.dl / {AVGDL}))"
+        return (
+            f"{tag}_m AS (SELECT {tag}_t0.doc_id, count(*) AS tfp "
+            f"FROM tokp {tag}_t0 {joins} WHERE {tag}_t0.term = '{gram[0]}' "
+            f"GROUP BY {tag}_t0.doc_id), "
+            f"{tag} AS (SELECT m.doc_id, {boost} * ({wsum}) * m.tfp / "
+            f"(m.tfp + {norm2}) AS s "
+            f"FROM {tag}_m m JOIN dl dl2 ON dl2.doc_id = m.doc_id)"
+        )
+    # build phrase CTEs: pf (whole query, x2.0), pf2 bigrams (x1.5)
+    ctes = [
+        phrase_cte("pfq", terms, 2.0),
+        phrase_cte("pf2a", terms[0:2], 1.5),
+        phrase_cte("pf2b", terms[1:3], 1.5),
+    ]
+    tlist = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {TOKS}, {TF}, {DL}, {TOKP},
+qt(term) AS (VALUES {tlist}),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+main AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {norm})) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+{', '.join(ctes)}
+SELECT main.doc_id,
+       {_sql_scaled('main.s + coalesce(pfq.s, 0) + coalesce(pf2a.s, 0) + coalesce(pf2b.s, 0)')} AS score_x10k
+FROM main
+LEFT JOIN pfq ON pfq.doc_id = main.doc_id
+LEFT JOIN pf2a ON pf2a.doc_id = main.doc_id
+LEFT JOIN pf2b ON pf2b.doc_id = main.doc_id
+ORDER BY score_x10k DESC, main.doc_id ASC LIMIT 10
+"""
+
+
+@register("edismax_pf", None)  # sql attached below
+def edismax_pf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax (ExtendedDismaxQParser.java:73,101-152): main dismax query
+    plus additive pf whole-phrase and pf2 bigram boosts over text."""
+    from solr_spark.query.edismax import edismax_search
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = edismax_search(
+        {"text": idx}, "part filter scan",
+        qf={"text": 1.0}, pf={"text": 2.0}, pf2={"text": 1.5}, k=10,
+    )
+    return (
+        out.select(
+            F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k")
+        )
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+CATALOG["edismax_pf"].sql = _edismax_pf_sql()
+
+
 _MISC_CACHE: dict = {}
 
 

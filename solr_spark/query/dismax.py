@@ -43,17 +43,18 @@ def build_multi_index(
     return out
 
 
-def dismax_search(
+def dismax_score_df(
     indexes: dict[str, IndexTables],
     query: str,
     qf: dict[str, float] | None = None,
     tie: float = 0.0,
     mm: int = 1,
-    k: int = 10,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
 ) -> DataFrame:
-    """Top-k (docid, score) under DisMax combination."""
+    """UNSORTED (docid, score) of every doc matching under DisMax — the
+    composable form (edismax layers phrase boosts on top before its own
+    top-k, so no global sort happens here)."""
     fields = list(indexes)
     qf = qf or {f: 1.0 for f in fields}
     some_index = indexes[fields[0]]
@@ -117,8 +118,19 @@ def dismax_search(
     )
     if mm > 1:
         scored = scored.where(F.col("n_matched") >= mm)
-    return (
-        scored.select("docid", "score")
-        .orderBy(F.col("score").desc(), F.col("docid").asc())
-        .limit(k)
-    )
+    return scored.select("docid", "score")
+
+
+def dismax_search(
+    indexes: dict[str, IndexTables],
+    query: str,
+    qf: dict[str, float] | None = None,
+    tie: float = 0.0,
+    mm: int = 1,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Top-k (docid, score) under DisMax combination."""
+    scored = dismax_score_df(indexes, query, qf=qf, tie=tie, mm=mm, k1=k1, b=b)
+    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

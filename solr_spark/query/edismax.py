@@ -1,0 +1,136 @@
+"""Extended DisMax (edismax): dismax + phrase boosts + aliasing + boost.
+
+Reference semantics (solr/core/src/java/org/apache/solr/search/
+ExtendedDismaxQParser.java:73,101-152, 1772 LoC; SURVEY.md §2.2):
+
+- main query: each term is a DisjunctionMaxQuery over the ``qf`` fields
+  (max + tie·rest), summed over terms, with ``mm`` min-should-match —
+  exactly DisMaxQParser's combination (query/dismax.py).
+- ``pf``: the WHOLE analyzed query, as a phrase with slop ``ps``, is scored
+  against each pf field and ADDED to the main score for docs that match
+  (addShingledPhraseQueries with shingle size = all terms).
+- ``pf2`` / ``pf3``: every consecutive BIGRAM / TRIGRAM of the query terms
+  becomes such an additive phrase boost (slop ``ps2``/``ps3``).
+- field aliasing: ``f.<alias>.qf = realfield^boost ...`` lets qf/pf entries
+  name an alias that fans out to real fields (ExtendedDismaxQParser.Alias).
+- ``boost``: MULTIPLICATIVE boost — the final score is multiplied by the
+  given function value per doc (BoostQParserPlugin semantics; unlike
+  dismax's additive ``bf``).
+
+Spark shape: the main dismax plan is unchanged (broadcast weights, two
+keyed aggregations); each phrase boost is a positions-join
+(query/phrase.py) producing (docid, boost_score) unioned once and merged
+with a single groupBy(docid); the multiplicative boost is a projection
+joined from the docs table. Phrase boosts only ever JOIN on docids already
+matching their terms — no new scan shapes beyond the phrase operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.analysis.chain import analyze
+from solr_spark.index.build import IndexTables
+from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT
+from solr_spark.query.dismax import dismax_score_df
+from solr_spark.query.phrase import phrase_score_df
+
+
+def resolve_aliases(
+    qf: dict[str, float], aliases: dict[str, dict[str, float]] | None
+) -> dict[str, float]:
+    """Expand alias field names into real fields, multiplying boosts
+    (f.<alias>.qf semantics). Real fields pass through untouched."""
+    if not aliases:
+        return dict(qf)
+    out: dict[str, float] = {}
+    for fname, boost in qf.items():
+        if fname in aliases:
+            for real, ab in aliases[fname].items():
+                out[real] = out.get(real, 0.0) + boost * ab
+        else:
+            out[fname] = out.get(fname, 0.0) + boost
+    return out
+
+
+def _ngrams(terms: list[str], n: int) -> list[list[str]]:
+    return [terms[i : i + n] for i in range(len(terms) - n + 1)]
+
+
+def edismax_search(
+    indexes: dict[str, IndexTables],
+    query: str,
+    qf: dict[str, float] | None = None,
+    tie: float = 0.0,
+    mm: int = 1,
+    pf: dict[str, float] | None = None,
+    pf2: dict[str, float] | None = None,
+    pf3: dict[str, float] | None = None,
+    ps: int = 0,
+    ps2: int = 0,
+    ps3: int = 0,
+    boost_col: Column | str | None = None,
+    aliases: dict[str, dict[str, float]] | None = None,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Top-k (docid, score) under edismax combination.
+
+    ``indexes`` maps field name -> IndexTables (build_multi_index); phrase
+    boosts need those indexes built with positions=True. ``boost_col``
+    multiplies the final score by a column of the first index's docs table.
+    """
+    fields = list(indexes)
+    qf = resolve_aliases(qf or {f: 1.0 for f in fields}, aliases)
+    some_index = indexes[fields[0]]
+    spark = some_index.postings.sparkSession
+    analyzer = some_index.analyzer
+    terms = analyze(query, analyzer)
+    empty = spark.createDataFrame([], "docid long, score double")
+    if not terms:
+        return empty
+
+    # Main dismax query over the resolved qf — unsorted: the top-k sort
+    # happens once, AFTER the phrase boosts and multiplicative boost.
+    main = dismax_score_df(
+        {f: indexes[f] for f in qf if f in indexes},
+        query, qf=qf, tie=tie, mm=mm, k1=k1, b=b,
+    ).select("docid", F.col("score").alias("contrib"))
+
+    # Additive phrase boosts: pf = whole query, pf2 = bigrams, pf3 = trigrams.
+    parts = [main]
+    for pdict, size, slop in ((pf, 0, ps), (pf2, 2, ps2), (pf3, 3, ps3)):
+        if not pdict:
+            continue
+        grams = [terms] if size == 0 else _ngrams(terms, size)
+        for fname, boost in resolve_aliases(pdict, aliases).items():
+            if fname not in indexes:
+                continue
+            for gram in grams:
+                if len(gram) < 2:
+                    continue
+                parts.append(
+                    phrase_score_df(
+                        indexes[fname], gram, slop=slop, boost=boost,
+                        k1=k1, b=b, quantize_norms=False,
+                    ).select("docid", F.col("score").alias("contrib"))
+                )
+
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    scored = allc.groupBy("docid").agg(F.sum("contrib").alias("score"))
+    # Phrase boosts must not resurrect docs the main query rejected (mm):
+    # semi-join back to the main match set.
+    scored = scored.join(main.select("docid"), "docid", "left_semi")
+
+    if boost_col is not None:
+        bc = F.col(boost_col) if isinstance(boost_col, str) else boost_col
+        bdf = some_index.docs.select("docid", bc.cast("double").alias("_mboost"))
+        scored = scored.join(bdf, "docid").select(
+            "docid", (F.col("score") * F.col("_mboost")).alias("score")
+        )
+
+    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

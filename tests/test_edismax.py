@@ -1,0 +1,114 @@
+"""edismax: phrase boosts, aliasing, multiplicative boost vs hand oracles.
+
+Reference: search/ExtendedDismaxQParser.java:73,101-152 (pf/pf2/pf3 shingled
+phrase boosts, Alias expansion, multiplicative boost)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.index.build import build_index
+from solr_spark.query.dismax import dismax_search
+from solr_spark.query.edismax import edismax_search, resolve_aliases
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def idx(docs):
+    i = build_index(docs, id_col="doc_id", text_col="text", analyzer="simple",
+                    stored_cols=("n_chars",))
+    i.postings = i.postings.persist()
+    i.doclens = i.doclens.persist()
+    return i
+
+
+def _rows(df):
+    return [(int(r[0]), round(float(r[1]), 9)) for r in df.collect()]
+
+
+def test_no_boosts_equals_dismax(idx):
+    a = _rows(edismax_search({"text": idx}, "spark join", k=10))
+    b = _rows(dismax_search({"text": idx}, "spark join", k=10))
+    assert a == b
+
+
+def test_pf_adds_phrase_score(idx):
+    from solr_spark.query.phrase import phrase_score_df
+
+    base = dict(_rows(edismax_search({"text": idx}, "spark join", k=100000)))
+    boosted = dict(
+        _rows(
+            edismax_search(
+                {"text": idx}, "spark join", pf={"text": 3.0}, k=100000
+            )
+        )
+    )
+    ph = {
+        int(r.docid): round(float(r.score), 9)
+        for r in phrase_score_df(
+            idx, ["spark", "join"], boost=3.0, quantize_norms=False
+        ).collect()
+    }
+    assert set(base) == set(boosted)  # pf never changes the match set
+    assert ph  # phrase matches exist at this sf
+    for d, s in boosted.items():
+        want = base[d] + ph.get(d, 0.0)
+        assert abs(s - want) < 1e-6, (d, s, want)
+
+
+def test_pf2_bigrams(idx):
+    # 3-term query: pf2 adds both bigram phrase scores.
+    from solr_spark.query.phrase import phrase_score_df
+
+    base = dict(_rows(edismax_search({"text": idx}, "part filter scan", k=100000)))
+    boosted = dict(
+        _rows(
+            edismax_search(
+                {"text": idx}, "part filter scan", pf2={"text": 2.0}, k=100000
+            )
+        )
+    )
+    b1 = {
+        int(r.docid): float(r.score)
+        for r in phrase_score_df(idx, ["part", "filter"], boost=2.0,
+                                 quantize_norms=False).collect()
+    }
+    b2 = {
+        int(r.docid): float(r.score)
+        for r in phrase_score_df(idx, ["filter", "scan"], boost=2.0,
+                                 quantize_norms=False).collect()
+    }
+    for d, s in boosted.items():
+        want = base[d] + b1.get(d, 0.0) + b2.get(d, 0.0)
+        assert abs(s - want) < 1e-6
+
+
+def test_alias_expansion():
+    out = resolve_aliases(
+        {"content": 2.0, "text": 1.0},
+        {"content": {"text": 1.5, "title": 0.5}},
+    )
+    assert out == {"text": 1.0 + 2.0 * 1.5, "title": 1.0}
+
+
+def test_multiplicative_boost(idx):
+    base = dict(_rows(edismax_search({"text": idx}, "spark join", k=100000)))
+    boosted = dict(
+        _rows(
+            edismax_search(
+                {"text": idx}, "spark join",
+                boost_col=F.col("n_chars").cast("double") / 100.0, k=100000,
+            )
+        )
+    )
+    nchars = {
+        int(r.docid): int(r.n_chars)
+        for r in idx.docs.select("docid", "n_chars").collect()
+    }
+    for d, s in boosted.items():
+        assert abs(s - base[d] * nchars[d] / 100.0) < 1e-6
