@@ -288,6 +288,78 @@ def facet_query_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "facet_nested_stats",
+    """
+SELECT lang, count(*) AS count, sum(n_chars)::BIGINT AS sum_chars,
+       CAST(floor(avg(n_chars) * 10000.0 + 0.5) AS BIGINT) AS avg_chars_x10k,
+       count(DISTINCT source) AS uniq_src
+FROM documents GROUP BY lang
+ORDER BY sum_chars DESC, lang ASC LIMIT 3
+""",
+)
+def facet_nested_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Facet API: terms buckets carrying stat sub-aggs and SORTED BY a
+    stat (sort:"sum_chars desc") — facet/FacetField.java + SlotAcc.java."""
+    from solr_spark.operators.facets import json_facet
+
+    docs = _t(spark, sf_dir, "documents")
+    res = json_facet(
+        docs,
+        {
+            "type": "terms", "field": "lang", "limit": 3,
+            "sort": "sum_chars desc",
+            "facet": {
+                "sum_chars": "sum(n_chars)",
+                "avg_chars": "avg(n_chars)",
+                "uniq_src": "unique(source)",
+            },
+        },
+    )
+    return res["buckets"].select(
+        "lang", "count", F.col("sum_chars").cast("long").alias("sum_chars"),
+        scaled("avg_chars").alias("avg_chars_x10k"), "uniq_src",
+    )
+
+
+@register(
+    "facet_subfacet_top_sources",
+    """
+WITH top_langs AS (
+  SELECT lang FROM documents GROUP BY lang
+  ORDER BY sum(n_chars) DESC, lang ASC LIMIT 3),
+src AS (
+  SELECT lang, source, count(*) AS count
+  FROM documents JOIN top_langs USING (lang) GROUP BY lang, source),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY count DESC, source ASC) AS rn
+  FROM src)
+SELECT lang, source, count FROM ranked WHERE rn <= 2
+ORDER BY lang ASC, count DESC, source ASC
+""",
+)
+def facet_subfacet_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON facet: top-2 sources (by count) WITHIN each of the top-3
+    langs (by sum(n_chars)) — per-bucket sub-facet with its own sort+limit
+    (FacetField sub-facets; the per-parent top-N is a window, not N jobs)."""
+    from solr_spark.operators.facets import json_facet
+
+    docs = _t(spark, sf_dir, "documents")
+    res = json_facet(
+        docs,
+        {
+            "type": "terms", "field": "lang", "limit": 3,
+            "sort": "sum_chars desc",
+            "facet": {
+                "sum_chars": "sum(n_chars)",
+                "srcs": {"type": "terms", "field": "source", "limit": 2,
+                         "sort": "count desc"},
+            },
+        },
+    )
+    return res["srcs"].select("lang", "source", "count")
+
+
+@register(
     "stats_nchars_by_lang",
     f"""
 SELECT lang, count(n_chars) AS count,

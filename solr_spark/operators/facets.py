@@ -138,6 +138,114 @@ def field_stats(
     return df.groupBy(by).agg(*aggs).orderBy(by)
 
 
+# ---------------------------------------------------------------------------
+# JSON Facet API: nested buckets with stat sub-aggs and stat-sorted buckets
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_AGG_RE = _re.compile(r"(sum|avg|min|max|unique|percentile)\((\w+)(?:\s*,\s*([\d.]+))?\)")
+
+
+def _stat_col(expr: str) -> Column:
+    """Parse a JSON-facet stat expression ('sum(f)', 'avg(f)', 'min(f)',
+    'max(f)', 'unique(f)', 'percentile(f, 50)', 'count') into a Column
+    (facet/SlotAcc.java agg registry)."""
+    if expr == "count":
+        return F.count("*")
+    m = _AGG_RE.fullmatch(expr.strip())
+    if not m:
+        raise ValueError(f"unsupported facet agg: {expr!r}")
+    fn, fld, arg = m.group(1), m.group(2), m.group(3)
+    c = F.col(fld)
+    if fn == "sum":
+        return F.sum(c)
+    if fn == "avg":
+        return F.avg(c)
+    if fn == "min":
+        return F.min(c)
+    if fn == "max":
+        return F.max(c)
+    if fn == "unique":
+        return F.countDistinct(c)
+    return F.percentile(c, F.lit(float(arg) / 100.0))
+
+
+def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None
+               ) -> dict[str, DataFrame]:
+    """JSON Facet API terms facet with nested sub-facets and stat sorting.
+
+    ``spec`` mirrors Solr's json.facet (facet/FacetField.java +
+    FacetRequest.java): ``{"type": "terms", "field": ..., "limit": N,
+    "mincount": M, "sort": "<stat>|count|index asc|desc", "facet":
+    {statName: "sum(col)", subName: {nested terms spec}}}``.
+
+    Returns ``{"buckets": <this facet's buckets>, "<subName>": <child flat
+    table with the parent bucket columns>, ...}`` — nested children are
+    flattened with dotted keys. Bucket ties always break by bucket value
+    ascending (Solr's index order), so output is deterministic.
+
+    Scale shape: ONE groupBy per facet level (stats ride the same partial+
+    final aggregate as the count — exact, no refinement pass needed, see
+    module docstring); sub-facets semi-join the SURVIVING parent buckets
+    (broadcast — the bucket list is limit-bounded) before their own single
+    groupBy, and per-parent top-N is a window over the child aggregate, not
+    a per-bucket job.
+    """
+    parents = _parents or []
+    field = spec["field"]
+    limit = spec.get("limit", 10)
+    offset = spec.get("offset", 0)
+    mincount = spec.get("mincount", 1)
+    sort = spec.get("sort", "count desc")
+
+    sub_spec = spec.get("facet", {}) or {}
+    stats = {n: s for n, s in sub_spec.items() if isinstance(s, str)}
+    subs = {n: s for n, s in sub_spec.items() if isinstance(s, dict)}
+
+    aggs = [F.count("*").alias("count")] + [
+        _stat_col(e).alias(n) for n, e in stats.items()
+    ]
+    buckets = df.groupBy(*parents, field).agg(*aggs)
+    if mincount > 0:
+        buckets = buckets.where(F.col("count") >= mincount)
+
+    sort_name, _, sort_dir = sort.partition(" ")
+    sort_dir = sort_dir or "desc"
+    if sort_name == "index":
+        order = [F.col(field).asc() if sort_dir == "asc" else F.col(field).desc()]
+    else:
+        key = F.col(sort_name)
+        order = [key.desc() if sort_dir == "desc" else key.asc(), F.col(field).asc()]
+
+    if parents:
+        # per-parent top-N: rank within each parent bucket
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*parents).orderBy(*order)
+        buckets = (
+            buckets.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+            .drop("_rn")
+            .orderBy(*[F.col(p).asc() for p in parents], *order)
+        )
+    else:
+        buckets = buckets.orderBy(*order)
+        if offset:
+            buckets = buckets.offset(offset)
+        buckets = buckets.limit(limit)
+
+    out: dict[str, DataFrame] = {"buckets": buckets}
+    if subs:
+        surviving = buckets.select(*parents, field)
+        child_base = df.join(F.broadcast(surviving), [*parents, field], "left_semi")
+        for name, s in subs.items():
+            child = json_facet(child_base, s, _parents=[*parents, field])
+            for ck, cv in child.items():
+                out[name if ck == "buckets" else f"{name}.{ck}"] = cv
+    return out
+
+
 def unique_agg(df: DataFrame, field: str, by: str | None = None) -> DataFrame:
     """`unique` facet agg — exact distinct count (facet/UniqueAgg.java)."""
     agg = F.countDistinct(F.col(field)).alias("unique")

@@ -1,0 +1,98 @@
+"""JSON Facet API: nested buckets, stat sub-aggs, stat-sorted buckets.
+
+Oracle: pandas recomputation over the same parquet (independent engine)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from solr_spark.operators.facets import json_facet
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def pdocs(docs):
+    return docs.select("lang", "source", "n_chars").toPandas()
+
+
+def test_stat_sorted_buckets(docs, pdocs):
+    res = json_facet(
+        docs,
+        {"field": "lang", "limit": 3, "sort": "sum_chars desc",
+         "facet": {"sum_chars": "sum(n_chars)", "avg_chars": "avg(n_chars)"}},
+    )["buckets"].toPandas()
+    want = (
+        pdocs.groupby("lang")
+        .agg(count=("n_chars", "size"), sum_chars=("n_chars", "sum"),
+             avg_chars=("n_chars", "mean"))
+        .reset_index()
+        .sort_values(["sum_chars", "lang"], ascending=[False, True])
+        .head(3)
+        .reset_index(drop=True)
+    )
+    assert list(res["lang"]) == list(want["lang"])
+    assert list(res["sum_chars"]) == list(want["sum_chars"])
+    assert [round(x, 6) for x in res["avg_chars"]] == [
+        round(x, 6) for x in want["avg_chars"]
+    ]
+
+
+def test_index_sort_and_mincount(docs, pdocs):
+    res = json_facet(
+        docs, {"field": "lang", "limit": 100, "sort": "index asc",
+               "mincount": 50},
+    )["buckets"].toPandas()
+    vc = pdocs["lang"].value_counts()
+    want = sorted(v for v in vc.index if vc[v] >= 50)
+    assert list(res["lang"]) == want
+
+
+def test_nested_subfacet_per_bucket_limit(docs, pdocs):
+    res = json_facet(
+        docs,
+        {"field": "lang", "limit": 2, "sort": "count desc",
+         "facet": {"srcs": {"field": "source", "limit": 2,
+                            "sort": "count desc"}}},
+    )
+    top_langs = (
+        pdocs.groupby("lang").size().reset_index(name="n")
+        .sort_values(["n", "lang"], ascending=[False, True]).head(2)["lang"]
+        .tolist()
+    )
+    child = res["srcs"].toPandas()
+    assert sorted(child["lang"].unique()) == sorted(top_langs)
+    for lang in top_langs:
+        sub = pdocs[pdocs["lang"] == lang]
+        vc = (
+            sub.groupby("source").size().reset_index(name="count")
+            .sort_values(["count", "source"], ascending=[False, True]).head(2)
+        )
+        got = child[child["lang"] == lang].sort_values(
+            ["count", "source"], ascending=[False, True]
+        )
+        assert list(got["source"]) == list(vc["source"])
+        assert list(got["count"]) == list(vc["count"])
+
+
+def test_three_level_nesting_runs(docs):
+    res = json_facet(
+        docs,
+        {"field": "lang", "limit": 2,
+         "facet": {"s": {"field": "source", "limit": 2,
+                         "facet": {"b": {"field": "lang", "limit": 1}}}}},
+    )
+    assert set(res) == {"buckets", "s", "s.b"}
+    grand = res["s.b"].toPandas()
+    assert list(grand.columns[:3]) == ["lang", "source", "lang"] or len(grand.columns) >= 3
+
+
+def test_unsupported_agg_raises(docs):
+    with pytest.raises(ValueError, match="unsupported"):
+        json_facet(docs, {"field": "lang", "facet": {"x": "median(n_chars)"}})[
+            "buckets"
+        ].collect()
