@@ -2077,6 +2077,119 @@ def block_join_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "block_join_child",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 50
+""",
+)
+def block_join_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!child of=...}`: lineitem children of qualifying order parents
+    (search/join/BlockJoinChildQParserPlugin.java)."""
+    from solr_spark.operators.joins import child_join
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    li = _t(spark, sf_dir, "lineitem")
+    out = child_join(o, li, "l_orderkey", F.col("o_totalprice") > 400000)
+    return (
+        out.select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+        .limit(50)
+    )
+
+
+@register(
+    "hash_range_scan",
+    f"""
+SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+      BETWEEN 0 AND {1 << 59}
+""",
+)
+def hash_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!hashRange f=doc_id l=0 u=2^59}` — the shard-split half filter
+    (search/HashRangeQParserPlugin.java)."""
+    from solr_spark.operators.streams import hash_range_filter
+
+    d = _t(spark, sf_dir, "documents")
+    part = hash_range_filter(d, "doc_id", 0, 1 << 59)
+    return part.agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "maxscore_top10",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES ('spark'), ('join'), ('data')),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+per AS (
+  SELECT tf.doc_id,
+         max(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM per
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def maxscore_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!maxscore}`: optional clauses combine with MAX instead of SUM
+    (search/MaxScoreQParser.java)."""
+    from solr_spark.query.maxscore import maxscore_search
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = maxscore_search(idx, "spark join data", k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "rank_feature_boost",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+dfs AS (SELECT count(*) AS df FROM tf WHERE term = 'spark'),
+main AS (
+  SELECT tf.doc_id,
+         (SELECT ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) FROM dfs)
+         * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS s
+  FROM tf JOIN dl USING (doc_id) WHERE tf.term = 'spark')
+SELECT m.doc_id,
+       {_sql_scaled('m.s + 1.5 * (d.n_chars / (d.n_chars + 200.0))')} AS score_x10k
+FROM main m JOIN documents d ON d.doc_id = m.doc_id
+ORDER BY score_x10k DESC, m.doc_id ASC LIMIT 10
+""",
+)
+def rank_feature_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RankField (schema/RankField.java): BM25 plus an additive-bq rank
+    feature, satu(n_chars, pivot=200) boosted 1.5 (Lucene FeatureField
+    SaturationFunction)."""
+    from solr_spark.query.bm25 import bm25_score_df
+    from solr_spark.query.maxscore import rank_feature_col
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    main = bm25_score_df(idx, ["spark"], quantize_norms=False)
+    feat = idx.docs.select(
+        "docid",
+        (F.lit(1.5) * rank_feature_col("n_chars", "satu", 200.0)).alias("feat"),
+    )
+    out = main.join(feat, "docid").select(
+        F.col("docid").alias("doc_id"),
+        scaled(F.col("score") + F.col("feat")).alias("score_x10k"),
+    )
+    return out.orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc()).limit(10)
+
+
+@register(
     "atomic_update_merge",
     """
 WITH upd AS (

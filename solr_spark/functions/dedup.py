@@ -223,11 +223,46 @@ SIMHASH_BITS = 60  # content_hash yields 60-bit values
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash long) — tf-weighted 60-bit SimHash of the token stream.
 
-    bit_j(sig) = 1 iff Σ_terms tf·(2·bit_j(h(term)) − 1) > 0. Long-format
-    implementation (terms × bits rows through one hash aggregate) so the
-    SQL oracle can reproduce it exactly; an array-expression variant would
-    avoid the row blowup at scale at the cost of oracle-ability.
+    bit_j(sig) = 1 iff Σ_terms tf·(2·bit_j(h(term)) − 1) > 0.
+
+    PRODUCTION shape: one row per (id, distinct term) with the 60 per-bit
+    signed sums as 60 aggregate COLUMNS of a single groupBy(id) — pure JVM
+    whole-stage codegen, one shuffle keyed by id, and NO bit-dimension row
+    explosion (the long-form terms×60 variant below exists only as the
+    SQL-oracle cross-check; at 100 TB the 60× row blowup is a scale-killer).
     """
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", content_hash(F.col("term")))
+    )
+    # Σ tf·(2·bit_j − 1) = 2·Σ tf·bit_j − Σ tf, per bit j, as plain columns.
+    per_bit = tf.groupBy("id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)).cast("long") * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return per_bit.select("id", sig.alias("simhash"))
+
+
+def simhash_longform(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Long-format SimHash (terms × 60 bit-rows) — kept ONLY as the
+    independent cross-check the DuckDB oracle can reproduce; use simhash()
+    in pipelines. Both produce identical signatures (tested)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens_col(F.col(text_col))).alias("term"),

@@ -132,6 +132,19 @@ def hash_partition_filter(
     return df.where(F.pmod(h, F.lit(workers)) == F.lit(worker))
 
 
+def hash_range_filter(
+    df: DataFrame, key: str, lower: int, upper: int
+) -> DataFrame:
+    """`{!hashRange f=key l=lower u=upper}` — keep rows whose key-hash falls
+    in [lower, upper] (search/HashRangeQParserPlugin.java: the filter each
+    shard-half applies during an index split). Same portable md5-derived
+    hash as `{!hash}`, so split halves are consistent with worker routing."""
+    from solr_spark.functions.dedup import content_hash
+
+    h = content_hash(F.col(key).cast("string"))
+    return df.where((h >= F.lit(lower)) & (h <= F.lit(upper)))
+
+
 def timeseries_stream(
     df: DataFrame,
     ts_col: str,

@@ -211,3 +211,22 @@ def test_frame_sample_plan(spark):
         per_id.setdefault(r.id, []).append(r.frame_ts)
     assert sorted(per_id[1]) == [0.0, 1.0, 2.0]
     assert per_id[2] == [0.0]
+
+
+def test_simhash_vectorized_equals_longform(spark):
+    """The production 60-aggregate-column SimHash must produce identical
+    signatures to the long-form (terms x bits) oracle variant, and its plan
+    must not explode the bit dimension."""
+    from solr_spark.functions.dedup import simhash, simhash_longform
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    b = {r.id: r.simhash
+         for r in simhash_longform(docs, "text", "doc_id").collect()}
+    assert a == b and len(a) == docs.count()
+    plan = (
+        simhash(docs, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only Generate allowed is the token explode; no sequence(0,59)
+    assert "sequence(0, 59" not in plan
