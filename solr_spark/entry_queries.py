@@ -359,6 +359,141 @@ def facet_subfacet_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["srcs"].select("lang", "source", "count")
 
 
+_SIG = "(({z}) + {o}) / ({s} + abs(({z}) + {o}))"
+
+
+@register(
+    "relatedness_langs",
+    f"""
+WITH {TOKS},
+fg AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+sizes AS (SELECT (SELECT count(*) FROM documents) AS bg_size,
+                 (SELECT count(*) FROM fg) AS fg_size),
+counts AS (
+  SELECT lang AS value, count(*) AS bg_count,
+         sum(CASE WHEN doc_id IN (SELECT doc_id FROM fg) THEN 1 ELSE 0 END)::BIGINT AS fg_count
+  FROM documents GROUP BY lang),
+z AS (
+  SELECT value, fg_count, bg_count,
+         (fg_count - fg_size * (bg_count * 1.0 / bg_size)) /
+         (CASE WHEN sqrt(fg_size * (bg_count * 1.0 / bg_size) * (1 - bg_count * 1.0 / bg_size)) = 0
+               THEN 1e-10
+               ELSE sqrt(fg_size * (bg_count * 1.0 / bg_size) * (1 - bg_count * 1.0 / bg_size)) END) AS zz,
+         fg_size, bg_size
+  FROM counts CROSS JOIN sizes WHERE fg_count >= 1)
+SELECT value, fg_count, bg_count,
+       round(0.2 * ({_SIG.format(z='zz', o=-80, s=50)} + {_SIG.format(z='zz', o=-30, s=30)}
+        + {_SIG.format(z='zz', o=0, s=30)} + {_SIG.format(z='zz', o=30, s=30)}
+        + {_SIG.format(z='zz', o=80, s=50)}) * 1e5) / 1e5 AS relatedness,
+       round(fg_count * 1e5 / bg_size) / 1e5 AS foreground_popularity,
+       round(bg_count * 1e5 / bg_size) / 1e5 AS background_popularity
+FROM z
+ORDER BY relatedness DESC, value ASC LIMIT 10
+""",
+)
+def relatedness_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`relatedness()` SKG agg (facet/RelatednessAgg.java:696-725): lang
+    buckets scored by foreground ('spark' docs) vs background concentration
+    — exact reference math (z-score + 5-sigmoid blend, 5-digit rounding)."""
+    from solr_spark.operators.facets import relatedness_facet
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    fg_ids = idx.postings.where(F.col("term") == "spark").select(
+        F.col("docid").alias("doc_id")
+    ).distinct()
+    tagged = docs.join(
+        fg_ids.withColumn("_fg", F.lit(1)), "doc_id", "left"
+    ).withColumn("_fg", F.coalesce(F.col("_fg"), F.lit(0)))
+    return relatedness_facet(tagged, "lang", F.col("_fg") == 1, limit=10)
+
+
+@register(
+    "unique_block_flags",
+    """
+SELECT l_returnflag AS flag, count(DISTINCT l_orderkey) AS unique_block
+FROM lineitem GROUP BY l_returnflag ORDER BY flag
+""",
+)
+def unique_block_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`uniqueBlock(_root_)` (facet/UniqueBlockAgg.java): distinct parent
+    orders per child-bucket of lineitem."""
+    from solr_spark.operators.facets import unique_block_agg
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_returnflag", "flag")
+    return unique_block_agg(li, "l_orderkey", by="flag")
+
+
+@register(
+    "igain_terms_en",
+    f"""
+WITH {TOKS}, {TF},
+lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label FROM documents),
+sizes AS (SELECT count(*) AS n, sum(label) AS pos FROM lab),
+per AS (
+  SELECT term, count(*) AS df, sum(label)::BIGINT AS xc
+  FROM (SELECT DISTINCT term, doc_id FROM tf) JOIN lab USING (doc_id)
+  GROUP BY term HAVING count(*) >= 5),
+ent AS (
+  SELECT term, df,
+         (SELECT CASE WHEN pos = 0 OR pos = n THEN 0.0
+                 ELSE -(pos*1.0/n)*ln(pos*1.0/n) - (1-pos*1.0/n)*ln(1-pos*1.0/n) END FROM sizes)
+         - (df * 1.0 / (SELECT n FROM sizes)) *
+           (CASE WHEN xc = 0 OR xc = df THEN 0.0
+                 ELSE -(xc*1.0/df)*ln(xc*1.0/df) - (1-xc*1.0/df)*ln(1-xc*1.0/df) END)
+         - (1 - df * 1.0 / (SELECT n FROM sizes)) *
+           (CASE WHEN ((SELECT pos FROM sizes) - xc) <= 0
+                      OR ((SELECT pos FROM sizes) - xc) >= ((SELECT n FROM sizes) - df + 1) THEN 0.0
+                 ELSE -((((SELECT pos FROM sizes) - xc) * 1.0) / ((SELECT n FROM sizes) - df + 1))
+                       * ln((((SELECT pos FROM sizes) - xc) * 1.0) / ((SELECT n FROM sizes) - df + 1))
+                      - (1 - (((SELECT pos FROM sizes) - xc) * 1.0) / ((SELECT n FROM sizes) - df + 1))
+                       * ln(1 - (((SELECT pos FROM sizes) - xc) * 1.0) / ((SELECT n FROM sizes) - df + 1)) END)
+         AS score
+  FROM per)
+SELECT term, df, {_sql_scaled('score', 6)} AS score_x1m FROM ent
+ORDER BY score_x1m DESC, term ASC LIMIT 10
+""",
+)
+def igain_terms_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!igain}` (search/IGainTermsQParserPlugin.java:155-185): top
+    information-gain terms for the binary outcome lang=='en'."""
+    from solr_spark.functions.classify import igain_terms
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("docid"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    out = igain_terms(idx.postings, labels, n_terms=10, min_df=5)
+    return out.select(
+        "term", "df", scaled("score", 6).alias("score_x1m")
+    ).orderBy(F.col("score_x1m").desc(), F.col("term").asc())
+
+
+@register("text_logit_train", None)  # iterative — rows-only driver check
+def text_logit_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!textLogit}` (search/TextLogisticRegressionQParserPlugin.java):
+    10 batch gradient iterations on term-presence features predicting
+    lang=='en'; returns the learned weights (deterministic). Convergence +
+    accuracy are asserted in tests/test_classify.py."""
+    from solr_spark.functions.classify import text_logit_train
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("docid"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    w = text_logit_train(
+        idx.postings, labels, ["spark", "join", "table", "data"], iterations=10
+    )
+    rows = [(t, float(v)) for t, v in sorted(w.items())]
+    return spark.createDataFrame(rows, "term string, weight double").select(
+        "term", scaled("weight", 6).alias("weight_x1m")
+    ).orderBy("term")
+
+
 @register(
     "stats_nchars_by_lang",
     f"""

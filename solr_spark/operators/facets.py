@@ -252,6 +252,81 @@ def unique_agg(df: DataFrame, field: str, by: str | None = None) -> DataFrame:
     return df.agg(agg) if by is None else df.groupBy(by).agg(agg).orderBy(by)
 
 
+def unique_block_agg(
+    children: DataFrame, parent_key: str, by: str | None = None
+) -> DataFrame:
+    """`uniqueBlock(_root_)` facet agg — number of distinct parent BLOCKS
+    the bucket's child docs belong to (facet/UniqueBlockAgg.java; Solr
+    counts via the block's root docid, here the parent key column)."""
+    agg = F.countDistinct(F.col(parent_key)).alias("unique_block")
+    return (
+        children.agg(agg) if by is None
+        else children.groupBy(by).agg(agg).orderBy(by)
+    )
+
+
+def _relatedness_cols() -> tuple[Column, Column, Column]:
+    """relatedness + popularity columns from fg_count/fg_size/bg_count/
+    bg_size columns — the EXACT reference math (facet/RelatednessAgg.java:
+    696-725): z-score of the bucket's foreground count under the background
+    probability, squashed by a 5-sigmoid blend, rounded to 5 digits;
+    popularities are counts over the BACKGROUND size (intentional, :489)."""
+    bg_prob = F.col("bg_count") / F.col("bg_size")
+    num = F.col("fg_count") - F.col("fg_size") * bg_prob
+    denom = F.sqrt(F.col("fg_size") * bg_prob * (1 - bg_prob))
+    z = num / F.when(denom == 0, F.lit(1e-10)).otherwise(denom)
+
+    def sig(x: Column, offset: float, scale: float) -> Column:
+        return (x + offset) / (scale + F.abs(x + offset))
+
+    rel = 0.2 * (
+        sig(z, -80, 50) + sig(z, -30, 30) + sig(z, 0, 30)
+        + sig(z, 30, 30) + sig(z, 80, 50)
+    )
+    r5 = lambda c: F.round(c * 1e5) / 1e5  # noqa: E731  roundTo5Digits
+    return (
+        r5(rel).alias("relatedness"),
+        r5(F.col("fg_count") / F.col("bg_size")).alias("foreground_popularity"),
+        r5(F.col("bg_count") / F.col("bg_size")).alias("background_popularity"),
+    )
+
+
+def relatedness_facet(
+    df: DataFrame,
+    field: str,
+    fg_filter: Column,
+    limit: int = 10,
+    min_count: int = 1,
+) -> DataFrame:
+    """`relatedness(fg, bg)` terms facet (facet/RelatednessAgg.java — the
+    Semantic Knowledge Graph agg, Grainger et al. 2016): buckets of
+    ``field`` scored by how much more the foreground set (rows matching
+    ``fg_filter``) concentrates in the bucket than the background (all
+    rows), sorted relatedness desc.
+
+    ONE pass: fg/bg bucket counts are conditional aggregates of the same
+    groupBy; fg/bg sizes ride along via grouping-free window-less scalars
+    (a tiny 1-row cross join, broadcast)."""
+    sizes = F.broadcast(
+        df.agg(
+            F.count("*").alias("bg_size"),
+            F.sum(F.when(fg_filter, 1).otherwise(0)).cast("long").alias("fg_size"),
+        )
+    )
+    counts = df.groupBy(F.col(field).alias("value")).agg(
+        F.count("*").alias("bg_count"),
+        F.sum(F.when(fg_filter, 1).otherwise(0)).cast("long").alias("fg_count"),
+    )
+    rel, fpop, bpop = _relatedness_cols()
+    return (
+        counts.where(F.col("fg_count") >= min_count)
+        .crossJoin(sizes)
+        .select("value", "fg_count", "bg_count", rel, fpop, bpop)
+        .orderBy(F.col("relatedness").desc(), F.col("value").asc())
+        .limit(limit)
+    )
+
+
 def hll_agg(df: DataFrame, field: str, by: str | None = None, rsd: float = 0.023) -> DataFrame:
     """`hll` facet agg — approximate distinct via HLL++ (facet/HLLAgg.java
     uses org.apache.solr.util.hll; Spark's approx_count_distinct is the

@@ -40,6 +40,12 @@ def gather_nodes(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h))
         )
+        if h >= 2:
+            # Deep walks: truncate the plan per hop — without this the
+            # visited-set lineage doubles every iteration (each hop re-plans
+            # every earlier join) and the driver's plan-compile time, not
+            # the data, becomes the bottleneck.
+            nxt = nxt.localCheckpoint(eager=True)
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.where(F.col("hop") > 0)

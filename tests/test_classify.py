@@ -1,0 +1,93 @@
+"""igain / textLogit / relatedness / uniqueBlock semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.functions.classify import (
+    igain_terms,
+    text_logit_predict,
+    text_logit_train,
+)
+from solr_spark.operators.facets import relatedness_facet, unique_block_agg
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    """40 docs: positives always contain 'alpha', negatives 'beta'; 'noise'
+    appears everywhere (zero information)."""
+    rows = []
+    for i in range(40):
+        pos = i < 20
+        terms = ["noise", "alpha" if pos else "beta"]
+        for t in terms:
+            rows.append((i, t, pos))
+    postings = spark.createDataFrame(
+        [(t, i) for i, t, _ in rows], "term string, docid long"
+    )
+    labels = spark.createDataFrame(
+        [(i, 1 if i < 20 else 0) for i in range(40)], "docid long, label int"
+    )
+    return postings, labels
+
+
+def test_igain_perfect_separator_wins(toy):
+    postings, labels = toy
+    out = {r.term: r.score for r in igain_terms(postings, labels, n_terms=3).collect()}
+    # alpha and beta fully determine the label; noise carries ~0 gain.
+    assert out["alpha"] > out["noise"] and out["beta"] > out["noise"]
+    assert abs(out["noise"]) < 1e-9
+    # alpha's gain equals the reference formula by hand:
+    # H(0.5) - (20/40)*H(20/20=1) - (20/40)*H((20-20)/(40-20+1))
+    assert abs(out["alpha"] - math.log(2)) < 1e-9
+
+
+def test_text_logit_learns_separable(toy):
+    postings, labels = toy
+    w = text_logit_train(postings, labels, ["alpha", "beta", "noise"],
+                         iterations=50, learning_rate=2.0)
+    assert w["alpha"] > 0 > w["beta"]
+    preds = {
+        int(r.docid): float(r.prob)
+        for r in text_logit_predict(postings, w).collect()
+    }
+    acc = sum(
+        1 for d, p in preds.items() if (p > 0.5) == (d < 20)
+    ) / len(preds)
+    assert acc == 1.0
+
+
+def test_relatedness_reference_math(spark):
+    """relatedness must equal the hand-computed z+5-sigmoid reference value
+    (RelatednessAgg.java:696-725)."""
+    rows = [(i, "hot" if i < 30 else "cold", i % 3 == 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, bucket string, fg boolean")
+    out = {
+        r.value: (r.relatedness, r.foreground_popularity, r.background_popularity)
+        for r in relatedness_facet(df, "bucket", F.col("fg")).collect()
+    }
+
+    def ref(fg_count, fg_size, bg_count, bg_size):
+        bg_prob = bg_count / bg_size
+        denom = math.sqrt(fg_size * bg_prob * (1 - bg_prob)) or 1e-10
+        z = (fg_count - fg_size * bg_prob) / denom
+        sig = lambda x, o, s: (x + o) / (s + abs(x + o))  # noqa: E731
+        rel = 0.2 * (sig(z, -80, 50) + sig(z, -30, 30) + sig(z, 0, 30)
+                     + sig(z, 30, 30) + sig(z, 80, 50))
+        return round(rel * 1e5) / 1e5
+
+    fg_size = sum(1 for i in range(100) if i % 3 == 0)
+    hot_fg = sum(1 for i in range(30) if i % 3 == 0)
+    assert out["hot"][0] == pytest.approx(ref(hot_fg, fg_size, 30, 100), abs=1e-9)
+    assert out["hot"][1] == pytest.approx(round(hot_fg * 1e5 / 100) / 1e5)
+
+
+def test_unique_block(spark):
+    rows = [(1, "a"), (1, "a"), (2, "a"), (3, "b"), (3, "b")]
+    df = spark.createDataFrame(rows, "parent long, flag string")
+    out = {r.flag: r.unique_block
+           for r in unique_block_agg(df, "parent", by="flag").collect()}
+    assert out == {"a": 2, "b": 1}

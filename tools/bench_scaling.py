@@ -13,7 +13,16 @@ queries. Build work is Arrow-UDF CPU-bound — the representative scaling
 surface of the engine.
 
 Usage: python tools/bench_scaling.py [--cpus 8,32] [--repeat 40]
+       python tools/bench_scaling.py --mode jvm [--cpus 8,32] [--repeat 40]
 Writes tools-local JSON and prints a summary table.
+
+``--mode jvm`` runs a PURE-JVM control job (parquet scan → split/lower/
+explode → term aggregation: the whole-stage-codegen analogue of the index
+build's string work, zero Python) under the identical pinned-core protocol.
+Purpose: if the JVM control shows the same efficiency ceiling at high core
+counts as the engine build, the ceiling is the shared VM's memory
+bandwidth — independent evidence for the saturation claim in BASELINE.md,
+not an engine property.
 """
 
 from __future__ import annotations
@@ -24,6 +33,59 @@ import os
 import subprocess
 import sys
 import tempfile
+
+_JVM_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import functions as F
+from solr_spark.session import get_spark
+
+cpus = int(os.environ["CPUS"])
+repeat = int(os.environ["REPEAT"])
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark(
+    app_name=f"jvm_baseline_{cpus}",
+    master=f"local[{cpus}]",
+    shuffle_partitions=max(64, cpus * 4),
+    extra_conf={"spark.ui.showConsoleProgress": "false",
+                "spark.local.dir": f"/dev/shm/spark_local_{cpus}"},
+)
+base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+n_base = base.count()
+rep = spark.range(repeat).select(F.col("id").alias("rep"))
+corpus = base.crossJoin(rep).select(
+    (F.col("doc_id") + F.col("rep") * n_base).alias("docid"),
+    F.col("text").alias("content"),
+).repartition(256).persist()
+corpus.count()
+n_docs = n_base * repeat
+
+def job():
+    # Pure whole-stage-codegen string work: lower+split+explode+agg — the
+    # JVM-side analogue of tokenize+invert, zero Python workers.
+    return (
+        corpus.select("docid", F.explode(
+            F.split(F.lower(F.col("content")), "[^a-z0-9]+")
+        ).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("ttf"),
+             F.countDistinct("docid").alias("df"))
+        .agg(F.sum("ttf"), F.count("*"))
+        .collect()
+    )
+
+job()  # warmup (JIT + codegen)
+best = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    job()
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({
+    "cpus": cpus, "n_docs": n_docs, "build_s": round(best, 2),
+    "docs_per_sec": round(n_docs / best, 1), "topk_signature": "jvm",
+}))
+"""
 
 _WORKER = r"""
 import json, os, shutil, sys, time
@@ -111,12 +173,12 @@ print(json.dumps({
 """
 
 
-def run_level(cpus: int, repeat: int) -> dict:
+def run_level(cpus: int, repeat: int, mode: str = "engine") -> dict:
     env = dict(os.environ)
     env.update({"CPUS": str(cpus), "REPEAT": str(repeat), "REPO": os.path.abspath("."),
                 "SOLR_SPARK_DRIVER_MEM": env.get("SOLR_SPARK_DRIVER_MEM", "24g")})
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
-        f.write("import tempfile\n" + _WORKER)
+        f.write("import tempfile\n" + (_JVM_WORKER if mode == "jvm" else _WORKER))
         path = f.name
     # Pin the whole process tree (JVM + Python workers) to exactly `cpus`
     # cores: local[N] alone under-states N because pyspark's worker
@@ -139,15 +201,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", default="8,32")
     ap.add_argument("--repeat", type=int, default=40)
+    ap.add_argument("--mode", choices=["engine", "jvm"], default="engine")
     args = ap.parse_args()
     levels = [int(c) for c in args.cpus.split(",")]
 
-    results = [run_level(c, args.repeat) for c in levels]
+    results = [run_level(c, args.repeat, args.mode) for c in levels]
     lo, hi = results[0], results[-1]
     ratio = hi["cpus"] / lo["cpus"]
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
     eff = speedup / ratio
     summary = {
+        "mode": args.mode,
         "levels": results,
         "cpu_ratio": ratio,
         "build_speedup": round(speedup, 3),
@@ -157,7 +221,11 @@ def main() -> None:
             {r["topk_signature"] for r in results}
         ) == 1,
     }
-    with open("tools/scaling_result.json", "w") as f:
+    out = (
+        "tools/scaling_result.json" if args.mode == "engine"
+        else "tools/jvm_baseline_result.json"
+    )
+    with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
 
