@@ -359,6 +359,85 @@ def facet_subfacet_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["srcs"].select("lang", "source", "count")
 
 
+@register(
+    "wordbreak_split_suggestions",
+    f"""
+WITH {TOKS}, {TF},
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+splits AS (
+  SELECT substring('sparkjoin', 1, i) AS lft, substring('sparkjoin', i + 1) AS rgt
+  FROM generate_series(1, 8) t(i))
+SELECT lft, rgt, dl.df AS df_left, dr.df AS df_right
+FROM splits
+JOIN dict dl ON dl.term = lft
+JOIN dict dr ON dr.term = rgt
+ORDER BY least(dl.df, dr.df) DESC, lft ASC LIMIT 5
+""",
+)
+def wordbreak_split_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordBreak BREAK_WORDS (spelling/WordBreakSolrSpellChecker.java):
+    'sparkjoin' -> dictionary splits ranked by the rarer half's df."""
+    from solr_spark.query.spellcheck import wordbreak_split
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    return wordbreak_split(idx, "sparkjoin", count=5).select(
+        F.col("left").alias("lft"), F.col("right").alias("rgt"),
+        "df_left", "df_right",
+    )
+
+
+@register(
+    "highlight_multi_best",
+    """
+WITH frag AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(ceil(length(text) / 80.0) AS BIGINT) - 1)) AS idx,
+         text
+  FROM documents),
+scored AS (
+  SELECT doc_id, idx,
+         CAST((length(f) - length(replace(f, 'spark', ''))) / 5 AS INT) AS c1,
+         CAST((length(f) - length(replace(f, 'join', ''))) / 4 AS INT) AS c2
+  FROM (SELECT doc_id, idx, lower(substring(text, CAST(idx * 80 + 1 AS INT), 80)) AS f
+        FROM frag)),
+ranked AS (
+  SELECT doc_id, idx,
+         (CASE WHEN c1 > 0 THEN 1 ELSE 0 END + CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS n_terms,
+         (c1 + c2) AS n_hits,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY (CASE WHEN c1 > 0 THEN 1 ELSE 0 END + CASE WHEN c2 > 0 THEN 1 ELSE 0 END) DESC,
+                    (c1 + c2) DESC, idx ASC) AS rn
+  FROM scored)
+SELECT doc_id, idx AS frag_idx, n_terms, n_hits
+FROM ranked WHERE rn = 1 AND n_terms > 0
+ORDER BY doc_id LIMIT 20
+""",
+)
+def highlight_multi_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-fragment highlighting with fragment scoring
+    (highlight/DefaultSolrHighlighter.java ranking): best fragment per doc
+    for query terms spark+join (window split + per-fragment term counts +
+    comparator sort, all JVM array expressions)."""
+    from solr_spark.query.highlight import highlight_fragments
+
+    docs = _t(spark, sf_dir, "documents")
+    hf = highlight_fragments(
+        docs, "text", ["spark", "join"], frag_size=80, max_fragments=1
+    )
+    return (
+        hf.where(F.size("_frag_meta") > 0)
+        .select(
+            "doc_id",
+            F.col("_frag_meta")[0]["idx"].cast("long").alias("frag_idx"),
+            F.col("_frag_meta")[0]["n_terms"].alias("n_terms"),
+            F.col("_frag_meta")[0]["n_hits"].alias("n_hits"),
+        )
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
 _SIG = "(({z}) + {o}) / ({s} + abs(({z}) + {o}))"
 
 

@@ -41,3 +41,67 @@ def spellcheck(
         .limit(count)
         .select("term", "df", "dist")
     )
+
+
+def wordbreak_split(
+    index: IndexTables, word: str, count: int = 5, min_df: int = 1
+) -> DataFrame:
+    """WordBreak BREAK suggestions (spelling/WordBreakSolrSpellChecker.java,
+    BREAK_WORDS mode): split ``word`` into two dictionary terms. Returns
+    (left, right, df_left, df_right) ranked by the weaker part's frequency
+    (min df desc — the suggestion is only as good as its rarer half), then
+    left asc. Both halves must meet ``min_df``.
+
+    Scale shape: the candidate splits are a |word|-row driver-side table
+    (broadcast); two semi-joins against term_stats resolve dictionary
+    membership — never a dictionary collect."""
+    spark = index.postings.sparkSession
+    w = word.lower()
+    if len(w) < 2:
+        return spark.createDataFrame(
+            [], "left string, right string, df_left long, df_right long"
+        )
+    splits = spark.createDataFrame(
+        [(w[:i], w[i:]) for i in range(1, len(w))], ["left", "right"]
+    )
+    t = index.term_stats().where(F.col("df") >= min_df)
+    dl = t.select(F.col("term").alias("left"), F.col("df").alias("df_left"))
+    dr = t.select(F.col("term").alias("right"), F.col("df").alias("df_right"))
+    return (
+        F.broadcast(splits)
+        .join(dl, "left")
+        .join(dr, "right")
+        .select("left", "right", "df_left", "df_right")
+        .orderBy(
+            F.least("df_left", "df_right").desc(), F.col("left").asc()
+        )
+        .limit(count)
+    )
+
+
+def wordbreak_combine(
+    index: IndexTables, words: list[str], count: int = 5, min_df: int = 1
+) -> DataFrame:
+    """WordBreak COMBINE suggestions: adjacent input words whose
+    concatenation is a dictionary term (COMBINE_WORDS mode). Returns
+    (left, right, combined, df) ranked df desc."""
+    spark = index.postings.sparkSession
+    pairs = [
+        (words[i].lower(), words[i + 1].lower(),
+         words[i].lower() + words[i + 1].lower())
+        for i in range(len(words) - 1)
+    ]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "left string, right string, combined string, df long"
+        )
+    pdf = spark.createDataFrame(pairs, ["left", "right", "combined"])
+    t = index.term_stats().where(F.col("df") >= min_df).select(
+        F.col("term").alias("combined"), "df"
+    )
+    return (
+        F.broadcast(pdf)
+        .join(t, "combined")
+        .orderBy(F.col("df").desc(), F.col("combined").asc())
+        .limit(count)
+    )

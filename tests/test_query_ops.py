@@ -97,3 +97,34 @@ def test_frange_and_boost(idx, docs):
     boosted = boost_by(kept, docs.select("docid", "n_chars"),
                        F.log(F.col("n_chars")))
     assert boosted.count() == kept.count()
+
+
+def test_wordbreak_split_and_combine(idx):
+    from solr_spark.query.spellcheck import wordbreak_combine, wordbreak_split
+
+    rows = wordbreak_split(idx, "sparkjoin", count=5).collect()
+    assert [(r.left, r.right) for r in rows] == [("spark", "join")]
+    dfs = {r["term"]: r["df"] for r in idx.term_stats().where(
+        F.col("term").isin(["spark", "join"])).collect()}
+    assert rows[0].df_left == dfs["spark"] and rows[0].df_right == dfs["join"]
+    # combine: 'spa' + 'rk' not both terms, but 'sp'+'ark' -> no; use a real
+    # dictionary word split across two inputs:
+    comb = wordbreak_combine(idx, ["spa", "rk", "join"], count=5).collect()
+    assert [(r.left, r.right, r.combined) for r in comb] == [("spa", "rk", "spark")]
+
+
+def test_highlight_fragments_scoring(spark):
+    from solr_spark.query.highlight import highlight_fragments
+
+    pad = "x " * 45  # ~90 chars: pushes later content into a new fragment
+    rows = [(0, "spark join here. " + pad + " only spark there"),
+            (1, pad + " nothing relevant")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = highlight_fragments(df, "text", ["spark", "join"], frag_size=40,
+                              max_fragments=2).collect()
+    by_id = {r.doc_id: r for r in out}
+    meta0 = by_id[0]._frag_meta
+    assert meta0[0].idx == 0 and meta0[0].n_terms == 2  # both terms up front
+    assert len(meta0) == 2 and meta0[1].n_terms == 1  # the lone 'spark' frag
+    assert "<em>spark</em>" in by_id[0].snippets[0]
+    assert by_id[1]._frag_meta == []  # no matching fragment
