@@ -2127,6 +2127,46 @@ def sql_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regress_lineitem",
+    """
+SELECT CAST(floor(regr_slope(l_extendedprice, l_quantity) * 10000.0 + 0.5) AS BIGINT) AS slope_x10k,
+       CAST(floor(regr_intercept(l_extendedprice, l_quantity) * 100.0 + 0.5) AS BIGINT) AS intercept_x100,
+       CAST(floor(regr_r2(l_extendedprice, l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS r2_x1m,
+       regr_count(l_extendedprice, l_quantity)::BIGINT AS n
+FROM lineitem
+""",
+)
+def regress_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`regress(x,y)` (io/eval/RegressionEvaluator.java): OLS of extended
+    price on quantity over lineitem, one distributed aggregate."""
+    from solr_spark.functions.mathstream import linear_regression
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = linear_regression(li, "l_quantity", "l_extendedprice")
+    return out.select(
+        scaled("slope", 4).alias("slope_x10k"),
+        scaled("intercept", 2).alias("intercept_x100"),
+        scaled("r2", 6).alias("r2_x1m"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@register("fft_daily_events", None)  # driver-side array evaluator: rows-only
+def fft_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fft(values)` (io/eval/FFTEvaluator.java): magnitude spectrum of the
+    daily event-count series (driver-side array math, like the reference's
+    /stream evaluator; numpy-verified in tests/test_functions.py)."""
+    from solr_spark.functions.mathstream import fft_magnitudes
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    out = fft_magnitudes(daily, "n", "day", limit=64)
+    return out.select("idx", scaled("magnitude", 4).alias("magnitude_x10k"))
+
+
+@register(
     "describe_totalprice",
     f"""
 SELECT count(o_totalprice) AS count,

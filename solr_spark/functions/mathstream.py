@@ -79,6 +79,43 @@ def zscores(df: DataFrame, value: str, partition_by: str | None = None) -> DataF
     return df.withColumn("zscore", (F.col(value) - mean) / sd)
 
 
+def linear_regression(df: DataFrame, x: str, y: str) -> DataFrame:
+    """`regress(x, y)` / olsRegress (io/eval/RegressionEvaluator.java,
+    backed by commons-math SimpleRegression): slope, intercept, R², n — as
+    ONE distributed aggregate (Spark's regr_* family), not a driver-side
+    array like the reference's stream evaluator."""
+    xc, yc = F.col(x), F.col(y)
+    return df.agg(
+        F.regr_slope(yc, xc).alias("slope"),
+        F.regr_intercept(yc, xc).alias("intercept"),
+        F.regr_r2(yc, xc).alias("r2"),
+        F.regr_count(yc, xc).alias("n"),
+    )
+
+
+def fft_magnitudes(
+    df: DataFrame, value: str, order_by: str, limit: int = 1024
+) -> DataFrame:
+    """`fft(values)` (io/eval/FFTEvaluator.java): magnitude spectrum of a
+    sorted series. Solr's math evaluators operate on IN-MEMORY arrays inside
+    the /stream handler — the reference semantics are driver-side — so a
+    bounded collect here is the faithful shape (``limit`` caps the series;
+    raise it only as far as driver memory allows)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    vals = [
+        float(r[0])
+        for r in df.orderBy(order_by).select(value).limit(limit).collect()
+    ]
+    if not vals:
+        return spark.createDataFrame([], "idx int, magnitude double")
+    mag = np.abs(np.fft.fft(np.asarray(vals, dtype=np.float64)))
+    return spark.createDataFrame(
+        [(i, float(m)) for i, m in enumerate(mag)], "idx int, magnitude double"
+    )
+
+
 def percentiles(df: DataFrame, col: str, ps: Sequence[float]) -> DataFrame:
     """Exact interpolated percentiles (Solr uses a t-digest sketch —
     AVLTreeDigest(100) — so its values are approximate; exact is the

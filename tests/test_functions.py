@@ -230,3 +230,27 @@ def test_simhash_vectorized_equals_longform(spark):
     )
     # the only Generate allowed is the token explode; no sequence(0,59)
     assert "sequence(0, 59" not in plan
+
+
+def test_fft_matches_numpy(spark):
+    import numpy as np
+
+    from solr_spark.functions.mathstream import fft_magnitudes
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, v double"
+    )
+    got = [r.magnitude for r in fft_magnitudes(df, "v", "i").orderBy("idx").collect()]
+    want = np.abs(np.fft.fft(np.array(vals))).tolist()
+    assert got == pytest.approx(want)
+
+
+def test_linear_regression_known_line(spark):
+    from solr_spark.functions.mathstream import linear_regression
+
+    rows = [(float(x), 2.0 * x + 5.0) for x in range(100)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = linear_regression(df, "x", "y").collect()[0]
+    assert r.slope == pytest.approx(2.0) and r.intercept == pytest.approx(5.0)
+    assert r.r2 == pytest.approx(1.0) and r.n == 100
