@@ -75,6 +75,11 @@ def main() -> None:
         "innerjoin_revenue_by_segment",
         "ann_cosine_top10",
         "terms_dictionary_top20",
+        "phrase_adjacency",
+        "phrase_slop",
+        "edismax_pf",
+        "facet_nested_stats",
+        "facet_subfacet_top_sources",
     ]:
         t0 = time.perf_counter()
         CATALOG[name].fn(spark, sf_dir).collect()
@@ -97,6 +102,9 @@ def main() -> None:
         t0 = time.perf_counter()
         ix.topk(q, k=10).collect()
         timings[f"wand_{name}"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ix.phrase_topk("spark join", k=10).collect()
+    timings["wand_phrase"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(phys_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)

@@ -1336,6 +1336,50 @@ for _qname, _qstr, _slop in [
     )
 
 
+_IDF = f"ln(1 + ({NDOCS} - {{d}} + 0.5) / ({{d}} + 0.5))"
+
+
+@register(
+    "complexphrase_wildcard",
+    f"""
+WITH {TOKS}, {TF}, {DL}, {TOKP},
+m AS (
+  SELECT t0.doc_id, count(*) AS tfp
+  FROM tokp t0
+  JOIN tokp t1 ON t1.doc_id = t0.doc_id AND t1.term LIKE 'filt%' AND t1.pos = t0.pos + 1
+  JOIN tokp t2 ON t2.doc_id = t0.doc_id AND t2.term = 'scan' AND t2.pos = t0.pos + 2
+  WHERE t0.term = 'part'
+  GROUP BY t0.doc_id),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (SELECT
+  (SELECT {_IDF.format(d='df')} FROM dfs WHERE term = 'part')
+  + (SELECT {_IDF.format(d='s')} FROM (SELECT sum(df) AS s FROM dfs WHERE term LIKE 'filt%'))
+  + (SELECT {_IDF.format(d='df')} FROM dfs WHERE term = 'scan') AS w),
+scored AS (
+  SELECT m.doc_id,
+         (SELECT w FROM w) * m.tfp /
+         (m.tfp + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS s
+  FROM m JOIN dl ON dl.doc_id = m.doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM scored
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def complexphrase_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!complexphrase}` wildcard-in-phrase: "part filt* scan" as a
+    SpanNear of a SpanOr slot (ComplexPhraseQParserPlugin.java)."""
+    from solr_spark.query.phrase import complex_phrase_topk
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = complex_phrase_topk(idx, "part filt* scan", k=10, quantize_norms=False)
+    return (
+        out.select(
+            F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k")
+        )
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def _phrase_quant_sql(terms: list[str], slop: int, k: int = 10) -> str:
     """Phrase oracle with Lucene's lossy 1-byte norm (the physical path
     scores with the quantized dl, like wand_bm25_*)."""

@@ -78,13 +78,16 @@ def phrase_tf_col(
 
 def phrase_match_df(
     index: IndexTables,
-    terms: list[str],
+    terms: list[str | list[str]],
     slop: int = 0,
     offsets: list[int] | None = None,
 ) -> DataFrame:
     """(docid, tf_p) for docs containing ``terms`` as a phrase (tf_p >= 1).
 
-    Requires ``index.has_positions``.
+    A slot may be a LIST of alternative terms (Lucene SpanOr inside a
+    SpanNear — the complexphrase parser's wildcard-in-phrase rewrite): the
+    slot's positions are the sorted union of the alternatives' positions in
+    that doc. Requires ``index.has_positions``.
     """
     if not index.has_positions:
         raise ValueError(
@@ -95,11 +98,23 @@ def phrase_match_df(
         raise ValueError("empty phrase")
     parts = []
     for i, t in enumerate(terms):
-        parts.append(
-            index.postings.where(F.col("term") == t).select(
-                "docid", F.col("positions").alias(f"pos_{i}")
+        if isinstance(t, str):
+            parts.append(
+                index.postings.where(F.col("term") == t).select(
+                    "docid", F.col("positions").alias(f"pos_{i}")
+                )
             )
-        )
+        else:
+            # multi-term slot: union the alternatives' position lists per doc
+            parts.append(
+                index.postings.where(F.col("term").isin(sorted(set(t))))
+                .groupBy("docid")
+                .agg(
+                    F.array_sort(F.flatten(F.collect_list("positions"))).alias(
+                        f"pos_{i}"
+                    )
+                )
+            )
     joined = parts[0]
     for p in parts[1:]:
         joined = joined.join(p, "docid")
@@ -152,6 +167,86 @@ def phrase_score_df(
             ).alias("score"),
         )
     )
+
+
+def complex_phrase_topk(
+    index: IndexTables,
+    phrase: str,
+    k: int = 10,
+    slop: int = 0,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize_norms: bool = True,
+) -> DataFrame:
+    """`{!complexphrase}` (search/ComplexPhraseQParserPlugin.java, Lucene
+    ComplexPhraseQueryParser): a quoted phrase whose tokens may be PREFIX
+    wildcards — ``"part filt* scan"`` — rewritten to a SpanNear of SpanOr
+    clauses. Each wildcard slot expands against the term dictionary; its
+    positions are the per-doc union of the expansions.
+
+    Scoring (documented simplification of SpanWeight): BM25 with tf =
+    phrase freq and idf from df_slot = Σ df(expansions) (an upper bound of
+    the union df — conservative, cheap, and oracle-reproducible).
+    """
+    spark = index.postings.sparkSession
+    empty = spark.createDataFrame([], "docid long, score double")
+    raw = phrase.split()
+    slots: list[str | list[str]] = []
+    tstats = index.term_stats()
+    for tok in raw:
+        if tok.endswith("*") and len(tok) > 1:
+            from solr_spark.analysis.chain import analyze
+
+            pref = analyze(tok[:-1], index.analyzer)
+            pref_txt = pref[0] if pref else tok[:-1].lower()
+            matched = [
+                r["term"]
+                for r in tstats.where(F.col("term").startswith(pref_txt))
+                .select("term").collect()
+            ]
+            if not matched:
+                return empty
+            slots.append(sorted(matched))
+        else:
+            from solr_spark.analysis.chain import analyze
+
+            ts = analyze(tok, index.analyzer)
+            if not ts:
+                continue
+            slots.extend(ts)
+    if not slots:
+        return empty
+    n_docs, avgdl = index.corpus_stats()
+    flat = sorted({t for s in slots for t in (s if isinstance(s, list) else [s])})
+    stats = {
+        r["term"]: r["df"]
+        for r in tstats.where(F.col("term").isin(flat)).collect()
+    }
+    w = 0.0
+    for s in slots:
+        if isinstance(s, str):
+            if s not in stats:
+                return empty
+            w += idf(n_docs, stats[s])
+        else:
+            w += idf(n_docs, sum(stats.get(t, 0) for t in s))
+    dl_col = F.col("dl_quant") if quantize_norms else F.col("dl")
+    scored = (
+        phrase_match_df(index, slots, slop)
+        .join(index.doclens, "docid")
+        .select(
+            "docid",
+            (
+                F.lit(w)
+                * F.col("tf_p")
+                / (
+                    F.col("tf_p")
+                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))
+                )
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
 
 def phrase_topk(

@@ -99,3 +99,22 @@ def test_phrase_plan_no_explode(idx):
     )
     assert "lambdafunction" in plan
     assert "explode(positions" not in plan and "explode(pos_" not in plan
+
+
+def test_multiterm_slot_union(idx):
+    # slot ["brown", "dirty"] matches either term at the middle position:
+    # "quick brown" (docs 0,2) plus "quick dirty" (doc 4).
+    got = _docids(phrase_match_df(idx, ["quick", ["brown", "dirty"]]))
+    assert got == [0, 2, 4]
+
+
+def test_hll_within_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.facets import hll_agg, unique_agg
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("t"))
+    exact = unique_agg(toks, "t").collect()[0]["unique"]
+    approx = hll_agg(toks, "t", rsd=0.02).collect()[0]["hll"]
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd

@@ -94,3 +94,47 @@ def test_broadcast_dim_join(spark):
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     ).groupBy("n_name").count()
     assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_phrase_plan_pushdown_and_no_generate(spark, tmp_path_factory):
+    """Phrase over parquet-backed postings: each term scan gets a pushed
+    term filter; positions stay packed (no Generate over positions); the
+    adjacency check is a join condition (HOF lambdafunction)."""
+    from solr_spark.index.build import IndexTables
+    from solr_spark.query.phrase import phrase_match_df
+
+    d = str(tmp_path_factory.mktemp("pplans") / "postings")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(docs, id_col="doc_id", text_col="text", analyzer="simple")
+    idx.postings.write.parquet(d)
+    pidx = IndexTables(
+        postings=spark.read.parquet(d), doclens=idx.doclens, docs=idx.docs,
+        analyzer="simple", has_positions=True,
+    )
+    q = phrase_match_df(pidx, ["spark", "join"])
+    plan = _formatted(q)
+    assert "PushedFilters" in plan and "EqualTo(term," in plan
+    assert "lambdafunction" in _plan(q)
+    assert "Generate" not in _plan(q)
+
+
+def test_simhash_single_shuffle_no_bit_explosion(spark):
+    from solr_spark.functions.dedup import simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(simhash(docs, "text", "doc_id"))
+    # token explode is the only Generate; the 60 bit sums are aggregate
+    # columns, so exactly two shuffles exist (id,term combine + id final)
+    assert "sequence(0, 59" not in plan
+    assert plan.count("Generate") == 1
+
+
+def test_significant_terms_single_postings_aggregate(spark, tmp_path_factory):
+    """significant_terms must reuse term_stats, not re-aggregate all
+    postings: its plan contains exactly one groupBy over the full postings
+    (the fg aggregate) plus the persisted term_stats scan."""
+    from solr_spark import entry_queries as eq
+
+    df = eq.CATALOG["significant_terms_spark"].fn(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan  # persisted term_stats reused
