@@ -87,37 +87,72 @@ def build_index(
     the postings, enabling true phrase/slop queries. Term-only workloads can
     opt out to shrink the shuffle: positions roughly double postings bytes
     (Lucene's .prx/.pos files are the same trade).
+
+    The ``simple`` chain compiles to PURE JVM expressions (split + filter +
+    posexplode + hash aggregate — zero Python workers); the Lucene-parity
+    chains (UAX#29 + Porter) run as Arrow-batched UDFs.
     """
-    terms_udf = (
-        analyze_terms_positions_udf(analyzer) if positions
-        else analyze_terms_udf(analyzer)
-    )
-    analyzed = corpus.select(
-        F.col(id_col).alias("docid"),
-        terms_udf(F.col(text_col)).alias("term_freqs"),
-    )
-    if cache:
-        analyzed = analyzed.persist()
+    if analyzer == "simple":
+        # JVM path: whole-stage codegen end-to-end. The shuffle still
+        # carries one row per DISTINCT (docid, term) — Spark's partial
+        # aggregation does the doc-local combine map-side (the explode and
+        # the partial agg share a stage).
+        from solr_spark.functions.dedup import tokens_col
 
-    # One row per distinct (term, docid): the doc-local combine already
-    # happened inside the Arrow UDF.
-    pos_cols = [F.col("tf_entry.positions").alias("positions")] if positions else []
-    postings = analyzed.select(
-        "docid", F.explode("term_freqs").alias("tf_entry")
-    ).select(
-        F.col("tf_entry.term").alias("term"),
-        "docid",
-        F.col("tf_entry.tf").alias("tf"),
-        *pos_cols,
-    )
+        toks = corpus.select(
+            F.col(id_col).alias("docid"),
+            tokens_col(F.col(text_col)).alias("toks"),
+        )
+        if cache:
+            toks = toks.persist()
+        exploded = toks.select(
+            "docid", F.posexplode("toks").alias("pos", "term")
+        )
+        pos_aggs = (
+            [F.array_sort(F.collect_list("pos")).alias("positions")]
+            if positions else []
+        )
+        postings = exploded.groupBy("term", "docid").agg(
+            F.count("*").cast("int").alias("tf"), *pos_aggs
+        )
+        doclens = toks.select(
+            "docid",
+            F.greatest(F.size("toks"), F.lit(0)).cast("long").alias("dl"),
+        ).withColumn("dl_quant", quantize_doclen("dl"))
+        analyzed = toks  # for symmetry below; stored cols come from corpus
+    else:
+        terms_udf = (
+            analyze_terms_positions_udf(analyzer) if positions
+            else analyze_terms_udf(analyzer)
+        )
+        analyzed = corpus.select(
+            F.col(id_col).alias("docid"),
+            terms_udf(F.col(text_col)).alias("term_freqs"),
+        )
+        if cache:
+            analyzed = analyzed.persist()
 
-    # discountOverlaps=true and no overlap-emitting filters => dl = Σ tf.
-    doclens = analyzed.select(
-        "docid",
-        F.aggregate(
-            "term_freqs", F.lit(0), lambda acc, x: acc + x["tf"]
-        ).alias("dl"),
-    ).withColumn("dl_quant", quantize_doclen("dl"))
+        # One row per distinct (term, docid): the doc-local combine already
+        # happened inside the Arrow UDF.
+        pos_cols = (
+            [F.col("tf_entry.positions").alias("positions")] if positions else []
+        )
+        postings = analyzed.select(
+            "docid", F.explode("term_freqs").alias("tf_entry")
+        ).select(
+            F.col("tf_entry.term").alias("term"),
+            "docid",
+            F.col("tf_entry.tf").alias("tf"),
+            *pos_cols,
+        )
+
+        # discountOverlaps=true and no overlap-emitting filters => dl = Σ tf.
+        doclens = analyzed.select(
+            "docid",
+            F.aggregate(
+                "term_freqs", F.lit(0), lambda acc, x: acc + x["tf"]
+            ).alias("dl"),
+        ).withColumn("dl_quant", quantize_doclen("dl"))
 
     stored = list(stored_cols) if stored_cols is not None else [
         c for c in corpus.columns if c not in (id_col, text_col)
