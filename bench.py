@@ -117,6 +117,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_docs": n_docs,
+                # Since round 2 both index builds store term positions
+                # (Lucene DOCS_AND_FREQS_AND_POSITIONS parity) — build
+                # throughput is not comparable to the round-1 positions-off
+                # numbers; see BASELINE.md round-2 section.
+                "positions": True,
                 "index_build_sec": round(build_sec, 3),
                 "index_docs_per_sec": round(n_docs / build_sec, 1),
                 "phys_index_build_sec": round(phys_build_sec, 3),

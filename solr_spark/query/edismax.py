@@ -101,6 +101,7 @@ def edismax_search(
 
     # Additive phrase boosts: pf = whole query, pf2 = bigrams, pf3 = trigrams.
     parts = [main]
+    min_gram = None
     for pdict, size, slop in ((pf, 0, ps), (pf2, 2, ps2), (pf3, 3, ps3)):
         if not pdict:
             continue
@@ -111,6 +112,7 @@ def edismax_search(
             for gram in grams:
                 if len(gram) < 2:
                     continue
+                min_gram = len(gram) if min_gram is None else min(min_gram, len(gram))
                 parts.append(
                     phrase_score_df(
                         indexes[fname], gram, slop=slop, boost=boost,
@@ -122,9 +124,12 @@ def edismax_search(
     for p in parts[1:]:
         allc = allc.unionByName(p)
     scored = allc.groupBy("docid").agg(F.sum("contrib").alias("score"))
-    # Phrase boosts must not resurrect docs the main query rejected (mm):
-    # semi-join back to the main match set.
-    scored = scored.join(main.select("docid"), "docid", "left_semi")
+    # Phrase boosts must not resurrect docs the main query rejected under
+    # mm. A doc matching a k-gram phrase contains >= k query terms, so when
+    # mm <= k for every boost in play the boosted set is already a subset of
+    # the main match set — skip the (second-pass) semi-join entirely.
+    if min_gram is not None and mm > min_gram:
+        scored = scored.join(main.select("docid"), "docid", "left_semi")
 
     if boost_col is not None:
         bc = F.col(boost_col) if isinstance(boost_col, str) else boost_col

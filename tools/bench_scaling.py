@@ -50,7 +50,7 @@ spark = get_spark(
     extra_conf={"spark.ui.showConsoleProgress": "false",
                 "spark.local.dir": f"/dev/shm/spark_local_{cpus}"},
 )
-base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").repartition(32)
 n_base = base.count()
 rep = spark.range(repeat).select(F.col("id").alias("rep"))
 corpus = base.crossJoin(rep).select(
@@ -105,7 +105,7 @@ spark = get_spark(
     extra_conf={"spark.ui.showConsoleProgress": "false",
                 "spark.local.dir": f"/dev/shm/spark_local_{cpus}"},
 )
-base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").repartition(32)
 n_base = base.count()
 # Replicate deterministically: doc_id' = doc_id + i * n_base (same corpus at
 # every parallelism level).
