@@ -1380,6 +1380,32 @@ def complexphrase_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "span_near_unordered",
+    f"""
+WITH {TOKS}, {TOKP}
+SELECT DISTINCT a.doc_id
+FROM tokp a JOIN tokp b
+  ON b.doc_id = a.doc_id AND abs(a.pos - b.pos) <= 2 AND a.pos <> b.pos
+WHERE a.term = 'spark' AND b.term = 'join'
+ORDER BY a.doc_id LIMIT 50
+""",
+)
+def span_near_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """surround `2N(spark, join)` — UNORDERED span-near within a window
+    (SurroundQParserPlugin; Lucene SpanNearQuery inOrder=false). The doc
+    set is oracle-checked; window counts are pytest-verified."""
+    from solr_spark.query.phrase import span_near_df
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = span_near_df(idx, ["spark", "join"], slop=1, ordered=False)
+    return (
+        out.select(F.col("docid").alias("doc_id"))
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
 def _phrase_quant_sql(terms: list[str], slop: int, k: int = 10) -> str:
     """Phrase oracle with Lucene's lossy 1-byte norm (the physical path
     scores with the quantized dl, like wand_bm25_*)."""

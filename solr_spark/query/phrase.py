@@ -36,6 +36,7 @@ demotes to broadcast when one side is small), and no row explosion happens
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf string annotations)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -166,6 +167,71 @@ def phrase_score_df(
                 )
             ).alias("score"),
         )
+    )
+
+
+def span_near_df(
+    index: IndexTables,
+    terms: list[str],
+    slop: int = 0,
+    ordered: bool = True,
+) -> DataFrame:
+    """SpanNearQuery semantics — the core of the `surround` grammar's
+    N/W operators (search/SurroundQParserPlugin.java; `3W(a, b)` = ordered
+    within 3, `3N(a, b)` = unordered within 3; Lucene SpanNearQuery
+    inOrder flag).
+
+    ordered=True delegates to the phrase window matcher (in-order,
+    increasing positions, span <= (n-1)+slop). ordered=False counts minimal
+    covering windows over the terms' position lists whose span fits the
+    window, any order, distinct positions — the standard minimal-window
+    sweep, run inside an Arrow-batched pandas UDF on the (already
+    conjunction-reduced) joined rows; per-doc work is O(total positions of
+    the query terms in that doc).
+
+    Returns (docid, tf_p) with tf_p >= 1.
+    """
+    if ordered:
+        return phrase_match_df(index, terms, slop)
+    if not index.has_positions:
+        raise ValueError("span_near requires a position-aware index")
+    n = len(terms)
+    parts = []
+    for i, t in enumerate(terms):
+        parts.append(
+            index.postings.where(F.col("term") == t).select(
+                "docid", F.col("positions").alias(f"pos_{i}")
+            )
+        )
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.join(p, "docid")
+
+    window = n - 1 + slop
+
+    @F.pandas_udf("int")
+    def _count(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for row in col:
+            lists = [np.asarray(x, dtype=np.int64) for x in row]
+            idx = [0] * n
+            cnt = 0
+            while all(idx[i] < lists[i].size for i in range(n)):
+                vals = [int(lists[i][idx[i]]) for i in range(n)]
+                mn, mx = min(vals), max(vals)
+                if mx - mn <= window and len(set(vals)) == n:
+                    cnt += 1
+                idx[vals.index(mn)] += 1
+            out.append(cnt)
+        return pd.Series(out, dtype="int32")
+
+    tf = _count(F.array(*[F.col(f"pos_{i}") for i in range(n)]))
+    return (
+        joined.withColumn("tf_p", tf)
+        .where(F.col("tf_p") > 0)
+        .select("docid", "tf_p")
     )
 
 

@@ -118,3 +118,19 @@ def test_hll_within_tolerance(spark):
     exact = unique_agg(toks, "t").collect()[0]["unique"]
     approx = hll_agg(toks, "t", rsd=0.02).collect()[0]["hll"]
     assert abs(approx - exact) / exact < 0.06  # 3x rsd
+
+
+def test_span_near_unordered(idx):
+    from solr_spark.query.phrase import span_near_df
+
+    # "fox quick" never occurs in order, but unordered-within-2 matches
+    # doc0 (quick@1 fox@3) and doc1 (quick@1 fox@3) and doc2 (quick@0 fox@1).
+    got = {r.docid: r.tf_p for r in
+           span_near_df(idx, ["fox", "quick"], slop=1, ordered=False).collect()}
+    assert set(got) == {0, 1, 2}
+    # ordered=True keeps the in-order contract
+    assert _docids(span_near_df(idx, ["fox", "quick"], slop=1, ordered=True)) == []
+    # adjacency-only unordered: doc2 has quick@0 fox@1 (span 1)
+    tight = {r.docid for r in
+             span_near_df(idx, ["fox", "quick"], slop=0, ordered=False).collect()}
+    assert tight == {2}
