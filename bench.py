@@ -46,6 +46,16 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
 
+    # Steady-state warmup (same rationale as tools/bench_scaling.py): the
+    # first Spark job of a fresh JVM pays codegen + shuffle-service +
+    # Python-worker-pool startup (~7-9 s) that a long-lived cluster never
+    # sees per-build. One throwaway pass keeps the timed numbers about the
+    # engine, not process boot.
+    warm = build_index(docs.limit(200), id_col="doc_id", text_col="text",
+                       analyzer="simple")
+    warm.postings.count()
+    warm.doclens.count()
+
     t0 = time.perf_counter()
     idx = build_index(docs, id_col="doc_id", text_col="text", analyzer="simple")
     # Force full materialization of the index tables (the persisted analyzed
@@ -55,6 +65,10 @@ def main() -> None:
     idx.postings.count()
     idx.doclens.count()
     n, avgdl = idx.corpus_stats()
+    # Global term stats are part of the build (finalize_index's role —
+    # ExactStatsCache); materializing here keeps per-query timings about
+    # query work.
+    idx.term_stats().count()
     build_sec = time.perf_counter() - t0
 
     timings: dict[str, float] = {}

@@ -86,6 +86,7 @@ def documents_index(spark: SparkSession, sf_dir: str) -> tuple[IndexTables, int,
         idx.postings = idx.postings.persist()
         idx.doclens = idx.doclens.persist()
         n, avgdl = idx.corpus_stats()
+        idx.term_stats()  # persist global stats with the index (finalize)
         _IDX_CACHE[key] = (idx, n, avgdl)
     return _IDX_CACHE[key]
 
