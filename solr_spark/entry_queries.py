@@ -2238,6 +2238,26 @@ def fft_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hist_totalprice",
+    """
+SELECT LEAST(CAST(floor((o_totalprice - 0.0) / 60000.0) AS INT), 9) AS bin,
+       count(*) AS count,
+       CAST(floor(avg(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS mean_x100
+FROM orders WHERE o_totalprice >= 0 AND o_totalprice <= 600000
+GROUP BY 1 ORDER BY bin
+""",
+)
+def hist_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`hist(values, 10)` (io/eval/HistogramEvaluator.java) over order
+    totals, fixed [0, 600000) bounds — single-pass conditional binning."""
+    from solr_spark.functions.mathstream import hist
+
+    o = _t(spark, sf_dir, "orders")
+    out = hist(o, "o_totalprice", 10, lo=0.0, hi=600000.0)
+    return out.select("bin", "count", scaled("mean", 2).alias("mean_x100"))
+
+
+@register(
     "describe_totalprice",
     f"""
 SELECT count(o_totalprice) AS count,

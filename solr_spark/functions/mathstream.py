@@ -79,6 +79,32 @@ def zscores(df: DataFrame, value: str, partition_by: str | None = None) -> DataF
     return df.withColumn("zscore", (F.col(value) - mean) / sd)
 
 
+def hist(
+    df: DataFrame, col: str, bins: int,
+    lo: float | None = None, hi: float | None = None,
+) -> DataFrame:
+    """`hist(values, bins)` (io/eval/HistogramEvaluator.java, commons-math
+    EmpiricalDistribution): equal-width binning with per-bin count/mean.
+    Explicit ``lo``/``hi`` keep it one pass; omitted bounds cost one extra
+    min/max aggregate (the reference's in-memory evaluator scans twice the
+    same way). Values at ``hi`` land in the last bin."""
+    c = F.col(col).cast("double")
+    if lo is None or hi is None:
+        b = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        lo = float(b["lo"]) if lo is None else lo
+        hi = float(b["hi"]) if hi is None else hi
+    width = (hi - lo) / bins
+    bin_ = F.least(
+        F.floor((c - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+    ).cast("int")
+    return (
+        df.where((c >= lo) & (c <= hi))
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count("*").alias("count"), F.avg(c).alias("mean"))
+        .orderBy("bin")
+    )
+
+
 def linear_regression(df: DataFrame, x: str, y: str) -> DataFrame:
     """`regress(x, y)` / olsRegress (io/eval/RegressionEvaluator.java,
     backed by commons-math SimpleRegression): slope, intercept, R², n — as
