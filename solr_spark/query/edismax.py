@@ -100,8 +100,11 @@ def edismax_search(
     ).select("docid", F.col("score").alias("contrib"))
 
     # Additive phrase boosts: pf = whole query, pf2 = bigrams, pf3 = trigrams.
+    # One dictionary lookup per FIELD (not per gram): all grams draw from
+    # the same query terms.
     parts = [main]
     min_gram = None
+    field_stats: dict[str, dict[str, int]] = {}
     for pdict, size, slop in ((pf, 0, ps), (pf2, 2, ps2), (pf3, 3, ps3)):
         if not pdict:
             continue
@@ -109,6 +112,13 @@ def edismax_search(
         for fname, boost in resolve_aliases(pdict, aliases).items():
             if fname not in indexes:
                 continue
+            if fname not in field_stats:
+                field_stats[fname] = {
+                    r["term"]: r["df"]
+                    for r in indexes[fname].term_stats()
+                    .where(F.col("term").isin(sorted(set(terms))))
+                    .collect()
+                }
             for gram in grams:
                 if len(gram) < 2:
                     continue
@@ -117,6 +127,7 @@ def edismax_search(
                     phrase_score_df(
                         indexes[fname], gram, slop=slop, boost=boost,
                         k1=k1, b=b, quantize_norms=False,
+                        stats=field_stats[fname],
                     ).select("docid", F.col("score").alias("contrib"))
                 )
 

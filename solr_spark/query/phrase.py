@@ -138,17 +138,23 @@ def phrase_score_df(
     b: float = B_DEFAULT,
     quantize_norms: bool = True,
     offsets: list[int] | None = None,
+    stats: dict[str, int] | None = None,
 ) -> DataFrame:
     """(docid, score) BM25-scored phrase matches: weight = boost · Σ idf(t_i),
-    tf = phrase frequency — Lucene PhraseQuery scoring."""
+    tf = phrase frequency — Lucene PhraseQuery scoring.
+
+    ``stats`` (term -> global df) lets a caller issuing several phrase
+    queries (edismax pf/pf2/pf3) batch the dictionary lookup into one
+    collect instead of one per gram."""
     spark = index.postings.sparkSession
     n_docs, avgdl = index.corpus_stats()
-    stats = {
-        r["term"]: r["df"]
-        for r in index.term_stats()
-        .where(F.col("term").isin(sorted(set(terms))))
-        .collect()
-    }
+    if stats is None:
+        stats = {
+            r["term"]: r["df"]
+            for r in index.term_stats()
+            .where(F.col("term").isin(sorted(set(terms))))
+            .collect()
+        }
     if n_docs == 0 or any(t not in stats for t in terms):
         return spark.createDataFrame([], "docid long, score double")
     w = boost * sum(idf(n_docs, stats[t]) for t in terms)
