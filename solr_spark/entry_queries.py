@@ -1527,6 +1527,42 @@ def edismax_pf(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG["edismax_pf"].sql = _edismax_pf_sql()
 
 
+@register(
+    "grouped_boolean_query",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES ('spark'), ('join')),
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+hits AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+filtered AS (
+  SELECT h.doc_id, h.s FROM hits h
+  JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+        AND h.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'slow'))
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM filtered
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def grouped_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parenthesized boolean groups: `+(spark join) -(slow) lang:en` —
+    nested BooleanQuery compilation (group = recursive sub-plan, must via
+    semi-join, must_not via anti-join)."""
+    from solr_spark.query.parser import search
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = search(idx, "+(spark join) -(slow) lang:en", k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 _MISC_CACHE: dict = {}
 
 

@@ -184,6 +184,75 @@ def _range_pred(c: Clause, docs: DataFrame) -> Column:
     return pred
 
 
+def _split_top_level(q: str) -> tuple[str, list[tuple[str, float, str]]]:
+    """Split a query into its top-level flat text and parenthesized groups.
+
+    Returns (flat_text, [(occur, boost, inner_text), ...]). Occur comes
+    from a '+'/'-'/NOT/AND immediately preceding the group; '^N' after the
+    closing paren is the group boost. Nested parens stay inside inner_text
+    (handled by the recursive search call).
+    """
+    flat_parts: list[str] = []
+    groups: list[tuple[str, float, str]] = []
+    i, n = 0, len(q)
+    buf = ""
+
+    def tail_occur() -> tuple[str, bool]:
+        """(occur, via_AND) from the text immediately before a group."""
+        nonlocal buf
+        s = buf.rstrip()
+        if s.endswith("+"):
+            buf = s[:-1]
+            return "must", False
+        if s.endswith("-"):
+            buf = s[:-1]
+            return "must_not", False
+        for kw, occ in (("NOT", "must_not"), ("AND", "must")):
+            if s.endswith(kw) and (len(s) == len(kw) or s[-len(kw) - 1].isspace()):
+                buf = s[: -len(kw)]
+                return occ, kw == "AND"
+        return "should", False
+
+    while i < n:
+        ch = q[i]
+        if ch == "(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if q[j] == "(":
+                    depth += 1
+                elif q[j] == ")":
+                    depth -= 1
+                j += 1
+            inner = q[i + 1 : j - 1]
+            i = j
+            boost = 1.0
+            m = re.match(r"\^(\d+(\.\d+)?)", q[i:])
+            if m:
+                boost = float(m.group(1))
+                i += m.end()
+            occur, via_and = tail_occur()
+            if via_and and groups and groups[-1][0] == "should":
+                # Lucene: A AND B promotes BOTH sides.
+                prev = groups[-1]
+                groups[-1] = ("must", prev[1], prev[2])
+            groups.append((occur, boost, inner))
+            flat_parts.append(buf)
+            buf = ""
+        else:
+            buf += ch
+            i += 1
+    flat_parts.append(buf)
+    flat = " ".join(p.strip() for p in flat_parts if p.strip())
+    # 'X AND (group)' / '(group) AND Y': an AND immediately AFTER a group
+    # promotes that group too — scan the flat remnants conservatively.
+    if groups and re.match(r"\s*(AND|&&)\b", flat_parts[-1] or ""):
+        occur, boost, inner = groups[-1]
+        if occur == "should":
+            groups[-1] = ("must", boost, inner)
+        flat = re.sub(r"^\s*(AND|&&)\b", "", flat).strip()
+    return flat, groups
+
+
 def search(
     index: IndexTables,
     query: str,
@@ -192,15 +261,100 @@ def search(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     quantize_norms: bool = False,
+    _scores_only: bool = False,
+    _parsed: ParsedQuery | None = None,
 ) -> DataFrame:
     """Parse + execute a Lucene-grammar query against the logical index.
 
     Returns top-k (docid, score), (score desc, docid asc)-ordered.
+
+    Parenthesized groups nest arbitrarily: each top-level group is compiled
+    recursively into its own (docid, score) stream; group score = boost ×
+    inner score sum; +group / AND-group require the group's match set
+    (semi-join), -group excludes it (anti-join). DOCUMENTED approximation
+    of Lucene's coord-less BooleanQuery: an AND adjacent to a group
+    promotes the group (and its group neighbor), not a bare-term neighbor.
     """
     spark = index.postings.sparkSession
-    parsed = parse_query(query, default_field)
-    n_docs, avgdl = index.corpus_stats()
     empty = spark.createDataFrame([], "docid long, score double")
+
+    if _parsed is None and "(" in query:
+        import dataclasses
+
+        flat, groups = _split_top_level(query)
+        parts: list[DataFrame] = []
+        must_sets: list[DataFrame] = []
+        not_sets: list[DataFrame] = []
+        filter_sets: list[DataFrame] = []
+        if flat.strip():
+            pf = parse_query(flat, default_field)
+            pos = [c for c in pf.clauses if c.occur != "must_not"]
+            negs = [c for c in pf.clauses if c.occur == "must_not"]
+            # Stored-field clauses restrict (semi-join), they don't score —
+            # same semantics as the flat path's filter_preds.
+            scoring = [c for c in pos if c.kind not in ("filter_eq", "filter_range")]
+            filters = [c for c in pos if c.kind in ("filter_eq", "filter_range")]
+            if scoring:
+                parts.append(
+                    search(index, flat, k=k, default_field=default_field,
+                           k1=k1, b=b, quantize_norms=quantize_norms,
+                           _scores_only=True, _parsed=ParsedQuery(scoring))
+                )
+            if filters:
+                filter_sets.append(
+                    search(index, "", k=k, default_field=default_field,
+                           k1=k1, b=b, quantize_norms=quantize_norms,
+                           _scores_only=True, _parsed=ParsedQuery(filters))
+                    .select("docid")
+                )
+            for c in negs:
+                # A negative flat clause next to groups excludes its match
+                # set from the combined result (the flat path alone can't
+                # express a pure-negative stream).
+                not_sets.append(
+                    search(
+                        index, "", k=k, default_field=default_field,
+                        k1=k1, b=b, quantize_norms=quantize_norms,
+                        _scores_only=True,
+                        _parsed=ParsedQuery([dataclasses.replace(c, occur="should")]),
+                    ).select("docid")
+                )
+        for occur, boost, inner in groups:
+            g = search(index, inner, k=k, default_field=default_field,
+                       k1=k1, b=b, quantize_norms=quantize_norms,
+                       _scores_only=True)
+            if boost != 1.0:
+                g = g.select(
+                    "docid", (F.col("score") * F.lit(boost)).alias("score")
+                )
+            if occur == "must_not":
+                not_sets.append(g.select("docid"))
+                continue
+            parts.append(g)
+            if occur == "must":
+                must_sets.append(g.select("docid"))
+        if not parts:
+            if not filter_sets:
+                return empty
+            scored = filter_sets[0].select("docid", F.lit(1.0).alias("score"))
+            filter_sets = filter_sets[1:]
+        else:
+            allc = parts[0]
+            for p in parts[1:]:
+                allc = allc.unionByName(p)
+            scored = allc.groupBy("docid").agg(F.sum("score").alias("score"))
+        for m in must_sets + filter_sets:
+            scored = scored.join(m, "docid", "left_semi")
+        for m in not_sets:
+            scored = scored.join(m, "docid", "left_anti")
+        if _scores_only:
+            return scored
+        return scored.orderBy(
+            F.col("score").desc(), F.col("docid").asc()
+        ).limit(k)
+
+    parsed = _parsed if _parsed is not None else parse_query(query, default_field)
+    n_docs, avgdl = index.corpus_stats()
     if n_docs == 0:
         return empty
 
@@ -458,4 +612,6 @@ def search(
             keep = keep.where(p)
         scored = scored.join(keep.select("docid"), "docid", "left_semi")
 
+    if _scores_only:
+        return scored
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

@@ -186,3 +186,44 @@ def test_fuzzy_multidigit_clamped():
     # not as the literal term 'term~10'.
     p = parse_query("spark~10")
     assert p.clauses[0].kind == "fuzzy" and p.clauses[0].lo == "2"
+
+
+def test_grouped_should(idx, term_docs):
+    # "(spark join) (table scan)" == flat "spark join table scan" scores
+    a = {(r.docid, round(r.score, 9))
+         for r in search(idx, "(spark join) (table scan)", k=100000).collect()}
+    b = {(r.docid, round(r.score, 9))
+         for r in search(idx, "spark join table scan", k=100000).collect()}
+    assert a == b
+
+
+def test_must_group_restricts(idx, term_docs):
+    got = {r.docid for r in search(idx, "+(spark join) data", k=100000).collect()}
+    assert got and got <= (term_docs("spark") | term_docs("join"))
+    # every returned doc matches the must group (spark OR join)
+    base = {r.docid for r in search(idx, "spark join data", k=100000).collect()}
+    assert got == {d for d in base if d in (term_docs("spark") | term_docs("join"))}
+
+
+def test_must_not_group_excludes(idx, term_docs):
+    got = {r.docid for r in search(idx, "data -(spark join)", k=100000).collect()}
+    assert got == term_docs("data") - term_docs("spark") - term_docs("join")
+
+
+def test_group_boost_scales(idx):
+    plain = {r.docid: r.score for r in search(idx, "(spark)", k=100000).collect()}
+    boosted = {r.docid: r.score
+               for r in search(idx, "(spark)^3", k=100000).collect()}
+    assert boosted and all(abs(boosted[d] - 3 * s) < 1e-9 for d, s in plain.items())
+
+
+def test_nested_groups(idx, term_docs):
+    got = {r.docid
+           for r in search(idx, "+((spark) (join)) -table", k=100000).collect()}
+    assert got == (term_docs("spark") | term_docs("join")) - term_docs("table")
+
+
+def test_group_with_filters_and_and(idx, docs, term_docs):
+    got = {r.docid
+           for r in search(idx, "(spark join) AND (table)", k=100000).collect()}
+    assert got == (term_docs("spark") | term_docs("join")) & term_docs("table")
