@@ -77,8 +77,11 @@ class ParsedQuery:
 
 
 def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
-    """Parse the query string into clauses (single-level boolean, the common
-    Solr usage; nested parens are out of the v1 grammar)."""
+    """Parse one boolean LEVEL of the query string into clauses.
+
+    Parenthesized groups are handled above this function: ``search()``
+    splits them out with ``_split_top_level`` and recurses, so the text
+    reaching here is always single-level."""
     clauses: list[Clause] = []
     pending_occur = "should"
     prev_op: str | None = None
