@@ -1563,6 +1563,46 @@ def grouped_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wand_boolean_query",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qmap(v) AS (VALUES {{QVALS}}),
+dlq AS (SELECT doc_id, (SELECT max(v) FROM qmap WHERE v <= dl.dl) AS dlq FROM dl),
+qt(term) AS (VALUES ('spark'), ('join'), ('data')),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+hits AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dlq.dlq / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dlq USING (doc_id)
+  GROUP BY tf.doc_id),
+filtered AS (
+  SELECT h.doc_id, h.s FROM hits h
+  WHERE h.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+    AND h.doc_id IN (SELECT doc_id FROM tf WHERE term = 'join')
+    AND h.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'slow'))
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM filtered
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""".replace("{QVALS}", _quant_sql_values()),
+)
+def wand_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean query over the COMPRESSED physical segments:
+    `+spark +join -slow data` — must/must_not by ordinal-set ops inside the
+    per-partition decoder, quantized-norm BM25 scoring (query/wand.py
+    PhysicalIndex.search)."""
+    from solr_spark.query.wand import open_index
+
+    d = _phys_index_dir(spark, sf_dir)
+    out = open_index(spark, d).search("+spark +join -slow data", k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 _MISC_CACHE: dict = {}
 
 

@@ -293,6 +293,81 @@ def _phrase_partition(
     )
 
 
+def _boolean_partition(
+    postings: pd.DataFrame,
+    weights: dict[str, tuple[float, bool]],
+    musts: list[list[str]],
+    neg_terms: list[str],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    index_dir: str,
+    p: int,
+) -> pd.DataFrame:
+    """Per-partition boolean scoring. Segments partition by docid, so
+    must/must_not ordinal-set operations are globally correct locally."""
+    out_docids: list[np.ndarray] = []
+    out_scores: list[np.ndarray] = []
+    for gen, pg in postings.groupby("gen", sort=True):
+        rows = {r["term"]: r for _, r in pg.iterrows()}
+        if any(not any(t in rows for t in alts) for alts in musts):
+            continue  # a required clause matches nothing in this segment
+        size = 0
+        decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for t, r in rows.items():
+            o, tf = decode_postings(r["gaps"], r["tfs"])
+            nrm = np.frombuffer(r["norms"], dtype=np.uint8)
+            decoded[t] = (o, tf, nrm)
+            size = max(size, int(o[-1]) + 1 if o.size else 0)
+        if size == 0:
+            continue
+        acc = np.zeros(size, dtype=np.float64)
+        seen = np.zeros(size, dtype=bool)
+        for t, (w, const) in weights.items():
+            if t not in decoded:
+                continue
+            o, tf, nrm = decoded[t]
+            contrib = (
+                np.full(o.size, w)
+                if const
+                else w * _contrib(
+                    tf.astype(np.float64),
+                    DECODE_TABLE[nrm].astype(np.float64), k1, b, avgdl,
+                )
+            )
+            np.add.at(acc, o, contrib)
+            seen[o] = True
+        keep = seen.copy()
+        for alts in musts:
+            m = np.zeros(size, dtype=bool)
+            for t in alts:
+                if t in decoded:
+                    o = decoded[t][0]
+                    m[o[o < size]] = True
+            keep &= m
+        for t in neg_terms:
+            if t in decoded:
+                o = decoded[t][0]
+                keep[o[o < size]] = False
+        cand = np.flatnonzero(keep)
+        if cand.size == 0:
+            continue
+        scores = acc[cand]
+        if cand.size > k:
+            kth = np.partition(scores, -k)[-k]
+            sel = scores >= kth  # keep boundary ties (rank-identity)
+            cand, scores = cand[sel], scores[sel]
+        out_docids.append(_lookup_docids(index_dir, p, int(gen), cand))
+        out_scores.append(scores)
+    if not out_docids:
+        return pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    return pd.DataFrame(
+        {"docid": np.concatenate(out_docids), "score": np.concatenate(out_scores)}
+    )
+
+
 class PhysicalIndex:
     """Searcher over a physical index directory.
 
@@ -374,6 +449,106 @@ class PhysicalIndex:
         def score(key: tuple, pdf_postings: pd.DataFrame) -> pd.DataFrame:
             return _score_partition(
                 pdf_postings, weights, k, k1, b, avgdl, use_wand,
+                index_dir, int(key[0]),
+            )
+
+        scored = postings.groupBy("p").applyInPandas(score, "docid long, score double")
+        return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """Boolean term queries over the compressed segments: the classic
+        parser's term subset — bare terms (SHOULD, summed), ``+``/``AND``
+        (MUST), ``-``/``NOT`` (MUST_NOT), ``term^boost``, ``prefix*``
+        (constant-score dictionary expansion). Stored-field filters and
+        quoted phrases are not in this path (segments store no stored
+        fields; use phrase_topk for phrases).
+
+        Per-partition: decode only the query terms' postings, accumulate
+        BM25 into a dense ordinal array, enforce musts by ordinal-set
+        intersection and must_nots by set subtraction — work is O(query
+        term postings), exactly like topk, plus the set ops.
+        """
+        from solr_spark.query.parser import parse_query
+
+        stats = self.stats
+        k1, b, avgdl, n = stats["k1"], stats["b"], stats["avgdl"], stats["n_docs"]
+        empty = self.spark.createDataFrame([], "docid long, score double")
+        if n == 0:
+            return empty
+        from solr_spark.analysis.chain import analyze
+
+        parsed = parse_query(query)
+        # (term, weight, const?) scoring rows; must/neg term groups
+        scoring: list[tuple[str, float, bool]] = []
+        must_terms: list[list[str]] = []  # each inner list = alternatives
+        neg_terms: list[str] = []
+        for c in parsed.clauses:
+            if c.kind in ("filter_eq", "filter_range"):
+                raise ValueError(
+                    "stored-field filters are not available on the physical "
+                    "path (segments keep no stored fields)"
+                )
+            if c.kind == "phrase":
+                raise ValueError("use phrase_topk for quoted phrases")
+            if c.kind == "prefix":
+                pref = analyze(c.text, stats["analyzer"])
+                pref_txt = pref[0] if pref else c.text.lower()
+                matched = [
+                    r["term"]
+                    for r in self._term_stats.where(
+                        F.col("term").startswith(pref_txt)
+                    ).select("term").collect()
+                ]
+                if c.occur == "must_not":
+                    neg_terms.extend(matched)
+                    continue
+                if not matched:
+                    if c.occur == "must":
+                        return empty
+                    continue
+                for t in matched:
+                    scoring.append((t, c.boost, True))
+                if c.occur == "must":
+                    must_terms.append(matched)
+                continue
+            if c.kind == "fuzzy":
+                raise ValueError("fuzzy is not in the physical path (v2)")
+            terms = analyze(c.text, stats["analyzer"])
+            if not terms:
+                continue
+            if c.occur == "must_not":
+                neg_terms.extend(terms)
+                continue
+            for t in terms:
+                scoring.append((t, c.boost, False))
+                if c.occur == "must":
+                    must_terms.append([t])
+
+        uniq = sorted({t for t, _, _ in scoring})
+        dfs = self._df_for_terms(sorted(set(uniq) | set(neg_terms)))
+        weights: dict[str, tuple[float, bool]] = {}
+        for t, boost, const in scoring:
+            if t not in dfs:
+                continue
+            w = boost if const else boost * idf(n, dfs[t])
+            prev = weights.get(t)
+            weights[t] = (w + (prev[0] if prev else 0.0), const)
+        for alts in must_terms:
+            if not any(t in dfs for t in alts):
+                return empty  # a required clause can never match
+        neg_present = [t for t in neg_terms if t in dfs]
+        if not weights:
+            return empty
+
+        postings = self._postings.where(
+            F.col("term").isin(sorted(set(weights) | set(neg_present)))
+        )
+        index_dir = self.index_dir
+        musts = [sorted(set(a) & set(dfs)) for a in must_terms]
+
+        def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _boolean_partition(
+                pdf, weights, musts, neg_present, k, k1, b, avgdl,
                 index_dir, int(key[0]),
             )
 

@@ -218,3 +218,35 @@ def test_merge_preserves_positions(spark, docs, tmp_path_factory):
     a = _rows(wand_phrase_topk(spark, d, "spark join", k=10))
     bb = _rows(wand_phrase_topk(spark, m, "spark join", k=10))
     assert a == bb and a
+
+
+def test_phrase_partition_count_invariance(spark, docs, idx_dir, tmp_path_factory):
+    """Phrase results must be rank- and score-identical at 1 vs 8 segment
+    partitions (the distributed-vs-control oracle, phrase edition)."""
+    from solr_spark.query.wand import wand_phrase_topk
+
+    d1 = str(tmp_path_factory.mktemp("ph1") / "phys")
+    build_index_dir(docs, d1, n_partitions=1, analyzer="simple",
+                    id_col="doc_id", text_col="text")
+    for q, slop in [("spark join", 0), ("spark join", 2)]:
+        a = _rows(wand_phrase_topk(spark, d1, q, k=10, slop=slop))
+        b = _rows(wand_phrase_topk(spark, idx_dir, q, k=10, slop=slop))
+        assert a == b and a
+
+
+@pytest.mark.parametrize("q", [
+    "+spark +join -slow data",
+    "spark join data",
+    "+table -zzznotaterm",
+    "spar* table",
+    "+spar* data",
+])
+def test_physical_boolean_matches_logical(spark, idx_dir, logical, q):
+    """PhysicalIndex.search must be rank- and score-identical to the logical
+    parser path (quantized norms on both)."""
+    from solr_spark.query.parser import search
+    from solr_spark.query.wand import open_index
+
+    want = _rows(search(logical, q, k=10, quantize_norms=True))
+    got = _rows(open_index(spark, idx_dir).search(q, k=10))
+    assert got == want and got
