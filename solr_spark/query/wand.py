@@ -512,7 +512,30 @@ class PhysicalIndex:
                     must_terms.append(matched)
                 continue
             if c.kind == "fuzzy":
-                raise ValueError("fuzzy is not in the physical path (v2)")
+                # Same semantics as the logical parser: dictionary expansion
+                # within maxEdits, each expansion BM25-scored (documented
+                # divergence from Lucene's blended-freq rewrite).
+                base = analyze(c.text, stats["analyzer"])
+                base_t = base[0] if base else c.text.lower()
+                matched = [
+                    r["term"]
+                    for r in self._term_stats.where(
+                        F.levenshtein(F.col("term"), F.lit(base_t))
+                        <= int(c.lo)
+                    ).select("term").collect()
+                ]
+                if c.occur == "must_not":
+                    neg_terms.extend(matched)
+                    continue
+                if not matched:
+                    if c.occur == "must":
+                        return empty
+                    continue
+                for t in matched:
+                    scoring.append((t, c.boost, False))
+                if c.occur == "must":
+                    must_terms.append(matched)
+                continue
             terms = analyze(c.text, stats["analyzer"])
             if not terms:
                 continue

@@ -250,3 +250,13 @@ def test_physical_boolean_matches_logical(spark, idx_dir, logical, q):
     want = _rows(search(logical, q, k=10, quantize_norms=True))
     got = _rows(open_index(spark, idx_dir).search(q, k=10))
     assert got == want and got
+
+
+def test_physical_fuzzy_matches_logical(spark, idx_dir, logical):
+    from solr_spark.query.parser import search
+    from solr_spark.query.wand import open_index
+
+    for q in ["tabel~2", "+tabel~2 spark"]:
+        want = _rows(search(logical, q, k=10, quantize_norms=True))
+        got = _rows(open_index(spark, idx_dir).search(q, k=10))
+        assert got == want and got
