@@ -133,10 +133,26 @@ def text_logit_train(
 
 
 def text_logit_predict(
-    postings: DataFrame, weights: dict[str, float]
+    postings: DataFrame, weights: dict[str, float], docs: DataFrame | None = None
 ) -> DataFrame:
-    """(docid, prob) — σ(w·x + b) under the trained presence-feature model."""
+    """(docid, prob) — σ(w·x + b) under the trained presence-feature model.
+
+    ``docs`` (a (docid, ...) universe table) extends predictions to docs
+    containing NONE of the feature terms — they score σ(b), exactly what
+    training drove them toward; without it only feature-matching docs get a
+    row (the postings table cannot name absent docs).
+    """
+    import math
+
+    b = float(weights["_intercept"])
     terms = [t for t in weights if t != "_intercept"]
+    spark = postings.sparkSession
+    if not terms:
+        if docs is None:
+            return spark.createDataFrame([], "docid long, prob double")
+        return docs.select(
+            "docid", F.lit(1.0 / (1.0 + math.exp(-b))).alias("prob")
+        )
     margin_per_doc = (
         postings.select("term", "docid")
         .where(F.col("term").isin(terms))
@@ -153,7 +169,13 @@ def text_logit_predict(
         .groupBy("docid")
         .agg(F.sum("w").alias("m"))
     )
-    margin = F.col("m") + F.lit(weights["_intercept"])
+    if docs is not None:
+        margin_per_doc = (
+            docs.select("docid")
+            .join(margin_per_doc, "docid", "left")
+            .na.fill({"m": 0.0})
+        )
+    margin = F.col("m") + F.lit(b)
     return margin_per_doc.select(
         "docid", (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("prob")
     )

@@ -94,9 +94,14 @@ def hist(
         lo = float(b["lo"]) if lo is None else lo
         hi = float(b["hi"]) if hi is None else hi
     width = (hi - lo) / bins
-    bin_ = F.least(
-        F.floor((c - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
-    ).cast("int")
+    if width == 0:
+        # degenerate range (all values equal): everything is bin 0, matching
+        # the reference's single-bin histogram
+        bin_ = F.lit(0)
+    else:
+        bin_ = F.least(
+            F.floor((c - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+        ).cast("int")
     return (
         df.where((c >= lo) & (c <= hi))
         .groupBy(bin_.alias("bin"))

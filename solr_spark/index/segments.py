@@ -166,7 +166,7 @@ def _invert_partition(
 
 def _write_segment(
     index_dir: str, p: int, gen: int, docs: pd.DataFrame, postings: pd.DataFrame,
-    docid_checksum: int, wall_s: float,
+    docid_checksum: int, wall_s: float, store_positions: bool = True,
 ) -> dict:
     """Atomically commit one segment directory (tmp write + rename)."""
     import pyarrow as pa
@@ -199,6 +199,7 @@ def _write_segment(
         "n_postings": int(postings["df"].sum()) if len(postings) else 0,
         "sum_dl": int(docs["dl"].sum()) if len(docs) else 0,
         "docid_checksum": int(docid_checksum),
+        "positions": bool(store_positions),
         "bytes": int(
             postings["gaps"].map(len).sum() + postings["tfs"].map(len).sum()
         ) if len(postings) else 0,
@@ -282,7 +283,8 @@ def _build_one(index_dir: str, generation: int, analyzer: str,
         docids, pdf["text"], analyzer, store_positions
     )
     m = _write_segment(
-        index_dir, p, generation, docs, postings, checksum, time.time() - t0
+        index_dir, p, generation, docs, postings, checksum, time.time() - t0,
+        store_positions,
     )
     return _manifest_row(m, skipped=False)
 
@@ -368,15 +370,18 @@ def finalize_index(
 
     n_docs = sum_dl = 0
     gens: set[int] = set()
+    positions_all = True
     for mp in glob.glob(f"{index_dir}/seg/*/*/manifest.json"):
         with open(mp) as f:
             m = json.load(f)
         n_docs += m["n_docs"]
         sum_dl += m["sum_dl"]
+        positions_all = positions_all and m.get("positions", True)
         gens.add(m["gen"])
     stats = {
         "n_docs": n_docs,
         "sum_dl": sum_dl,
+        "positions": positions_all,
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
         "analyzer": analyzer,
         "k1": k1,
@@ -451,6 +456,7 @@ def merge_index(
                         yield _manifest_row(json.load(f), skipped=True)
                     continue
                 t0 = time.time()
+                merged_has_positions = True
                 gen_dirs = sorted(_glob.glob(f"{index_dir}/seg/p={p:05d}/gen=*"))
                 docs_parts, post_parts = [], []
                 for gd in gen_dirs:
@@ -484,11 +490,27 @@ def merge_index(
                     for _, r in grp.iterrows():
                         o, t = decode_postings(r["gaps"], r["tfs"])
                         flat, starts = decode_positions(r["poss"], t)
+                        if flat.size == 0 and t.size > 0:
+                            flat = None  # this gen stored no positions
                         os_.append(remap[int(r["gen"])][o])
                         ts_.append(t)
                         flats.append(flat)
-                        seg_starts.append(starts + pos_off)
-                        pos_off += flat.size
+                        if flat is not None:
+                            seg_starts.append(starts + pos_off)
+                            pos_off += flat.size
+                    if any(f is not None for f in flats) and any(
+                        f is None for f in flats
+                    ):
+                        raise RuntimeError(
+                            f"merge p={p} term={term!r}: generations mix "
+                            "store_positions=True and False — a merged "
+                            "position list would silently misalign; rebuild "
+                            "the positionless generation with positions (or "
+                            "all without)"
+                        )
+                    if not any(f is not None for f in flats):
+                        merged_has_positions = False
+                    flats = [f for f in flats if f is not None]
                     o = np.concatenate(os_)
                     t = np.concatenate(ts_)
                     so = np.argsort(o, kind="stable")
@@ -534,7 +556,8 @@ def merge_index(
                     ) or 0
                 )
                 m = _write_segment(
-                    out_dir, p, 0, docs, postings, checksum, time.time() - t0
+                    out_dir, p, 0, docs, postings, checksum, time.time() - t0,
+                    store_positions=merged_has_positions,
                 )
                 yield _manifest_row(m, skipped=False)
 

@@ -49,6 +49,18 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def tf_saturation(tf_col, dl_col, k1: float, b: float, avgdl: float):
+    """The BM25 tf-saturation factor tf / (tf + k1·(1−b+b·dl/avgdl)) as a
+    Column — the ONE shared definition every scoring path (term, phrase,
+    dismax, maxscore) multiplies its idf weight by, so a k1/b or
+    quantization change can never diverge between paths."""
+    tf_col = F.col(tf_col) if isinstance(tf_col, str) else tf_col
+    dl_col = F.col(dl_col) if isinstance(dl_col, str) else dl_col
+    return tf_col / (
+        tf_col + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))
+    )
+
+
 def query_weights(
     index: IndexTables,
     terms: list[str],
@@ -99,12 +111,7 @@ def bm25_score_df(
         index.postings.where(F.col("term").isin([t for t, _ in weights]))
         .join(wdf, "term")
         .join(index.doclens, "docid")
-        .withColumn(
-            "contrib",
-            F.col("w")
-            * F.col("tf")
-            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))),
-        )
+        .withColumn("contrib", F.col("w") * tf_saturation("tf", dl_col, k1, b, avgdl))
     )
     scored = matched.groupBy("docid").agg(
         F.sum("contrib").alias("score"), F.count("*").alias("n_matched")

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from solr_spark.analysis.chain import analyze
 from solr_spark.index.build import IndexTables, build_index
-from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf
+from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf, tf_saturation
 
 
 def build_multi_index(
@@ -88,15 +88,9 @@ def dismax_score_df(
             .select(
                 "term",
                 "docid",
-                (
-                    F.col("w")
-                    * F.col("tf")
-                    / (
-                        F.col("tf")
-                        + F.lit(k1)
-                        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-                    )
-                ).alias("fscore"),
+                (F.col("w") * tf_saturation("tf", "dl", k1, b, avgdl)).alias(
+                    "fscore"
+                ),
             )
         )
         per_field.append(contrib)

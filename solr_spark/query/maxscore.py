@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from solr_spark.analysis.chain import analyze
 from solr_spark.index.build import IndexTables
-from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf
+from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf, tf_saturation
 
 
 def maxscore_search(
@@ -54,15 +54,9 @@ def maxscore_search(
         .join(index.doclens, "docid")
         .select(
             "docid",
-            (
-                F.col("w")
-                * F.col("tf")
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))
-                )
-            ).alias("contrib"),
+            (F.col("w") * tf_saturation("tf", dl_col, k1, b, avgdl)).alias(
+                "contrib"
+            ),
         )
         .groupBy("docid")
         .agg(F.max("contrib").alias("score"))  # MAX, not SUM: the one change

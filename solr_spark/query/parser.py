@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from solr_spark.analysis.chain import analyze
 from solr_spark.index.build import IndexTables
-from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf
+from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf, tf_saturation
 
 # --- lexer ------------------------------------------------------------------
 
@@ -216,17 +216,28 @@ def _split_top_level(q: str) -> tuple[str, list[tuple[str, float, str]]]:
                 return occ, kw == "AND"
         return "should", False
 
+    in_quote = False
     while i < n:
         ch = q[i]
-        if ch == "(":
+        if ch == '"':
+            in_quote = not in_quote
+            buf += ch
+            i += 1
+            continue
+        if ch == "(" and not in_quote:
             depth, j = 1, i + 1
+            q_inner = False
             while j < n and depth:
-                if q[j] == "(":
-                    depth += 1
-                elif q[j] == ")":
-                    depth -= 1
+                if q[j] == '"':
+                    q_inner = not q_inner
+                elif not q_inner:
+                    if q[j] == "(":
+                        depth += 1
+                    elif q[j] == ")":
+                        depth -= 1
                 j += 1
-            inner = q[i + 1 : j - 1]
+            # unbalanced '(' : treat everything to the end as the group body
+            inner = q[i + 1 : j - 1] if depth == 0 else q[i + 1 : j]
             i = j
             boost = 1.0
             m = re.match(r"\^(\d+(\.\d+)?)", q[i:])
@@ -298,11 +309,18 @@ def search(
             scoring = [c for c in pos if c.kind not in ("filter_eq", "filter_range")]
             filters = [c for c in pos if c.kind in ("filter_eq", "filter_range")]
             if scoring:
-                parts.append(
-                    search(index, flat, k=k, default_field=default_field,
-                           k1=k1, b=b, quantize_norms=quantize_norms,
-                           _scores_only=True, _parsed=ParsedQuery(scoring))
+                flat_stream = search(
+                    index, flat, k=k, default_field=default_field,
+                    k1=k1, b=b, quantize_norms=quantize_norms,
+                    _scores_only=True, _parsed=ParsedQuery(scoring),
                 )
+                parts.append(flat_stream)
+                if any(c.occur == "must" for c in scoring):
+                    # '+apple (banana)': the flat stream already enforces its
+                    # own musts internally, so its MATCH SET is exactly the
+                    # docs satisfying them — group-only docs must not
+                    # resurrect past a required flat clause.
+                    must_sets.append(flat_stream.select("docid"))
             if filters:
                 filter_sets.append(
                     search(index, "", k=k, default_field=default_field,
@@ -366,7 +384,6 @@ def search(
     const_score: list[tuple[str, float, int, str]] = []  # (term, boost, gid, occur)
     filter_preds: list[Column] = []
     neg_terms: list[str] = []
-    must_groups = 0
 
     tstats = index.term_stats()
     gid = 0
@@ -384,7 +401,6 @@ def search(
             if c.occur == "must":
                 for t in terms:
                     gid += 1
-                    must_groups += 1
                     weights.append((t, c.boost, "must", gid))
             else:
                 for t in terms:
@@ -404,8 +420,6 @@ def search(
                     # single surviving term: Lucene degrades to a TermQuery
                     gid += 1
                     occ = c.occur
-                    if occ == "must":
-                        must_groups += 1
                     weights.append((tp[0][0], c.boost, occ, gid))
                     continue
                 gid += 1
@@ -419,8 +433,6 @@ def search(
                         gid,
                     )
                 )
-                if c.occur == "must":
-                    must_groups += 1
             else:
                 # positions not indexed: documented fallback — phrase becomes
                 # a conjunction of its terms (over-matches; build the index
@@ -433,7 +445,6 @@ def search(
                     continue
                 for t in terms:
                     gid += 1
-                    must_groups += 1
                     weights.append((t, c.boost, "must", gid))
         elif c.kind == "fuzzy":
             # FuzzyQuery: expand against the dictionary within maxEdits and
@@ -456,8 +467,6 @@ def search(
                 neg_terms.extend(matched)
                 continue
             gid += 1
-            if c.occur == "must":
-                must_groups += 1
             for t in matched:
                 weights.append((t, c.boost, c.occur, gid))
         elif c.kind == "prefix":
@@ -479,8 +488,6 @@ def search(
                     return empty  # +prefix* with zero dictionary expansions
                 continue
             gid += 1
-            if c.occur == "must":
-                must_groups += 1
             for t in matched:
                 const_score.append((t, c.boost, gid, c.occur))
         elif c.kind == "filter_eq":
@@ -538,13 +545,7 @@ def search(
                 .select(
                     "docid",
                     F.when(F.col("const") == 1, F.col("w")).otherwise(
-                        F.col("w")
-                        * F.col("tf")
-                        / (
-                            F.col("tf")
-                            + F.lit(k1)
-                            * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))
-                        )
+                        F.col("w") * tf_saturation("tf", dl_col, k1, b, avgdl)
                     ).alias("contrib"),
                     F.col("gid").cast("int").alias("gid"),
                 )
@@ -565,13 +566,7 @@ def search(
                 pm.join(index.doclens, "docid").select(
                     "docid",
                     (
-                        F.lit(w)
-                        * F.col("tf_p")
-                        / (
-                            F.col("tf_p")
-                            + F.lit(k1)
-                            * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))
-                        )
+                        F.lit(w) * tf_saturation("tf_p", dl_col, k1, b, avgdl)
                     ).alias("contrib"),
                     F.lit(g).cast("int").alias("gid"),
                 )

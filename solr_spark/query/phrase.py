@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from solr_spark.index.build import IndexTables
-from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf
+from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf, tf_saturation
 
 
 def phrase_tf_col(
@@ -164,14 +164,9 @@ def phrase_score_df(
         .join(index.doclens, "docid")
         .select(
             "docid",
-            (
-                F.lit(w)
-                * F.col("tf_p")
-                / (
-                    F.col("tf_p")
-                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))
-                )
-            ).alias("score"),
+            (F.lit(w) * tf_saturation("tf_p", dl_col, k1, b, avgdl)).alias(
+                "score"
+            ),
         )
     )
 
@@ -308,14 +303,9 @@ def complex_phrase_topk(
         .join(index.doclens, "docid")
         .select(
             "docid",
-            (
-                F.lit(w)
-                * F.col("tf_p")
-                / (
-                    F.col("tf_p")
-                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))
-                )
-            ).alias("score"),
+            (F.lit(w) * tf_saturation("tf_p", dl_col, k1, b, avgdl)).alias(
+                "score"
+            ),
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

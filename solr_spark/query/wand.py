@@ -295,7 +295,7 @@ def _phrase_partition(
 
 def _boolean_partition(
     postings: pd.DataFrame,
-    weights: dict[str, tuple[float, bool]],
+    weights: dict[str, tuple[float, float]],  # term -> (bm25 w, const w)
     musts: list[list[str]],
     neg_terms: list[str],
     k: int,
@@ -324,18 +324,16 @@ def _boolean_partition(
             continue
         acc = np.zeros(size, dtype=np.float64)
         seen = np.zeros(size, dtype=bool)
-        for t, (w, const) in weights.items():
+        for t, (w_bm, w_c) in weights.items():
             if t not in decoded:
                 continue
             o, tf, nrm = decoded[t]
-            contrib = (
-                np.full(o.size, w)
-                if const
-                else w * _contrib(
+            contrib = np.full(o.size, w_c)
+            if w_bm:
+                contrib = contrib + w_bm * _contrib(
                     tf.astype(np.float64),
                     DECODE_TABLE[nrm].astype(np.float64), k1, b, avgdl,
                 )
-            )
             np.add.at(acc, o, contrib)
             seen[o] = True
         keep = seen.copy()
@@ -470,6 +468,11 @@ class PhysicalIndex:
         """
         from solr_spark.query.parser import parse_query
 
+        if "(" in query:
+            raise ValueError(
+                "parenthesized groups are not supported on the physical "
+                "path; use parser.search over the logical index"
+            )
         stats = self.stats
         k1, b, avgdl, n = stats["k1"], stats["b"], stats["avgdl"], stats["n_docs"]
         empty = self.spark.createDataFrame([], "docid long, score double")
@@ -549,13 +552,20 @@ class PhysicalIndex:
 
         uniq = sorted({t for t, _, _ in scoring})
         dfs = self._df_for_terms(sorted(set(uniq) | set(neg_terms)))
-        weights: dict[str, tuple[float, bool]] = {}
+        # term -> (summed BM25 weight, summed constant score) — kept separate
+        # so a term appearing both as a scored clause and inside a prefix
+        # expansion contributes BM25(tf)·w + const (parity with the logical
+        # parser's one-row-per-clause aggregation).
+        weights: dict[str, tuple[float, float]] = {}
         for t, boost, const in scoring:
             if t not in dfs:
                 continue
-            w = boost if const else boost * idf(n, dfs[t])
-            prev = weights.get(t)
-            weights[t] = (w + (prev[0] if prev else 0.0), const)
+            w_bm, w_c = weights.get(t, (0.0, 0.0))
+            if const:
+                w_c += boost
+            else:
+                w_bm += boost * idf(n, dfs[t])
+            weights[t] = (w_bm, w_c)
         for alts in must_terms:
             if not any(t in dfs for t in alts):
                 return empty  # a required clause can never match
@@ -586,6 +596,11 @@ class PhysicalIndex:
         from solr_spark.analysis.chain import analyze_pos
 
         stats = self.stats
+        if not stats.get("positions", True):
+            raise ValueError(
+                "phrase queries need positions: this index was built with "
+                "store_positions=False (same contract as the logical path)"
+            )
         k1, b, avgdl, n = stats["k1"], stats["b"], stats["avgdl"], stats["n_docs"]
         empty = self.spark.createDataFrame([], "docid long, score double")
         tp = analyze_pos(phrase, stats["analyzer"])

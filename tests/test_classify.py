@@ -91,3 +91,25 @@ def test_unique_block(spark):
     out = {r.flag: r.unique_block
            for r in unique_block_agg(df, "parent", by="flag").collect()}
     assert out == {"a": 2, "b": 1}
+
+
+def test_predict_covers_featureless_docs(spark, toy):
+    postings, labels = toy
+    w = text_logit_train(postings, labels, ["alpha"], iterations=20,
+                         learning_rate=2.0)
+    # doc universe includes docs with no feature term (the negatives)
+    preds = {int(r.docid): float(r.prob)
+             for r in text_logit_predict(postings, w, docs=labels).collect()}
+    assert len(preds) == 40  # every doc predicted, not just alpha-matching
+    import math
+    b = w["_intercept"]
+    for d in range(20, 40):
+        assert abs(preds[d] - 1.0 / (1.0 + math.exp(-b))) < 1e-9
+
+
+def test_hist_degenerate_range(spark):
+    from solr_spark.functions.mathstream import hist
+
+    df = spark.createDataFrame([(5.0,)] * 7, "x double")
+    out = hist(df, "x", 10).collect()
+    assert len(out) == 1 and out[0].bin == 0 and out[0]["count"] == 7

@@ -227,3 +227,21 @@ def test_group_with_filters_and_and(idx, docs, term_docs):
     got = {r.docid
            for r in search(idx, "(spark join) AND (table)", k=100000).collect()}
     assert got == (term_docs("spark") | term_docs("join")) & term_docs("table")
+
+
+def test_flat_must_enforced_against_groups(idx, term_docs):
+    # '+spark (table)': the required flat clause must constrain group-only
+    # docs too (Lucene BooleanQuery semantics).
+    got = {r.docid for r in search(idx, "+spark (table)", k=100000).collect()}
+    assert got and got <= term_docs("spark")
+
+
+def test_split_top_level_quote_blind():
+    from solr_spark.query.parser import _split_top_level
+
+    # parens inside a quoted phrase are NOT group delimiters
+    flat, groups = _split_top_level('"foo (bar" baz')
+    assert groups == [] and flat.strip() == '"foo (bar" baz'
+    # unbalanced '(' keeps the full tail as the group body
+    flat, groups = _split_top_level("a (b c")
+    assert flat.strip() == "a" and groups == [("should", 1.0, "b c")]

@@ -240,6 +240,7 @@ def test_phrase_partition_count_invariance(spark, docs, idx_dir, tmp_path_factor
     "+table -zzznotaterm",
     "spar* table",
     "+spar* data",
+    "spark spar*",  # same term scored AND const-prefix-expanded
 ])
 def test_physical_boolean_matches_logical(spark, idx_dir, logical, q):
     """PhysicalIndex.search must be rank- and score-identical to the logical
@@ -260,3 +261,27 @@ def test_physical_fuzzy_matches_logical(spark, idx_dir, logical):
         want = _rows(search(logical, q, k=10, quantize_norms=True))
         got = _rows(open_index(spark, idx_dir).search(q, k=10))
         assert got == want and got
+
+
+def test_phrase_raises_on_positionless_index(spark, docs, tmp_path_factory):
+    from solr_spark.query.wand import wand_phrase_topk
+
+    d = str(tmp_path_factory.mktemp("nopos") / "phys")
+    build_index_dir(docs, d, n_partitions=2, analyzer="simple",
+                    id_col="doc_id", text_col="text", store_positions=False)
+    with pytest.raises(ValueError, match="positions"):
+        wand_phrase_topk(spark, d, "spark join", k=5)
+
+
+def test_merge_mixed_positions_raises(spark, docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mixed") / "multi")
+    m = str(tmp_path_factory.mktemp("mixed") / "merged")
+    build_segments(docs.where(F.col("doc_id") % 2 == 0), d, n_partitions=2,
+                   analyzer="simple", id_col="doc_id", text_col="text",
+                   generation=0, store_positions=False)
+    build_segments(docs.where(F.col("doc_id") % 2 == 1), d, n_partitions=2,
+                   analyzer="simple", id_col="doc_id", text_col="text",
+                   generation=1, store_positions=True)
+    finalize_index(spark, d, analyzer="simple")
+    with pytest.raises(Exception, match="store_positions"):
+        merge_index(spark, d, m)
