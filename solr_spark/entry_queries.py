@@ -397,8 +397,8 @@ WITH frag AS (
   FROM documents),
 scored AS (
   SELECT doc_id, idx,
-         CAST((length(f) - length(replace(f, 'spark', ''))) / 5 AS INT) AS c1,
-         CAST((length(f) - length(replace(f, 'join', ''))) / 4 AS INT) AS c2
+         len(regexp_extract_all(f, '\\bspark\\b'))::INT AS c1,
+         len(regexp_extract_all(f, '\\bjoin\\b'))::INT AS c2
   FROM (SELECT doc_id, idx, lower(substring(text, CAST(idx * 80 + 1 AS INT), 80)) AS f
         FROM frag)),
 ranked AS (
@@ -2194,8 +2194,8 @@ WITH hits AS (
   SELECT doc_id, text, strpos(lower(text), 'spark') AS pos
   FROM documents WHERE doc_id < 50 AND strpos(lower(text), 'spark') > 0)
 SELECT doc_id,
-       regexp_replace(lower(substring(text, greatest(1, pos - 20)::INT, 80)),
-                      '\bspark\b', '<em>spark</em>', 'g') AS snippet
+       regexp_replace(substring(text, greatest(1, pos - 20)::INT, 80),
+                      '(?i)\bspark\b', '<em>\0</em>', 'g') AS snippet
 FROM hits ORDER BY doc_id
 """,
 )

@@ -91,6 +91,13 @@ def hist(
     c = F.col(col).cast("double")
     if lo is None or hi is None:
         b = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        if (lo is None and b["lo"] is None) or (hi is None and b["hi"] is None):
+            # empty / all-null column: no observable range -> empty histogram
+            # (the reference's EmpiricalDistribution likewise has no bins to
+            # report without data)
+            return df.sparkSession.createDataFrame(
+                [], "bin int, count long, mean double"
+            )
         lo = float(b["lo"]) if lo is None else lo
         hi = float(b["hi"]) if hi is None else hi
     width = (hi - lo) / bins

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from solr_spark.analysis.chain import analyze
+from solr_spark.analysis.chain import analyze, analyze_pos
 from solr_spark.index.build import IndexTables
 from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT
 from solr_spark.query.dismax import dismax_score_df
@@ -54,8 +54,8 @@ def resolve_aliases(
     return out
 
 
-def _ngrams(terms: list[str], n: int) -> list[list[str]]:
-    return [terms[i : i + n] for i in range(len(terms) - n + 1)]
+def _ngrams(items: list, n: int) -> list[list]:
+    return [items[i : i + n] for i in range(len(items) - n + 1)]
 
 
 def edismax_search(
@@ -88,6 +88,13 @@ def edismax_search(
     spark = some_index.postings.sparkSession
     analyzer = some_index.analyzer
     terms = analyze(query, analyzer)
+    # (term, position) pairs for the phrase boosts: Lucene's edismax builds
+    # its pf/pf2/pf3 PhraseQueries from the analyzed token stream WITH
+    # position increments, so analyzer stopword gaps survive into the
+    # phrase pattern ("quick and dirty" under text_en boosts quick@0
+    # dirty@2, not an adjacent bigram) — same rule as the parser's quoted
+    # phrases (ExtendedDismaxQParser.addShingledPhraseQueries).
+    terms_pos = analyze_pos(query, analyzer)
     empty = spark.createDataFrame([], "docid long, score double")
     if not terms:
         return empty
@@ -108,7 +115,7 @@ def edismax_search(
     for pdict, size, slop in ((pf, 0, ps), (pf2, 2, ps2), (pf3, 3, ps3)):
         if not pdict:
             continue
-        grams = [terms] if size == 0 else _ngrams(terms, size)
+        grams = [terms_pos] if size == 0 else _ngrams(terms_pos, size)
         for fname, boost in resolve_aliases(pdict, aliases).items():
             if fname not in indexes:
                 continue
@@ -122,12 +129,20 @@ def edismax_search(
             for gram in grams:
                 if len(gram) < 2:
                     continue
-                min_gram = len(gram) if min_gram is None else min(min_gram, len(gram))
+                gterms = [t for t, _ in gram]
+                # mm subset shortcut counts DISTINCT terms: a gram of a
+                # repeated term ("spark spark") only evidences ONE matched
+                # query term, so it cannot stand in for mm=2.
+                n_distinct = len(set(gterms))
+                min_gram = (
+                    n_distinct if min_gram is None else min(min_gram, n_distinct)
+                )
                 parts.append(
                     phrase_score_df(
-                        indexes[fname], gram, slop=slop, boost=boost,
+                        indexes[fname], gterms, slop=slop, boost=boost,
                         k1=k1, b=b, quantize_norms=False,
                         stats=field_stats[fname],
+                        offsets=[p - gram[0][1] for _, p in gram],
                     ).select("docid", F.col("score").alias("contrib"))
                 )
 

@@ -41,22 +41,22 @@ def highlight(
     lc = F.lower(text)
     pos = _first_pos(lc, terms)
     start = F.greatest(F.lit(1), pos - F.lit(frag_size // 4))
-    frag = F.substring(text, start.cast("int"), frag_size)
-    tagged = F.lower(frag)
+    # Tag the ORIGINAL-case fragment (the reference highlighter returns the
+    # stored text verbatim around the tags) with a case-insensitive
+    # word-boundary match; $0 keeps the matched casing inside the tags.
+    tagged = F.substring(text, start.cast("int"), frag_size)
     for t in sorted(set(t.lower() for t in terms)):
         tagged = F.regexp_replace(
-            tagged, f"\\b{t}\\b", f"{pre}{t}{post}"
+            tagged, f"(?i)\\b{t}\\b", f"{pre}$0{post}"
         )
     return df.withColumn(out, F.when(pos > 0, tagged))
 
 
 def _frag_counts(frag_lc: Column, term: str) -> Column:
-    """Occurrences of ``term`` in the lowercased fragment (length-diff
-    trick — stays in codegen, no regex)."""
-    return (
-        (F.length(frag_lc) - F.length(F.replace(frag_lc, F.lit(term), F.lit(""))))
-        / F.lit(len(term))
-    ).cast("int")
+    """WHOLE-WORD occurrences of ``term`` in the lowercased fragment — the
+    same \\b boundary rule the tagger uses, so a fragment selected as best
+    (n_terms > 0) always contains at least one tag."""
+    return F.regexp_count(frag_lc, F.lit(f"\\b{term}\\b")).cast("int")
 
 
 def highlight_fragments(
@@ -116,9 +116,9 @@ def highlight_fragments(
     )
 
     def tag(s):
-        frag = F.lower(s["frag"])
+        frag = s["frag"]  # original case; $0 keeps the matched casing
         for t in tl:
-            frag = F.regexp_replace(frag, f"\\b{t}\\b", f"{pre}{t}{post}")
+            frag = F.regexp_replace(frag, f"(?i)\\b{t}\\b", f"{pre}$0{post}")
         return frag
 
     return df.withColumn(out, F.transform(best, tag)).withColumn(

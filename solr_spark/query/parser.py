@@ -187,13 +187,47 @@ def _range_pred(c: Clause, docs: DataFrame) -> Column:
     return pred
 
 
+_CLAUSE_TOKEN_RE = (
+    r'([A-Za-z_][\w.]*:[\[\{][^\]\}]*[\]\}]|"[^"]*"(?:~\d+)?|\S+)'
+)
+_OPERATOR_TOKENS = ("AND", "OR", "NOT", "&&", "||")
+
+
+def _promote_last_clause(text: str) -> str:
+    """Insert '+' before the last clause of ``text`` — 'a AND (b)' requires
+    BOTH sides MUST (Lucene BooleanQuery conjunction), so the flat clause
+    left of the AND is promoted alongside the group. No-op when the clause
+    already carries a modifier or is itself an operator keyword."""
+    m = re.search(_CLAUSE_TOKEN_RE + r"\s*$", text)
+    if not m:
+        return text
+    tok = m.group(1)
+    if tok.startswith(("+", "-")) or tok in _OPERATOR_TOKENS:
+        return text
+    return text[: m.start(1)] + "+" + text[m.start(1) :]
+
+
+def _promote_first_clause(text: str) -> str:
+    """Insert '+' before the first clause of ``text`` ('(b) AND y' → +y)."""
+    stripped = text.lstrip()
+    m = re.match(_CLAUSE_TOKEN_RE, stripped)
+    if not m:
+        return text
+    tok = m.group(1)
+    if tok.startswith(("+", "-")) or tok in _OPERATOR_TOKENS:
+        return text
+    return text[: len(text) - len(stripped)] + "+" + stripped
+
+
 def _split_top_level(q: str) -> tuple[str, list[tuple[str, float, str]]]:
     """Split a query into its top-level flat text and parenthesized groups.
 
     Returns (flat_text, [(occur, boost, inner_text), ...]). Occur comes
     from a '+'/'-'/NOT/AND immediately preceding the group; '^N' after the
     closing paren is the group boost. Nested parens stay inside inner_text
-    (handled by the recursive search call).
+    (handled by the recursive search call). An AND adjacent to a group
+    promotes BOTH sides: the group and its flat neighbor (the neighbor via
+    an inserted '+' modifier that survives the flat re-parse).
     """
     flat_parts: list[str] = []
     groups: list[tuple[str, float, str]] = []
@@ -245,10 +279,16 @@ def _split_top_level(q: str) -> tuple[str, list[tuple[str, float, str]]]:
                 boost = float(m.group(1))
                 i += m.end()
             occur, via_and = tail_occur()
-            if via_and and groups and groups[-1][0] == "should":
-                # Lucene: A AND B promotes BOTH sides.
-                prev = groups[-1]
-                groups[-1] = ("must", prev[1], prev[2])
+            if via_and:
+                if not buf.strip() and groups and groups[-1][0] == "should":
+                    # '(a) AND (b)': the AND is adjacent to the previous
+                    # group — promote it (Lucene: both sides of AND).
+                    prev = groups[-1]
+                    groups[-1] = ("must", prev[1], prev[2])
+                else:
+                    # 'a AND (b)': the flat clause left of the AND becomes
+                    # MUST too.
+                    buf = _promote_last_clause(buf)
             groups.append((occur, boost, inner))
             flat_parts.append(buf)
             buf = ""
@@ -256,14 +296,18 @@ def _split_top_level(q: str) -> tuple[str, list[tuple[str, float, str]]]:
             buf += ch
             i += 1
     flat_parts.append(buf)
+    # '(g) AND Y': an AND/&& heading the segment AFTER group i promotes
+    # both that group and the first clause of the segment. flat_parts[i+1]
+    # is exactly the text following group i (appended right after it).
+    for gi in range(len(groups)):
+        seg = flat_parts[gi + 1]
+        m = re.match(r"\s*(AND|&&)\b", seg or "")
+        if m:
+            g_occur, g_boost, g_inner = groups[gi]
+            if g_occur == "should":
+                groups[gi] = ("must", g_boost, g_inner)
+            flat_parts[gi + 1] = _promote_first_clause(seg[m.end() :])
     flat = " ".join(p.strip() for p in flat_parts if p.strip())
-    # 'X AND (group)' / '(group) AND Y': an AND immediately AFTER a group
-    # promotes that group too — scan the flat remnants conservatively.
-    if groups and re.match(r"\s*(AND|&&)\b", flat_parts[-1] or ""):
-        occur, boost, inner = groups[-1]
-        if occur == "should":
-            groups[-1] = ("must", boost, inner)
-        flat = re.sub(r"^\s*(AND|&&)\b", "", flat).strip()
     return flat, groups
 
 
@@ -285,9 +329,9 @@ def search(
     Parenthesized groups nest arbitrarily: each top-level group is compiled
     recursively into its own (docid, score) stream; group score = boost ×
     inner score sum; +group / AND-group require the group's match set
-    (semi-join), -group excludes it (anti-join). DOCUMENTED approximation
-    of Lucene's coord-less BooleanQuery: an AND adjacent to a group
-    promotes the group (and its group neighbor), not a bare-term neighbor.
+    (semi-join), -group excludes it (anti-join). An AND adjacent to a group
+    promotes BOTH sides — the group and its flat neighbor ('a AND (b)' ≡
+    '+a +(b)'), matching Lucene's coord-less BooleanQuery conjunction.
     """
     spark = index.postings.sparkSession
     empty = spark.createDataFrame([], "docid long, score double")

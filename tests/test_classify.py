@@ -113,3 +113,14 @@ def test_hist_degenerate_range(spark):
     df = spark.createDataFrame([(5.0,)] * 7, "x double")
     out = hist(df, "x", 10).collect()
     assert len(out) == 1 and out[0].bin == 0 and out[0]["count"] == 7
+
+
+def test_hist_empty_input_returns_empty(spark):
+    from solr_spark.functions.mathstream import hist
+
+    df = spark.createDataFrame([], "x double")
+    out = hist(df, "x", 10).collect()
+    assert out == []
+    # all-null column behaves the same
+    df2 = spark.createDataFrame([(None,), (None,)], "x double")
+    assert hist(df2, "x", 5).collect() == []

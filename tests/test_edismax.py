@@ -112,3 +112,43 @@ def test_multiplicative_boost(idx):
     }
     for d, s in boosted.items():
         assert abs(s - base[d] * nchars[d] / 100.0) < 1e-6
+
+
+def test_pf_preserves_stopword_gaps(spark):
+    # text_en drops 'and' but keeps its position increment: "quick and
+    # dirty" analyzes to quick@0 dirty@2. Lucene's edismax builds the pf
+    # PhraseQuery from that gapped stream, so the boost fires for docs
+    # containing the literal "quick and dirty" — and NOT for an adjacent
+    # "quick dirty" (position gap mismatch), mirroring the parser's quoted
+    # phrases.
+    docs = spark.createDataFrame(
+        [(0, "quick and dirty hack"), (1, "quick dirty hack"), (2, "dirty stuff")],
+        ["doc_id", "text"],
+    )
+    idx = build_index(docs, id_col="doc_id", text_col="text", analyzer="text_en")
+    q = "quick and dirty"
+    base = dict(_rows(edismax_search({"text": idx}, q, k=10)))
+    boosted = dict(
+        _rows(edismax_search({"text": idx}, q, pf={"text": 5.0}, k=10))
+    )
+    assert boosted[0] > base[0] + 1e-9  # gapped phrase boost fires
+    assert abs(boosted[1] - base[1]) < 1e-9  # adjacent bigram: no boost
+
+
+def test_mm_repeated_term_gram_not_resurrected(spark):
+    # A pf2 gram of a REPEATED term evidences only one distinct query term,
+    # so it cannot satisfy mm=2 — the boosted doc must stay excluded.
+    docs = spark.createDataFrame(
+        [(0, "spark spark burns bright"), (1, "spark join runs")],
+        ["doc_id", "text"],
+    )
+    idx = build_index(docs, id_col="doc_id", text_col="text", analyzer="simple")
+    out = dict(
+        _rows(
+            edismax_search(
+                {"text": idx}, "spark spark join", mm=2, pf2={"text": 2.0}, k=10
+            )
+        )
+    )
+    assert 1 in out
+    assert 0 not in out  # matched only 'spark' (1 distinct term) despite bigram

@@ -245,3 +245,40 @@ def test_split_top_level_quote_blind():
     # unbalanced '(' keeps the full tail as the group body
     flat, groups = _split_top_level("a (b c")
     assert flat.strip() == "a" and groups == [("should", 1.0, "b c")]
+
+
+def test_and_promotes_flat_neighbor_of_group(idx, term_docs):
+    # 'a AND (b)' ≡ '+a +(b)': docs matching only b must NOT be returned
+    # (Lucene requires BOTH sides of an AND).
+    got = {r.docid for r in search(idx, "spark AND (join)", k=100000).collect()}
+    assert got == term_docs("spark") & term_docs("join")
+    # '(b) AND a' — same, AND after the group.
+    got2 = {r.docid for r in search(idx, "(join) AND spark", k=100000).collect()}
+    assert got2 == got
+
+
+def test_and_between_groups_still_promotes_both(idx, term_docs):
+    got = {r.docid for r in search(idx, "(spark) AND (join)", k=100000).collect()}
+    assert got == term_docs("spark") & term_docs("join")
+
+
+def test_and_promotion_is_adjacent_only(idx, term_docs):
+    # '(a) x AND (b)': the AND binds x and (b) — (a) stays SHOULD.
+    got = {
+        r.docid
+        for r in search(idx, "(table) spark AND (join)", k=100000).collect()
+    }
+    assert got == term_docs("spark") & term_docs("join")
+    assert (term_docs("table") - term_docs("spark")) & got == set()
+
+
+def test_promote_helpers_respect_tokens():
+    from solr_spark.query.parser import _promote_first_clause, _promote_last_clause
+
+    assert _promote_last_clause("a b") == "a +b"
+    assert _promote_last_clause("a +b") == "a +b"  # already must
+    assert _promote_last_clause("-b") == "-b"  # negative stays
+    assert _promote_last_clause('x "a b"~2') == 'x +"a b"~2'  # phrase token
+    assert _promote_last_clause("n:[1 TO 2]") == "+n:[1 TO 2]"  # range token
+    assert _promote_first_clause("  b c") == "  +b c"
+    assert _promote_first_clause("NOT b") == "NOT b"

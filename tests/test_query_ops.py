@@ -128,3 +128,25 @@ def test_highlight_fragments_scoring(spark):
     assert len(meta0) == 2 and meta0[1].n_terms == 1  # the lone 'spark' frag
     assert "<em>spark</em>" in by_id[0].snippets[0]
     assert by_id[1]._frag_meta == []  # no matching fragment
+
+
+def test_highlight_preserves_case_and_tags_best(spark):
+    # Tags wrap the ORIGINAL casing (the reference highlighter returns the
+    # stored text verbatim), and scoring uses the same \b word-boundary rule
+    # as tagging — so a selected fragment always contains >= 1 tag.
+    from solr_spark.query.highlight import highlight, highlight_fragments
+
+    rows = [(0, "Spark is fast. SPARKY is not a term hit."),
+            (1, "sparkplug only")]  # substring but not a word match
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           highlight(df, "text", ["spark"], frag_size=40).collect()}
+    assert "<em>Spark</em>" in out[0].snippet  # original case kept
+    assert "SPARKY" in out[0].snippet and "<em>SPARKY" not in out[0].snippet
+
+    fr = {r.doc_id: r for r in
+          highlight_fragments(df, "text", ["spark"], frag_size=40,
+                              max_fragments=2).collect()}
+    assert fr[0].snippets and all("<em>" in s for s in fr[0].snippets)
+    # 'sparkplug' is a substring, not a \b word: no fragment selected
+    assert fr[1]._frag_meta == [] and fr[1].snippets == []
