@@ -1247,6 +1247,74 @@ def lucene_query_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_query",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cand AS (
+  SELECT term, df FROM dfs
+  WHERE abs(length(term) - 5) <= 2 AND levenshtein(term, 'tabel') <= 2
+  ORDER BY levenshtein(term, 'tabel') ASC, df DESC, term ASC LIMIT 50),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM cand),
+scored AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM scored
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def fuzzy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery `tabel~2`: bounded dictionary probe (length band +
+    thresholded Levenshtein) capped at maxExpansions=50 best terms
+    (dist asc, df desc, term asc — Lucene's top-terms order), each
+    BM25-scored (query/expand.py)."""
+    from solr_spark.query.parser import search
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = search(idx, "tabel~2", k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "prefix_query",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+w AS (SELECT 'spark' AS term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w
+      FROM (SELECT count(*) AS df FROM tf WHERE term = 'spark')),
+contrib AS (
+  SELECT tf.doc_id,
+         w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS c
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+  UNION ALL
+  SELECT DISTINCT doc_id, 1.0 AS c FROM toks WHERE term LIKE 'tabl%'),
+scored AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM scored
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def prefix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`spark tabl*`: BM25 term + constant-score prefix — the prefix
+    contributes its boost ONCE per matching doc (Lucene
+    CONSTANT_SCORE_REWRITE bitset), via a pushed-down startswith postings
+    stream with no dictionary expansion (query/expand.py)."""
+    from solr_spark.query.parser import search
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = search(idx, "spark tabl*", k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 # Position-aware tokens: pos numbers the NON-EMPTY tokens 0-based per doc —
 # the same numbering the simple analyzer chain produces for stored positions.
 TOKP = (
@@ -2704,8 +2772,47 @@ def index_stat_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Catalog entries the round-1/round-2 driver runs ALREADY verified
+# (CORRECTNESS_r01 ∪ CORRECTNESS_r02 keys). The driver samples a prefix of
+# queries(), so never-yet-verified entries — including everything new this
+# round — are ordered FIRST to close the verification gap within a round.
+_DRIVER_VERIFIED: frozenset[str] = frozenset({
+    "bm25_top10", "bm25_top10_window", "bm25_hot_term", "bm25_rare_mix",
+    "term_filter_lang_counts", "facet_terms_lang",
+    "facet_terms_source_matching", "facet_range_nchars",
+    "facet_query_buckets", "facet_nested_stats", "facet_subfacet_top_sources",
+    "wordbreak_split_suggestions", "highlight_multi_best",
+    "relatedness_langs", "unique_block_flags", "igain_terms_en",
+    "text_logit_train", "stats_nchars_by_lang", "pivot_lang_source",
+    "collapse_by_source", "expand_by_source", "group_top2_per_lang",
+    "unique_lang_source", "intersect_sources", "complement_sources",
+    "merge_streams", "top_orders", "rollup_orders_status",
+    "timeseries_events_daily", "innerjoin_revenue_by_segment",
+    "hashjoin_customers_per_region", "fetch_top_orders_customer",
+    "cartesian_product_tokens", "cursor_page3", "terms_dictionary_top20",
+    "significant_terms_spark", "wand_bm25_top10", "wand_bm25_hot",
+    "mlt_doc0", "dismax_text_source",
+    "rerank_by_nchars", "frange_boosted", "lucene_query_parser",
+    "phrase_adjacency", "phrase_slop", "complexphrase_wildcard",
+    "span_near_unordered", "wand_phrase_adjacency", "edismax_pf",
+    "grouped_boolean_query", "ann_cosine_top10", "knn_label_vote",
+    "ngram_jaccard_pairs", "minhash_lsh_candidates", "simhash_near_pairs",
+    "dedup_exact_summary", "token_count_by_lang", "text_quality",
+    "lsh_ann_top10", "ivf_ann_top10", "lang_id_distribution",
+    "quality_features_sample", "token_counts_total", "fingerprint_top",
+    "multimodal_decode_meta",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: e.fn for name, e in CATALOG.items()}
+    unverified = {
+        name: e.fn for name, e in CATALOG.items()
+        if name not in _DRIVER_VERIFIED
+    }
+    verified = {
+        name: e.fn for name, e in CATALOG.items() if name in _DRIVER_VERIFIED
+    }
+    return {**unverified, **verified}
 
 
 def oracle_sql() -> dict[str, str]:

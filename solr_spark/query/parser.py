@@ -17,9 +17,13 @@ ranges, boosts, prefix wildcards; SURVEY.md §2.2):
 - ``field:value`` on a stored (non-text) field: exact-match filter, like
   Solr's fq/{!term}; ``field:[a TO b]``/``{a TO b}``: range filter
 - ``term^2.5``: boost multiplies the term's BM25 weight
-- ``prefix*``: expanded against the term dictionary and scored
-  constant-score (Lucene's default multi-term rewrite,
-  CONSTANT_SCORE_REWRITE: score = boost, not BM25)
+- ``prefix*``: constant score — boost ONCE per matching doc (Lucene's
+  default multi-term rewrite, CONSTANT_SCORE_REWRITE, materializes a
+  docid bitset). No term expansion happens at all: the prefix predicate
+  pushes into the postings scan (query/expand.py)
+- ``term~N``: fuzzy — bounded dictionary probe (length band + thresholded
+  Levenshtein), capped at Lucene's maxExpansions=50 best terms, each
+  BM25-scored (query/expand.py)
 
 Compilation produces the same plan shape as bm25_score_df: term-IN postings
 scan → broadcast weight join → aggregate by docid, plus semi/anti joins for
@@ -425,7 +429,8 @@ def search(
 
     # Partition clauses.
     weights: list[tuple[str, float, str, int]] = []  # (term, w, occur, group)
-    const_score: list[tuple[str, float, int, str]] = []  # (term, boost, gid, occur)
+    # (prefix, boost, occur, gid): scored as a pushed-down match-set stream
+    prefix_clauses: list[tuple[str, float, str, int]] = []
     filter_preds: list[Column] = []
     neg_terms: list[str] = []
 
@@ -491,18 +496,16 @@ def search(
                     gid += 1
                     weights.append((t, c.boost, "must", gid))
         elif c.kind == "fuzzy":
-            # FuzzyQuery: expand against the dictionary within maxEdits and
-            # score each expanded term with BM25. Divergences from Lucene
-            # (documented): plain Levenshtein (Lucene defaults to Damerau,
-            # transpositions=1) and no edit-distance score damping.
+            # FuzzyQuery: bounded dictionary probe (length band +
+            # thresholded Levenshtein) capped at maxExpansions best terms,
+            # each BM25-scored. Divergences from Lucene (documented): plain
+            # Levenshtein (Lucene defaults to Damerau, transpositions=1)
+            # and no edit-distance score damping.
+            from solr_spark.query.expand import fuzzy_candidates
+
             base = analyze(c.text, index.analyzer)
             base_t = base[0] if base else c.text.lower()
-            matched = [
-                r["term"]
-                for r in tstats.where(
-                    F.levenshtein(F.col("term"), F.lit(base_t)) <= int(c.lo)
-                ).select("term").collect()
-            ]
+            matched = sorted(fuzzy_candidates(tstats, base_t, int(c.lo)))
             if not matched:
                 if c.occur == "must":
                     return empty
@@ -514,26 +517,13 @@ def search(
             for t in matched:
                 weights.append((t, c.boost, c.occur, gid))
         elif c.kind == "prefix":
+            # No expansion: the startswith predicate pushes into the
+            # postings scan; the clause scores its boost once per matching
+            # doc (constant-score match set, query/expand.py).
             pref = analyze(c.text, index.analyzer)
             pref_txt = pref[0] if pref else c.text.lower()
-            matched = [
-                r["term"]
-                for r in tstats.where(F.col("term").startswith(pref_txt))
-                .select("term")
-                .collect()
-            ]
-            if c.occur == "must_not":
-                # Excluded expansions must NOT also accumulate as positive
-                # scoring rows (would waste a scan; the anti-join masks it).
-                neg_terms.extend(matched)
-                continue
-            if not matched:
-                if c.occur == "must":
-                    return empty  # +prefix* with zero dictionary expansions
-                continue
             gid += 1
-            for t in matched:
-                const_score.append((t, c.boost, gid, c.occur))
+            prefix_clauses.append((pref_txt, c.boost, c.occur, gid))
         elif c.kind == "filter_eq":
             pred = F.col(c.field) == F.lit(c.text)
             filter_preds.append(~pred if c.occur == "must_not" else pred)
@@ -541,57 +531,67 @@ def search(
             pred = _range_pred(c, index.docs)
             filter_preds.append(~pred if c.occur == "must_not" else pred)
 
+    from solr_spark.query.expand import prefix_docids
+
     phrase_terms = {t for terms, *_ in phrase_clauses for t in terms}
-    score_terms = (
-        {t for t, _, _, _ in weights}
-        | {t for t, _, _, _ in const_score}
-        | phrase_terms
-    )
-    if not score_terms and not filter_preds:
+    score_terms = {t for t, _, _, _ in weights} | phrase_terms
+    pos_prefix = [p for p in prefix_clauses if p[2] != "must_not"]
+    if not score_terms and not pos_prefix and not filter_preds:
         return empty
 
     dl_col = F.col("dl_quant") if quantize_norms else F.col("dl")
     neg_dfs: list[DataFrame] = []
-    if score_terms:
+    for pref_txt, _, occur, _ in prefix_clauses:
+        if occur == "must_not":
+            neg_dfs.append(prefix_docids(index.postings, pref_txt))
+    if score_terms or pos_prefix:
         from solr_spark.query.phrase import phrase_match_df
 
         stats = {
             r["term"]: r["df"]
             for r in tstats.where(F.col("term").isin(list(score_terms))).collect()
-        }
+        } if score_terms else {}
         rows = []
         for t, boost, occur, g in weights:
             if t in stats:
-                rows.append((t, boost * idf(n_docs, stats[t]), 0, g))
+                rows.append((t, boost * idf(n_docs, stats[t]), g))
             elif occur == "must":
                 return empty  # a required term absent from the corpus
-        for t, boost, g, _o in const_score:
-            if t in stats:
-                rows.append((t, boost, 1, g))
 
         # A required group is satisfied when ANY of its expansions match, so
         # must-ness is enforced at the gid level — and must PREFIX/FUZZY gids
         # count too (a +foo* clause must constrain the result set).
         must_gids = {g for t, _, o, g in weights if o == "must" and t in stats}
-        must_gids |= {g for t, _, g, o in const_score if o == "must" and t in stats}
 
-        # contrib streams: (docid, contrib, gid) from the term/const scan plus
-        # one per live phrase clause; a single aggregate merges them all.
+        # contrib streams: (docid, contrib, gid) from the term scan plus one
+        # per live phrase clause and per prefix match-set; a single
+        # aggregate merges them all.
         contrib_parts: list[DataFrame] = []
         if rows:
-            wdf = F.broadcast(
-                spark.createDataFrame(rows, ["term", "w", "const", "gid"])
-            )
+            wdf = F.broadcast(spark.createDataFrame(rows, ["term", "w", "gid"]))
             contrib_parts.append(
                 index.postings.where(F.col("term").isin([r[0] for r in rows]))
                 .join(wdf, "term")
                 .join(index.doclens, "docid")
                 .select(
                     "docid",
-                    F.when(F.col("const") == 1, F.col("w")).otherwise(
+                    (
                         F.col("w") * tf_saturation("tf", dl_col, k1, b, avgdl)
                     ).alias("contrib"),
                     F.col("gid").cast("int").alias("gid"),
+                )
+            )
+        for pref_txt, boost, occur, g in pos_prefix:
+            pd_ = prefix_docids(index.postings, pref_txt)
+            if occur == "must":
+                # If no term carries the prefix, the semi-filter on this gid
+                # empties the result — the '+none*' case needs no pre-probe.
+                must_gids.add(g)
+            contrib_parts.append(
+                pd_.select(
+                    "docid",
+                    F.lit(float(boost)).alias("contrib"),
+                    F.lit(g).cast("int").alias("gid"),
                 )
             )
         for terms, offsets, slop, boost, occur, g in phrase_clauses:

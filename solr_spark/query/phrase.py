@@ -263,17 +263,17 @@ def complex_phrase_topk(
     for tok in raw:
         if tok.endswith("*") and len(tok) > 1:
             from solr_spark.analysis.chain import analyze
+            from solr_spark.query.expand import prefix_top_terms
 
             pref = analyze(tok[:-1], index.analyzer)
             pref_txt = pref[0] if pref else tok[:-1].lower()
-            matched = [
-                r["term"]
-                for r in tstats.where(F.col("term").startswith(pref_txt))
-                .select("term").collect()
-            ]
+            # Capped expansion (df-descending top-N, Lucene's top-terms
+            # span rewrite): a slot term list must stay driver-sized even
+            # against a 10^9-term dictionary.
+            matched = sorted(prefix_top_terms(tstats, pref_txt))
             if not matched:
                 return empty
-            slots.append(sorted(matched))
+            slots.append(matched)
         else:
             from solr_spark.analysis.chain import analyze
 

@@ -6,10 +6,11 @@ of the input, drawn directly from the live term dictionary, ranked by edit
 distance then document frequency; WordBreakSolrSpellChecker handles
 split/join variants.
 
-Spark shape: the term dictionary is the (term, df) table; candidates are a
-levenshtein filter over it — a broadcast-size scan at any corpus scale
-since the dictionary is orders of magnitude smaller than the corpus. A
-first-letter prune mirrors DirectSpellChecker's FST prefix constraint.
+Spark shape: the term dictionary is the (term, df) table; candidates come
+from a PRUNED probe — first-letter prune (mirroring DirectSpellChecker's
+FST prefix constraint) + length-band predicate + thresholded levenshtein
+(early-exit DP) — capped by a distributed top-k, so per-query cost stays
+bounded against a 10^9-term dictionary.
 """
 
 from __future__ import annotations
@@ -34,9 +35,15 @@ def spellcheck(
     t = index.term_stats().where(F.col("df") >= min_df)
     if require_same_first_letter and w:
         t = t.where(F.col("term").startswith(w[0]))
-    t = t.withColumn("dist", F.levenshtein(F.col("term"), F.lit(w)))
+    # Pruned probe, same shape as query/expand.py: the length band is a
+    # one-comparison reject evaluated before any edit distance, and the
+    # THRESHOLDED levenshtein early-exits at max_edits instead of running
+    # the full DP over every dictionary term.
+    tlen = F.length(F.col("term"))
+    t = t.where((tlen >= len(w) - max_edits) & (tlen <= len(w) + max_edits))
+    t = t.withColumn("dist", F.levenshtein(F.col("term"), F.lit(w), max_edits))
     return (
-        t.where((F.col("dist") <= max_edits) & (F.col("term") != w))
+        t.where((F.col("dist") >= 0) & (F.col("term") != w))
         .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
         .limit(count)
         .select("term", "df", "dist")

@@ -293,11 +293,33 @@ def _phrase_partition(
     )
 
 
+def _clause_ords(
+    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    clause: tuple[str, object],
+    size: int,
+) -> np.ndarray:
+    """Boolean mask of ordinals matching a ("terms", [t..]) or
+    ("prefix", pref) clause within one segment."""
+    kind, val = clause
+    m = np.zeros(size, dtype=bool)
+    if kind == "terms":
+        for t in val:
+            if t in decoded:
+                o = decoded[t][0]
+                m[o[o < size]] = True
+    else:  # prefix
+        for t, (o, _, _) in decoded.items():
+            if t.startswith(val):
+                m[o[o < size]] = True
+    return m
+
+
 def _boolean_partition(
     postings: pd.DataFrame,
-    weights: dict[str, tuple[float, float]],  # term -> (bm25 w, const w)
-    musts: list[list[str]],
-    neg_terms: list[str],
+    weights: dict[str, float],  # term -> summed BM25 weight
+    prefix_groups: list[tuple[str, float]],  # (prefix, const boost per doc)
+    musts: list[tuple[str, object]],  # ("terms", [..]) | ("prefix", pref)
+    negs: list[tuple[str, object]],
     k: int,
     k1: float,
     b: float,
@@ -306,12 +328,25 @@ def _boolean_partition(
     p: int,
 ) -> pd.DataFrame:
     """Per-partition boolean scoring. Segments partition by docid, so
-    must/must_not ordinal-set operations are globally correct locally."""
+    must/must_not ordinal-set operations are globally correct locally.
+
+    Prefix clauses are matched HERE, against the term strings of the
+    already prefix-filtered scan rows — the driver never expands a prefix
+    into a term list (Lucene CONSTANT_SCORE_REWRITE bitset shape); each
+    prefix group contributes its boost once per matching doc (parity with
+    the logical parser's match-set stream)."""
     out_docids: list[np.ndarray] = []
     out_scores: list[np.ndarray] = []
+
+    def _present(rows: dict, clause: tuple[str, object]) -> bool:
+        kind, val = clause
+        if kind == "terms":
+            return any(t in rows for t in val)
+        return any(t.startswith(val) for t in rows)
+
     for gen, pg in postings.groupby("gen", sort=True):
         rows = {r["term"]: r for _, r in pg.iterrows()}
-        if any(not any(t in rows for t in alts) for alts in musts):
+        if any(not _present(rows, m) for m in musts):
             continue  # a required clause matches nothing in this segment
         size = 0
         decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
@@ -324,30 +359,25 @@ def _boolean_partition(
             continue
         acc = np.zeros(size, dtype=np.float64)
         seen = np.zeros(size, dtype=bool)
-        for t, (w_bm, w_c) in weights.items():
+        for t, w_bm in weights.items():
             if t not in decoded:
                 continue
             o, tf, nrm = decoded[t]
-            contrib = np.full(o.size, w_c)
-            if w_bm:
-                contrib = contrib + w_bm * _contrib(
-                    tf.astype(np.float64),
-                    DECODE_TABLE[nrm].astype(np.float64), k1, b, avgdl,
-                )
+            contrib = w_bm * _contrib(
+                tf.astype(np.float64),
+                DECODE_TABLE[nrm].astype(np.float64), k1, b, avgdl,
+            )
             np.add.at(acc, o, contrib)
             seen[o] = True
+        for pref, boost in prefix_groups:
+            m = _clause_ords(decoded, ("prefix", pref), size)
+            acc[m] += boost
+            seen |= m
         keep = seen.copy()
-        for alts in musts:
-            m = np.zeros(size, dtype=bool)
-            for t in alts:
-                if t in decoded:
-                    o = decoded[t][0]
-                    m[o[o < size]] = True
-            keep &= m
-        for t in neg_terms:
-            if t in decoded:
-                o = decoded[t][0]
-                keep[o[o < size]] = False
+        for clause in musts:
+            keep &= _clause_ords(decoded, clause, size)
+        for clause in negs:
+            keep &= ~_clause_ords(decoded, clause, size)
         cand = np.flatnonzero(keep)
         if cand.size == 0:
             continue
@@ -457,7 +487,8 @@ class PhysicalIndex:
         """Boolean term queries over the compressed segments: the classic
         parser's term subset — bare terms (SHOULD, summed), ``+``/``AND``
         (MUST), ``-``/``NOT`` (MUST_NOT), ``term^boost``, ``prefix*``
-        (constant-score dictionary expansion). Stored-field filters and
+        (constant score per matching doc, no expansion), ``term~N``
+        (bounded capped fuzzy). Stored-field filters and
         quoted phrases are not in this path (segments store no stored
         fields; use phrase_topk for phrases).
 
@@ -481,9 +512,10 @@ class PhysicalIndex:
         from solr_spark.analysis.chain import analyze
 
         parsed = parse_query(query)
-        # (term, weight, const?) scoring rows; must/neg term groups
-        scoring: list[tuple[str, float, bool]] = []
-        must_terms: list[list[str]] = []  # each inner list = alternatives
+        scoring: list[tuple[str, float]] = []  # (term, boost) BM25 rows
+        prefix_groups: list[tuple[str, float]] = []  # (prefix, const boost)
+        musts: list[tuple[str, object]] = []  # ("terms", [..]) | ("prefix", p)
+        negs: list[tuple[str, object]] = []
         neg_terms: list[str] = []
         for c in parsed.clauses:
             if c.kind in ("filter_eq", "filter_range"):
@@ -494,39 +526,30 @@ class PhysicalIndex:
             if c.kind == "phrase":
                 raise ValueError("use phrase_topk for quoted phrases")
             if c.kind == "prefix":
+                # No dictionary expansion: the startswith predicate pushes
+                # into the postings scan and matching happens against the
+                # scan rows per partition; the clause scores its boost once
+                # per matching doc (query/expand.py rationale).
                 pref = analyze(c.text, stats["analyzer"])
                 pref_txt = pref[0] if pref else c.text.lower()
-                matched = [
-                    r["term"]
-                    for r in self._term_stats.where(
-                        F.col("term").startswith(pref_txt)
-                    ).select("term").collect()
-                ]
                 if c.occur == "must_not":
-                    neg_terms.extend(matched)
+                    negs.append(("prefix", pref_txt))
                     continue
-                if not matched:
-                    if c.occur == "must":
-                        return empty
-                    continue
-                for t in matched:
-                    scoring.append((t, c.boost, True))
+                prefix_groups.append((pref_txt, c.boost))
                 if c.occur == "must":
-                    must_terms.append(matched)
+                    musts.append(("prefix", pref_txt))
                 continue
             if c.kind == "fuzzy":
-                # Same semantics as the logical parser: dictionary expansion
-                # within maxEdits, each expansion BM25-scored (documented
-                # divergence from Lucene's blended-freq rewrite).
+                # Bounded probe + maxExpansions cap, same as the logical
+                # parser; each expansion BM25-scored (documented divergence
+                # from Lucene's blended-freq rewrite).
+                from solr_spark.query.expand import fuzzy_candidates
+
                 base = analyze(c.text, stats["analyzer"])
                 base_t = base[0] if base else c.text.lower()
-                matched = [
-                    r["term"]
-                    for r in self._term_stats.where(
-                        F.levenshtein(F.col("term"), F.lit(base_t))
-                        <= int(c.lo)
-                    ).select("term").collect()
-                ]
+                matched = sorted(
+                    fuzzy_candidates(self._term_stats, base_t, int(c.lo))
+                )
                 if c.occur == "must_not":
                     neg_terms.extend(matched)
                     continue
@@ -535,9 +558,9 @@ class PhysicalIndex:
                         return empty
                     continue
                 for t in matched:
-                    scoring.append((t, c.boost, False))
+                    scoring.append((t, c.boost))
                 if c.occur == "must":
-                    must_terms.append(matched)
+                    musts.append(("terms", matched))
                 continue
             terms = analyze(c.text, stats["analyzer"])
             if not terms:
@@ -546,42 +569,43 @@ class PhysicalIndex:
                 neg_terms.extend(terms)
                 continue
             for t in terms:
-                scoring.append((t, c.boost, False))
+                scoring.append((t, c.boost))
                 if c.occur == "must":
-                    must_terms.append([t])
+                    musts.append(("terms", [t]))
 
-        uniq = sorted({t for t, _, _ in scoring})
+        uniq = sorted({t for t, _ in scoring})
         dfs = self._df_for_terms(sorted(set(uniq) | set(neg_terms)))
-        # term -> (summed BM25 weight, summed constant score) — kept separate
-        # so a term appearing both as a scored clause and inside a prefix
-        # expansion contributes BM25(tf)·w + const (parity with the logical
-        # parser's one-row-per-clause aggregation).
-        weights: dict[str, tuple[float, float]] = {}
-        for t, boost, const in scoring:
+        # term -> summed BM25 weight (a term in several clauses accumulates
+        # one weight per clause — parity with the logical parser's
+        # one-row-per-clause aggregation).
+        weights: dict[str, float] = {}
+        for t, boost in scoring:
             if t not in dfs:
                 continue
-            w_bm, w_c = weights.get(t, (0.0, 0.0))
-            if const:
-                w_c += boost
-            else:
-                w_bm += boost * idf(n, dfs[t])
-            weights[t] = (w_bm, w_c)
-        for alts in must_terms:
-            if not any(t in dfs for t in alts):
-                return empty  # a required clause can never match
+            weights[t] = weights.get(t, 0.0) + boost * idf(n, dfs[t])
+        for kind, val in musts:
+            if kind == "terms" and not any(t in dfs for t in val):
+                return empty  # a required term clause can never match
         neg_present = [t for t in neg_terms if t in dfs]
-        if not weights:
+        if neg_present:
+            negs.append(("terms", neg_present))
+        if not weights and not prefix_groups:
             return empty
 
-        postings = self._postings.where(
-            F.col("term").isin(sorted(set(weights) | set(neg_present)))
+        term_set = set(weights) | set(neg_present)
+        cond = (
+            F.col("term").isin(sorted(term_set)) if term_set else F.lit(False)
         )
+        for pref in {p for p, _ in prefix_groups} | {
+            v for kind, v in (musts + negs) if kind == "prefix"
+        }:
+            cond = cond | F.col("term").startswith(pref)
+        postings = self._postings.where(cond)
         index_dir = self.index_dir
-        musts = [sorted(set(a) & set(dfs)) for a in must_terms]
 
         def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             return _boolean_partition(
-                pdf, weights, musts, neg_present, k, k1, b, avgdl,
+                pdf, weights, prefix_groups, musts, negs, k, k1, b, avgdl,
                 index_dir, int(key[0]),
             )
 

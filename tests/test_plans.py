@@ -138,3 +138,32 @@ def test_significant_terms_single_postings_aggregate(spark, tmp_path_factory):
     df = eq.CATALOG["significant_terms_spark"].fn(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert "InMemoryTableScan" in plan  # persisted term_stats reused
+
+
+def test_fuzzy_probe_pruned_and_capped(spark, tmp_path_factory):
+    """The fuzzy dictionary probe is never a full-DP full scan: the length
+    band filters before levenshtein and the cap compiles to
+    TakeOrderedAndProject (per-partition heap, <= max_expansions rows to
+    the driver)."""
+    from solr_spark.query.expand import fuzzy_candidates_df
+
+    d = str(tmp_path_factory.mktemp("fzplans") / "tstats")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(docs, id_col="doc_id", text_col="text", analyzer="simple")
+    idx.term_stats().write.parquet(d)
+    ts = spark.read.parquet(d)
+    q = fuzzy_candidates_df(ts, "tabel", 2)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan  # expansion cap
+    assert "length(term" in plan  # band prune precedes the edit distance
+    assert "levenshtein" in plan and "Some(2)" in plan  # thresholded variant
+
+
+def test_prefix_stream_pushdown_no_expansion(idx_parquet):
+    """Prefix clauses scan postings with a pushed StartsWith filter and
+    reduce to a docid set — no term list, no driver collect."""
+    from solr_spark.query.expand import prefix_docids
+
+    q = prefix_docids(idx_parquet, "tabl")
+    plan = _formatted(q)
+    assert "StartsWith" in plan and "PushedFilters" in plan
