@@ -1378,6 +1378,71 @@ ORDER BY score_x10k DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _sloppy2_sql(terms: list[str], slop: int, k: int = 10) -> str:
+    """Oracle for a TWO-term SLOPPY PhraseQuery — simulates Lucene's
+    SloppyPhraseMatcher greedy sweep (the exact loop query/sloppy.py
+    implements: offset-adjusted positions, matchLength minimization,
+    1/(1+matchLength) weights) in a recursive CTE, then BM25 with the
+    float freq. Out-of-order arrangements within the slop match, exactly
+    like the engine."""
+    assert len(terms) == 2, "recursive-CTE oracle covers the 2-term case"
+    t0, t1 = terms
+    return f"""
+WITH RECURSIVE {TOKS}, {TF}, {DL}, {TOKP},
+pa AS (SELECT doc_id, list(pos ORDER BY pos) AS a FROM tokp
+       WHERE term = '{t0}' GROUP BY doc_id),
+pb AS (SELECT doc_id, list(pos - 1 ORDER BY pos) AS b FROM tokp
+       WHERE term = '{t1}' GROUP BY doc_id),
+both_t AS (SELECT pa.doc_id, a, b FROM pa JOIN pb USING (doc_id)),
+step AS (
+  SELECT doc_id, a, b, 1 AS i, 1 AS j,
+         greatest(a[1], b[1]) AS e,
+         greatest(a[1], b[1]) - least(a[1], b[1]) AS ml,
+         CASE WHEN a[1] <= b[1] THEN 0 ELSE 1 END AS cur,
+         CASE WHEN a[1] <= b[1] THEN b[1] ELSE a[1] END AS nxt,
+         0.0::DOUBLE AS freq, FALSE AS done
+  FROM both_t
+  UNION ALL
+  SELECT doc_id, a, b,
+         CASE WHEN cur = 0 THEN i + 1 ELSE i END,
+         CASE WHEN cur = 1 THEN j + 1 ELSE j END,
+         CASE WHEN adv IS NULL THEN e ELSE greatest(e, adv) END,
+         CASE WHEN adv IS NULL THEN ml
+              WHEN adv > nxt THEN greatest(e, adv) - least(adv, nxt)
+              ELSE least(ml, greatest(e, adv) - adv) END,
+         CASE WHEN adv IS NULL THEN cur
+              WHEN adv > nxt THEN
+                CASE WHEN (CASE WHEN cur = 0 THEN adv ELSE nxt END)
+                       <= (CASE WHEN cur = 1 THEN adv ELSE nxt END)
+                     THEN 0 ELSE 1 END
+              ELSE cur END,
+         CASE WHEN adv IS NULL THEN nxt
+              WHEN adv > nxt THEN greatest(adv, nxt)
+              ELSE nxt END,
+         CASE WHEN adv IS NULL OR adv > nxt THEN
+                freq + CASE WHEN ml <= {slop} THEN 1.0 / (1.0 + ml) ELSE 0.0 END
+              ELSE freq END,
+         (adv IS NULL)
+  FROM (
+    SELECT *, CASE WHEN cur = 0 THEN a[i + 1] ELSE b[j + 1] END AS adv
+    FROM step WHERE NOT done
+  )
+),
+matches AS (SELECT doc_id, freq AS tfp FROM step WHERE done AND freq > 0),
+qt(term) AS (VALUES ('{t0}'), ('{t1}')),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT sum(ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5))) AS w FROM dfs),
+scored AS (
+  SELECT m.doc_id,
+         (SELECT w FROM w) * m.tfp /
+         (m.tfp + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS s
+  FROM matches m JOIN dl ON dl.doc_id = m.doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM scored
+ORDER BY score_x10k DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _mk_phrase(qs: str, slop: int):
     def _fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from solr_spark.query.phrase import phrase_topk
@@ -1395,13 +1460,20 @@ def _mk_phrase(qs: str, slop: int):
     return _fn
 
 
+CATALOG["phrase_adjacency"] = Entry(
+    fn=_mk_phrase("part filter scan", 0),
+    sql=_phrase_sql(analyze("part filter scan", "simple"), 0),
+)
+# Sloppy PhraseQuery entries (Lucene SloppyPhraseMatcher semantics): the
+# in-order case plus the TRANSPOSED case — "join spark"~2 must match docs
+# whose text reads "spark join" (matchLength 2, weight 1/3).
 for _qname, _qstr, _slop in [
-    ("phrase_adjacency", "part filter scan", 0),
     ("phrase_slop", "spark join", 2),
+    ("phrase_slop_transposed", "join spark", 2),
 ]:
     CATALOG[_qname] = Entry(
         fn=_mk_phrase(_qstr, _slop),
-        sql=_phrase_sql(analyze(_qstr, "simple"), _slop),
+        sql=_sloppy2_sql(analyze(_qstr, "simple"), _slop),
     )
 
 
@@ -2765,6 +2837,193 @@ def index_stat_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
         ).alias("idf_x10k"),
     ).orderBy("doc_id")
+
+
+# --- query-time synonyms / grouped physical boolean / elevation ------------
+
+_SYN_BLEND_DF = "(SELECT max(df) FROM dfs WHERE term IN ('sort', 'order'))"
+
+
+@register(
+    "synonym_query",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN ('sort', 'order', 'table') GROUP BY term),
+syn AS (SELECT doc_id, sum(tf) AS tfs FROM tf
+        WHERE term IN ('sort', 'order') GROUP BY doc_id),
+parts AS (
+  SELECT s.doc_id,
+         ln(1 + ({NDOCS} - {_SYN_BLEND_DF} + 0.5) / ({_SYN_BLEND_DF} + 0.5))
+           * s.tfs / (s.tfs + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS c
+  FROM syn s JOIN dl USING (doc_id)
+  UNION ALL
+  SELECT tf.doc_id,
+         ln(1 + ({NDOCS} - (SELECT df FROM dfs WHERE term = 'table') + 0.5) /
+                ((SELECT df FROM dfs WHERE term = 'table') + 0.5))
+           * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS c
+  FROM tf JOIN dl USING (doc_id) WHERE tf.term = 'table'),
+scored AS (SELECT doc_id, sum(c) AS s FROM parts GROUP BY doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM scored
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def synonym_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonymGraph, all-single-token class — 'sort, order'
+    blends into ONE SynonymQuery pseudo-term (df = max member df, per-doc
+    tf = Σ member tfs; Lucene SynonymQuery scoring) plus the ordinary
+    'table' term (managed-schema.xml:308 query-analyzer synonymGraph)."""
+    from solr_spark.analysis.synonyms import parse_rules
+    from solr_spark.query.synonym import synonym_search
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    rules = parse_rules(["sort, order"], analyzer="simple")
+    out = synonym_search(idx, "sort table", rules, k=10, quantize_norms=False)
+    return (
+        out.select(
+            F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k")
+        )
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "synonym_phrase_query",
+    f"""
+WITH {TOKS}, {TF}, {DL}, {TOKP},
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN ('hash', 'join', 'data') GROUP BY term),
+pm AS (
+  SELECT t0.doc_id, count(*) AS tfp
+  FROM tokp t0
+  JOIN tokp t1 ON t1.doc_id = t0.doc_id AND t1.term = 'join'
+              AND t1.pos = t0.pos + 1
+  WHERE t0.term = 'hash'
+  GROUP BY t0.doc_id),
+parts AS (
+  SELECT pm.doc_id,
+         ((SELECT ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'hash')
+          + (SELECT ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'join'))
+           * pm.tfp / (pm.tfp + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS c
+  FROM pm JOIN dl USING (doc_id)
+  UNION ALL
+  SELECT tf.doc_id,
+         (SELECT ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) FROM dfs WHERE term = 'data')
+           * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS c
+  FROM tf JOIN dl USING (doc_id) WHERE tf.term = 'data'),
+scored AS (SELECT doc_id, sum(c) AS s FROM parts GROUP BY doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM scored
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def synonym_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-word synonym path: 'hashjoin => hash join' replaces the query
+    token with a PhraseQuery("hash join") (QueryBuilder's graph
+    disjunction), summed with the ordinary 'data' term."""
+    from solr_spark.analysis.synonyms import parse_rules
+    from solr_spark.query.synonym import synonym_search
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    rules = parse_rules(["hashjoin => hash join"], analyzer="simple")
+    out = synonym_search(idx, "hashjoin data", rules, k=10, quantize_norms=False)
+    return (
+        out.select(
+            F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k")
+        )
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "wand_grouped_boolean",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qmap(v) AS (VALUES {{QUANT_VALUES}}),
+dlq AS (SELECT doc_id, (SELECT max(v) FROM qmap WHERE v <= dl.dl) AS dlq FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN ('spark', 'table', 'data') GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+contrib AS (
+  SELECT tf.doc_id,
+         sum((CASE tf.term WHEN 'table' THEN 2.0 ELSE 1.0 END) * w.w * tf.tf /
+             (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dlq.dlq / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dlq USING (doc_id)
+  GROUP BY tf.doc_id),
+grp AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('spark', 'table')),
+res AS (
+  SELECT c.doc_id, c.s FROM contrib c JOIN grp USING (doc_id)
+  WHERE c.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'slow'))
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM res
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""".replace("{QUANT_VALUES}", _quant_sql_values()),
+)
+def wand_grouped_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped boolean on the PHYSICAL segment path:
+    '+(spark table^2) -slow data' compiled to per-segment ordinal-set
+    algebra (query/wand.py _search_grouped; quantized norms)."""
+    from solr_spark.query.wand import open_index
+
+    d = _phys_index_dir(spark, sf_dir)
+    out = open_index(spark, d).search("+(spark table^2) -slow data", k=10)
+    return (
+        out.select(
+            F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k")
+        )
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "query_elevation",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES ('spark'), ('join'), ('data')),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+scored AS (
+  SELECT tf.doc_id,
+         {_sql_scaled(f'sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})))')} AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+organic AS (SELECT doc_id, s FROM scored WHERE doc_id <> 0),
+pins(doc_id, pin) AS (VALUES (5, 0), (2, 1)),
+forced AS (
+  SELECT p.doc_id, CAST(0 AS BIGINT) AS s FROM pins p
+  WHERE p.doc_id NOT IN (SELECT doc_id FROM organic)),
+allr AS (SELECT * FROM organic UNION ALL SELECT * FROM forced),
+ranked AS (
+  SELECT a.doc_id, a.s, (p.pin IS NOT NULL) AS elevated,
+         coalesce(p.pin, 1073741824) AS rnk
+  FROM allr a LEFT JOIN pins p USING (doc_id))
+SELECT doc_id, s AS score_x10k, elevated FROM ranked
+ORDER BY rnk ASC, score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def query_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryElevationComponent: ids 5 and 2 pinned (in that editorial
+    order, surfacing with score 0 if the organic query missed them —
+    forceElevation), id 0 excluded, remainder in organic BM25 order."""
+    from solr_spark.query.bm25 import bm25_score_df
+    from solr_spark.query.elevation import elevate
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    organic = bm25_score_df(
+        idx, sorted(set(analyze("spark join data", "simple"))),
+        quantize_norms=False,
+    ).select("docid", scaled("score").cast("double").alias("score"))
+    out = elevate(
+        organic, idx.docs.select(F.col("docid")), pinned=[5, 2],
+        excluded=[0], k=10,
+    )
+    return out.select(
+        F.col("docid").alias("doc_id"),
+        F.col("score").cast("long").alias("score_x10k"),
+        "elevated",
+    )
 
 
 # ---------------------------------------------------------------------------

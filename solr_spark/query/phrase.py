@@ -11,13 +11,14 @@ phrase).
 Match semantics implemented here, per doc:
 - slop=0: positions p, p+1, ..., p+n-1 — exact adjacency; tf = number of
   start positions (identical to Lucene's exact PhraseQuery freq).
-- slop>0: an IN-ORDER match within a window — strictly increasing positions
-  p_0 < p_1 < ... < p_{n-1} with p_{n-1} - p_0 <= (n-1) + slop; tf = number
-  of start positions with at least one such completion. DIVERGENCE
-  (documented): Lucene's sloppy matcher also permits OUT-OF-ORDER
-  arrangements whose edit cost fits the slop and weights each match
-  1/(distance+1) in the freq; the in-order window is the common substring
-  use-case and keeps the operator a pure JVM expression.
+- slop>0 (PhraseQuery path): full Lucene SLOPPY semantics — out-of-order
+  arrangements match when their offset-adjusted spread fits the slop, and
+  each match weighs 1/(1+matchLength) into a FLOAT freq (query/sloppy.py
+  reimplements SloppyPhraseMatcher's greedy sweep; shared with the
+  physical path so both agree bit-for-bit).
+- span paths (surround N/W, complexphrase) keep the IN-ORDER window
+  matcher (SpanNearQuery inOrder=true counts integer span occurrences,
+  not sloppy weights) via ``sloppy=False``.
 
 Spark shape — everything stays in whole-stage codegen:
 - one postings scan per DISTINCT phrase term with a pushed-down term=…
@@ -82,8 +83,16 @@ def phrase_match_df(
     terms: list[str | list[str]],
     slop: int = 0,
     offsets: list[int] | None = None,
+    sloppy: bool = True,
 ) -> DataFrame:
-    """(docid, tf_p) for docs containing ``terms`` as a phrase (tf_p >= 1).
+    """(docid, tf_p) for docs containing ``terms`` as a phrase (tf_p > 0).
+
+    ``sloppy=True`` (the PhraseQuery default) applies Lucene's sloppy
+    matcher when slop > 0: out-of-order arrangements admitted, tf_p a
+    DOUBLE of summed 1/(1+matchLength) weights. ``sloppy=False`` keeps the
+    in-order window matcher with integer occurrence counts — the SpanNear
+    contract the surround/complexphrase paths need. slop=0 is exact
+    adjacency either way.
 
     A slot may be a LIST of alternative terms (Lucene SpanOr inside a
     SpanNear — the complexphrase parser's wildcard-in-phrase rewrite): the
@@ -119,9 +128,32 @@ def phrase_match_df(
     joined = parts[0]
     for p in parts[1:]:
         joined = joined.join(p, "docid")
-    tf_p = phrase_tf_col(
-        [F.col(f"pos_{i}") for i in range(len(terms))], slop, offsets
-    )
+    if slop > 0 and sloppy:
+        import numpy as np
+
+        from solr_spark.query.sloppy import sloppy_freq
+
+        offs = offsets if offsets is not None else list(range(len(terms)))
+        idents = [t if isinstance(t, str) else tuple(sorted(set(t))) for t in terms]
+
+        @F.pandas_udf("double")
+        def _freq(col: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    sloppy_freq(
+                        [np.asarray(x, dtype=np.int64) for x in row],
+                        offs, slop, idents,
+                    )
+                    for row in col
+                ],
+                dtype="float64",
+            )
+
+        tf_p = _freq(F.array(*[F.col(f"pos_{i}") for i in range(len(terms))]))
+    else:
+        tf_p = phrase_tf_col(
+            [F.col(f"pos_{i}") for i in range(len(terms))], slop, offsets
+        )
     return (
         joined.withColumn("tf_p", tf_p)
         .where(F.col("tf_p") > 0)
@@ -142,6 +174,10 @@ def phrase_score_df(
 ) -> DataFrame:
     """(docid, score) BM25-scored phrase matches: weight = boost · Σ idf(t_i),
     tf = phrase frequency — Lucene PhraseQuery scoring.
+
+    slop > 0 applies Lucene's SLOPPY matcher (query/sloppy.py): freq is the
+    float sum of 1/(1+matchLength) weights, out-of-order arrangements
+    included.
 
     ``stats`` (term -> global df) lets a caller issuing several phrase
     queries (edismax pf/pf2/pf3) batch the dictionary lookup into one
@@ -193,7 +229,9 @@ def span_near_df(
     Returns (docid, tf_p) with tf_p >= 1.
     """
     if ordered:
-        return phrase_match_df(index, terms, slop)
+        # SpanNearQuery counts in-order span occurrences — integer tf, no
+        # sloppy weighting (that's the PhraseQuery matcher, not spans).
+        return phrase_match_df(index, terms, slop, sloppy=False)
     if not index.has_positions:
         raise ValueError("span_near requires a position-aware index")
     n = len(terms)
@@ -299,7 +337,9 @@ def complex_phrase_topk(
             w += idf(n_docs, sum(stats.get(t, 0) for t in s))
     dl_col = F.col("dl_quant") if quantize_norms else F.col("dl")
     scored = (
-        phrase_match_df(index, slots, slop)
+        # ComplexPhraseQueryParser emits SpanNearQuery(inOrder=true):
+        # in-order span counting, not the sloppy PhraseQuery matcher.
+        phrase_match_df(index, slots, slop, sloppy=False)
         .join(index.doclens, "docid")
         .select(
             "docid",

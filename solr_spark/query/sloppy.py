@@ -1,0 +1,145 @@
+"""Lucene sloppy-phrase matching (SloppyPhraseMatcher semantics).
+
+Reference behavior: a quoted clause with slop — ``"a b"~N`` — is wired by
+the classic parser into a PhraseQuery with that slop
+(solr/core/src/java/org/apache/solr/parser/SolrQueryParserBase.java,
+getFieldQuery + phraseSlop). Lucene's sloppy matcher (public Lucene,
+SloppyPhraseMatcher / the classic SloppyPhraseScorer.phraseFreq loop)
+differs from a plain in-order window in two ways this module reproduces:
+
+1. OUT-OF-ORDER arrangements match when their displacement fits the slop:
+   each phrase term's positions are OFFSET-ADJUSTED (actual position minus
+   the term's query offset) and a match is any local alignment whose
+   adjusted spread ``matchLength = max - min`` is <= slop. A transposed
+   pair ("b a" matching a doc's "a b") has matchLength 2, so it matches at
+   slop >= 2 — exactly Lucene.
+2. Matches are WEIGHTED, not counted: each match contributes
+   ``1 / (1 + matchLength)`` (the sloppy weight BM25Similarity receives),
+   so the phrase "tf" fed into the saturation curve is a float — an exact
+   adjacent match is worth 1.0, a one-gap match 0.5, a transposition 1/3.
+
+The freq is produced by Lucene's greedy minimization sweep, reimplemented
+verbatim (this loop IS the semantics — the DuckDB oracle for the
+``phrase_slop*`` catalog entries simulates the identical loop in a
+recursive CTE, so engine and oracle agree bit-for-bit):
+
+    advance each term-iterator to its first adjusted position;
+    end = max of heads; pop the min head pp;
+    matchLength = end - pp.position; next = new min head;
+    loop: advance pp (end tracks the max ever seen);
+      if pp overshoots next: record a match if matchLength <= slop
+        (weight 1/(1+matchLength)), re-seat pp in the queue, pop the new
+        min, reset matchLength = end - min;
+      else matchLength = min(matchLength, end - pp.position);
+    when any iterator exhausts: record a final match if matchLength <= slop.
+
+Ties in the priority queue break by query offset (PhraseQueue.lessThan),
+which the heap tuples encode.
+
+Repeated phrase terms: Lucene routes these through a repeat-group
+bijection (advanceRpts). This module implements the simplified invariant
+— same-term iterators always sit on DISTINCT actual positions (the j-th
+duplicate starts on the j-th occurrence; a colliding advance keeps
+advancing) — which matches Lucene on the common shapes and is
+deterministic everywhere; documented simplification.
+
+Scale shape: the sweep is O(total query-term positions in the doc · log n)
+per candidate document, runs inside the per-partition batch (physical
+path) or an Arrow-batched pandas UDF (logical path), and only ever touches
+docs that already passed the all-terms conjunction join.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+
+def sloppy_freq(
+    pos_lists: list[np.ndarray],
+    offsets: list[int],
+    slop: int,
+    terms: list[str] | None = None,
+) -> float:
+    """Lucene sloppy phrase freq for ONE document.
+
+    ``pos_lists[i]`` holds the sorted positions of phrase term i;
+    ``offsets[i]`` its query-side token position (gaps from dropped
+    stopwords preserved); ``terms`` (optional) names each slot so repeated
+    terms can be detected — omit it when all slots are distinct. Returns
+    Σ 1/(1+matchLength) over the greedy sweep's matches; 0.0 when no
+    arrangement fits the slop.
+    """
+    n = len(pos_lists)
+    adj = [
+        np.asarray(pos_lists[i], dtype=np.int64) - offsets[i] for i in range(n)
+    ]
+    if any(a.size == 0 for a in adj):
+        return 0.0
+
+    # Duplicate-term slots share one position stream: seat the j-th
+    # duplicate on the j-th occurrence so same-term iterators start (and
+    # stay) on distinct actual positions.
+    ident = terms if terms is not None else list(range(n))
+    idx = [0] * n
+    seen_dups: dict[object, int] = {}
+    for i in range(n):
+        r = seen_dups.get(ident[i], 0)
+        seen_dups[ident[i]] = r + 1
+        if r:
+            if r >= adj[i].size:
+                return 0.0  # more duplicate slots than occurrences
+            idx[i] = r
+    has_rpts = any(v > 1 for v in seen_dups.values())
+
+    def _actual(i: int) -> int:
+        return int(adj[i][idx[i]]) + offsets[i]
+
+    def _collides(i: int) -> bool:
+        a = _actual(i)
+        return any(
+            j != i
+            and ident[j] == ident[i]
+            and idx[j] < adj[j].size
+            and _actual(j) == a
+            for j in range(n)
+        )
+
+    heads: list[tuple[int, int, int]] = []
+    end = -(1 << 62)
+    for i in range(n):
+        p = int(adj[i][idx[i]])
+        if p > end:
+            end = p
+        heapq.heappush(heads, (p, offsets[i], i))
+
+    freq = 0.0
+    p0, _, cur = heapq.heappop(heads)
+    match_len = end - p0
+    nxt = heads[0][0]
+
+    while True:
+        idx[cur] += 1
+        if has_rpts:
+            while idx[cur] < adj[cur].size and _collides(cur):
+                idx[cur] += 1
+        if idx[cur] >= adj[cur].size:
+            break
+        newpos = int(adj[cur][idx[cur]])
+        if newpos > end:
+            end = newpos
+        if newpos > nxt:
+            if match_len <= slop:
+                freq += 1.0 / (1.0 + match_len)
+            heapq.heappush(heads, (newpos, offsets[cur], cur))
+            p0, _, cur = heapq.heappop(heads)
+            nxt = heads[0][0]
+            match_len = end - p0
+        else:
+            ml2 = end - newpos
+            if ml2 < match_len:
+                match_len = ml2
+    if match_len <= slop:
+        freq += 1.0 / (1.0 + match_len)
+    return freq

@@ -187,11 +187,16 @@ def _score_partition(
 
 
 def _phrase_count(
-    pos_lists: list[np.ndarray], offsets: list[int], slop: int
-) -> int:
-    """Phrase matches in one doc. Exact (slop=0): size of the intersection
-    of offset-shifted position sets. Slop: in-order completion within the
-    window (same semantics as query/phrase.py's phrase_tf_col)."""
+    pos_lists: list[np.ndarray],
+    offsets: list[int],
+    slop: int,
+    terms: list[str] | None = None,
+) -> float:
+    """Phrase freq in one doc. Exact (slop=0): size of the intersection of
+    offset-shifted position sets (integer tf, vectorized). Slop>0: Lucene's
+    SLOPPY matcher — the shared greedy sweep in query/sloppy.py (float
+    freq of 1/(1+matchLength) weights, out-of-order admitted) — identical
+    to the logical path's matcher, so the parity suite holds bit-for-bit."""
     if slop == 0:
         acc = pos_lists[0]
         for i in range(1, len(pos_lists)):
@@ -201,22 +206,9 @@ def _phrase_count(
             if acc.size == 0:
                 return 0
         return int(acc.size)
-    window = offsets[-1] + slop
-    n = len(pos_lists)
+    from solr_spark.query.sloppy import sloppy_freq
 
-    def completes(i: int, prev: int, first: int) -> bool:
-        if i == n:
-            return True
-        arr = pos_lists[i]
-        lo = int(np.searchsorted(arr, prev + 1))
-        for q in arr[lo:]:
-            if q - first > window:
-                return False
-            if completes(i + 1, int(q), first):
-                return True
-        return False
-
-    return sum(1 for p in pos_lists[0] if completes(1, int(p), int(p)))
+    return sloppy_freq(pos_lists, offsets, slop, terms)
 
 
 def _phrase_partition(
@@ -270,7 +262,7 @@ def _phrase_partition(
                 j = int(np.searchsorted(o, ordv))
                 s = int(starts[j])
                 pls.append(flat[s : s + int(tf[j])])
-            tf_p = _phrase_count(pls, offsets, slop)
+            tf_p = _phrase_count(pls, offsets, slop, terms)
             if tf_p:
                 dl = float(DECODE_TABLE[nrm0[idx0[ci]]])
                 scores.append(w * tf_p / (tf_p + k1 * (1.0 - b + b * dl / avgdl)))
@@ -396,6 +388,115 @@ def _boolean_partition(
     )
 
 
+def _eval_node(
+    node: dict,
+    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    size: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Recursive per-segment evaluation of a grouped boolean tree: returns
+    (scores, match_mask) over segment ordinals. Mirrors the logical
+    parser's grouped combination exactly — flat stream (internal musts
+    enforced) + boosted child streams summed, must children intersected,
+    must_not children and level negatives subtracted — so the parity suite
+    holds score-for-score. Segments partition by docid, making the
+    ordinal-set algebra globally correct locally."""
+    acc = np.zeros(size, dtype=np.float64)
+    mask = np.zeros(size, dtype=bool)
+    must_masks: list[np.ndarray] = []
+    neg_mask = np.zeros(size, dtype=bool)
+
+    if node["weights"] or node["prefixes"]:
+        facc = np.zeros(size, dtype=np.float64)
+        fseen = np.zeros(size, dtype=bool)
+        for t, w_bm in node["weights"].items():
+            if t not in decoded:
+                continue
+            o, tf, nrm = decoded[t]
+            contrib = w_bm * _contrib(
+                tf.astype(np.float64),
+                DECODE_TABLE[nrm].astype(np.float64), k1, b, avgdl,
+            )
+            np.add.at(facc, o, contrib)
+            fseen[o] = True
+        for pref, boost in node["prefixes"]:
+            m = _clause_ords(decoded, ("prefix", pref), size)
+            facc[m] += boost
+            fseen |= m
+        fkeep = fseen
+        for clause in node["musts"]:
+            fkeep = fkeep & _clause_ords(decoded, clause, size)
+        facc[~fkeep] = 0.0
+        acc += facc
+        mask |= fkeep
+        if node["flat_must"]:
+            must_masks.append(fkeep)
+
+    for occur, boost, child in node["children"]:
+        cacc, cmask = _eval_node(child, decoded, size, k1, b, avgdl)
+        if occur == "must_not":
+            neg_mask |= cmask
+            continue
+        acc += cacc * boost
+        mask |= cmask
+        if occur == "must":
+            must_masks.append(cmask)
+
+    for m in must_masks:
+        mask &= m
+    for clause in node["negs"]:
+        mask &= ~_clause_ords(decoded, clause, size)
+    mask &= ~neg_mask
+    acc[~mask] = 0.0
+    return acc, mask
+
+
+def _tree_partition(
+    postings: pd.DataFrame,
+    root: dict,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    index_dir: str,
+    p: int,
+) -> pd.DataFrame:
+    """Per-partition grouped boolean scoring: decode every scanned term once,
+    evaluate the tree with ordinal-set algebra, keep the per-segment top-k
+    (boundary ties kept for rank-identity)."""
+    out_docids: list[np.ndarray] = []
+    out_scores: list[np.ndarray] = []
+    for gen, pg in postings.groupby("gen", sort=True):
+        size = 0
+        decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for _, r in pg.iterrows():
+            o, tf = decode_postings(r["gaps"], r["tfs"])
+            nrm = np.frombuffer(r["norms"], dtype=np.uint8)
+            decoded[r["term"]] = (o, tf, nrm)
+            size = max(size, int(o[-1]) + 1 if o.size else 0)
+        if size == 0:
+            continue
+        acc, mask = _eval_node(root, decoded, size, k1, b, avgdl)
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            continue
+        scores = acc[cand]
+        if cand.size > k:
+            kth = np.partition(scores, -k)[-k]
+            sel = scores >= kth  # keep boundary ties (rank-identity)
+            cand, scores = cand[sel], scores[sel]
+        out_docids.append(_lookup_docids(index_dir, p, int(gen), cand))
+        out_scores.append(scores)
+    if not out_docids:
+        return pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    return pd.DataFrame(
+        {"docid": np.concatenate(out_docids), "score": np.concatenate(out_scores)}
+    )
+
+
 class PhysicalIndex:
     """Searcher over a physical index directory.
 
@@ -483,14 +584,167 @@ class PhysicalIndex:
         scored = postings.groupBy("p").applyInPandas(score, "docid long, score double")
         return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
+    def _compile_flat(self, parsed, n: int) -> dict:
+        """Compile one flat boolean level into the evaluator's node shape:
+        weights (term -> summed boost·idf), constant-score prefixes, must /
+        must_not clause lists, and whether the flat stream's match set is
+        itself required (any positive MUST clause — the logical grouped
+        path's flat-must semantics). Fuzzy clauses expand driver-side via
+        the bounded capped probe. No early-empty shortcuts: impossibility
+        flows through empty ordinal masks, which keeps should-groups with
+        unsatisfiable siblings behaving exactly like the logical path."""
+        from solr_spark.analysis.chain import analyze
+        from solr_spark.query.expand import fuzzy_candidates
+
+        stats = self.stats
+        scoring: list[tuple[str, float]] = []
+        prefixes: list[tuple[str, float]] = []
+        musts: list[tuple[str, object]] = []
+        negs: list[tuple[str, object]] = []
+        neg_terms: list[str] = []
+        flat_must = False
+        for c in parsed.clauses:
+            if c.kind in ("filter_eq", "filter_range"):
+                raise ValueError(
+                    "stored-field filters are not available on the physical "
+                    "path (segments keep no stored fields)"
+                )
+            if c.kind == "phrase":
+                raise ValueError("use phrase_topk for quoted phrases")
+            if c.kind == "prefix":
+                pref = analyze(c.text, stats["analyzer"])
+                pref_txt = pref[0] if pref else c.text.lower()
+                if c.occur == "must_not":
+                    negs.append(("prefix", pref_txt))
+                    continue
+                prefixes.append((pref_txt, c.boost))
+                if c.occur == "must":
+                    musts.append(("prefix", pref_txt))
+                    flat_must = True
+                continue
+            if c.kind == "fuzzy":
+                base = analyze(c.text, stats["analyzer"])
+                base_t = base[0] if base else c.text.lower()
+                matched = sorted(
+                    fuzzy_candidates(self._term_stats, base_t, int(c.lo))
+                )
+                if c.occur == "must_not":
+                    neg_terms.extend(matched)
+                    continue
+                for t in matched:
+                    scoring.append((t, c.boost))
+                if c.occur == "must":
+                    musts.append(("terms", matched))
+                    flat_must = True
+                continue
+            terms = analyze(c.text, stats["analyzer"])
+            if not terms:
+                continue
+            if c.occur == "must_not":
+                neg_terms.extend(terms)
+                continue
+            for t in terms:
+                scoring.append((t, c.boost))
+                if c.occur == "must":
+                    musts.append(("terms", [t]))
+                    flat_must = True
+        dfs = self._df_for_terms(
+            sorted({t for t, _ in scoring} | set(neg_terms))
+        )
+        weights: dict[str, float] = {}
+        for t, boost in scoring:
+            if t not in dfs:
+                continue
+            weights[t] = weights.get(t, 0.0) + boost * idf(n, dfs[t])
+        neg_present = [t for t in neg_terms if t in dfs]
+        if neg_present:
+            negs.append(("terms", neg_present))
+        return {
+            "weights": weights,
+            "prefixes": prefixes,
+            "musts": musts,
+            "negs": negs,
+            "flat_must": flat_must,
+            "children": [],
+        }
+
+    def _search_grouped(self, query: str, k: int) -> DataFrame:
+        """Parenthesized boolean groups on the physical path: the SAME
+        top-level splitter the logical parser uses builds a tree of flat
+        levels; each segment evaluates the tree with ordinal-set algebra
+        (_eval_node). Group boost multiplies the child's scores; AND
+        adjacency promotes both sides — all inherited from
+        parser._split_top_level, so the two paths' grammars agree."""
+        from solr_spark.query.parser import _split_top_level, parse_query
+
+        stats = self.stats
+        k1, b, avgdl, n = stats["k1"], stats["b"], stats["avgdl"], stats["n_docs"]
+        empty = self.spark.createDataFrame([], "docid long, score double")
+        if n == 0:
+            return empty
+
+        def compile_node(q: str) -> dict:
+            if "(" in q:
+                flat, groups = _split_top_level(q)
+                node = self._compile_flat(parse_query(flat), n)
+                for occur, boost, inner in groups:
+                    node["children"].append(
+                        (occur, float(boost), compile_node(inner))
+                    )
+                return node
+            return self._compile_flat(parse_query(q), n)
+
+        root = compile_node(query)
+
+        scan_terms: set[str] = set()
+        scan_prefixes: set[str] = set()
+
+        def gather(nd: dict) -> None:
+            scan_terms.update(nd["weights"])
+            for kind, val in list(nd["musts"]) + list(nd["negs"]):
+                if kind == "terms":
+                    scan_terms.update(val)
+                else:
+                    scan_prefixes.add(val)
+            scan_prefixes.update(p for p, _ in nd["prefixes"])
+            for _, _, ch in nd["children"]:
+                gather(ch)
+
+        gather(root)
+        if not scan_terms and not scan_prefixes:
+            return empty
+        cond = (
+            F.col("term").isin(sorted(scan_terms))
+            if scan_terms
+            else F.lit(False)
+        )
+        for pref in sorted(scan_prefixes):
+            cond = cond | F.col("term").startswith(pref)
+        postings = self._postings.where(cond)
+        index_dir = self.index_dir
+
+        def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _tree_partition(
+                pdf, root, k, k1, b, avgdl, index_dir, int(key[0])
+            )
+
+        scored = postings.groupBy("p").applyInPandas(
+            score, "docid long, score double"
+        )
+        return scored.orderBy(
+            F.col("score").desc(), F.col("docid").asc()
+        ).limit(k)
+
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Boolean term queries over the compressed segments: the classic
         parser's term subset — bare terms (SHOULD, summed), ``+``/``AND``
         (MUST), ``-``/``NOT`` (MUST_NOT), ``term^boost``, ``prefix*``
         (constant score per matching doc, no expansion), ``term~N``
-        (bounded capped fuzzy). Stored-field filters and
-        quoted phrases are not in this path (segments store no stored
-        fields; use phrase_topk for phrases).
+        (bounded capped fuzzy), and parenthesized groups with boosts
+        nesting arbitrarily (compiled to per-segment ordinal-set algebra —
+        _search_grouped). Stored-field filters and quoted phrases are not
+        in this path (segments store no stored fields; use phrase_topk for
+        phrases).
 
         Per-partition: decode only the query terms' postings, accumulate
         BM25 into a dense ordinal array, enforce musts by ordinal-set
@@ -500,10 +754,7 @@ class PhysicalIndex:
         from solr_spark.query.parser import parse_query
 
         if "(" in query:
-            raise ValueError(
-                "parenthesized groups are not supported on the physical "
-                "path; use parser.search over the logical index"
-            )
+            return self._search_grouped(query, k)
         stats = self.stats
         k1, b, avgdl, n = stats["k1"], stats["b"], stats["avgdl"], stats["n_docs"]
         empty = self.spark.createDataFrame([], "docid long, score double")

@@ -60,11 +60,56 @@ def test_repeated_term_phrase(idx):
     assert tf == {5: 2}  # positions 0-1 and 1-2
 
 
-def test_slop_window_in_order(idx):
-    # slop=1 admits one intervening token, in order only.
+def test_slop_window(idx):
+    # slop=1 admits one intervening token.
     assert _docids(phrase_match_df(idx, ["quick", "fox"], slop=1)) == [0, 1, 2]
-    # "fox quick" never occurs in order within the window.
+    # the transposition "fox quick" costs matchLength 2 — out of reach at
+    # slop=1 everywhere in this corpus (Lucene sloppy semantics).
     assert _docids(phrase_match_df(idx, ["fox", "quick"], slop=1)) == []
+
+
+def test_sloppy_out_of_order_and_weights(idx):
+    """Lucene SloppyPhraseMatcher parity: out-of-order arrangements match
+    within the slop and each match weighs 1/(1+matchLength) into a float
+    freq — "brown quick"~2 over doc0's "quick brown" is a transposition
+    (matchLength 2 → 1/3); doc1 has it in order (1.0); doc2 accumulates a
+    one-gap match (1/2) plus a transposition (1/3)."""
+    tf = {
+        r.docid: r.tf_p
+        for r in phrase_match_df(idx, ["brown", "quick"], slop=2).collect()
+    }
+    assert set(tf) == {0, 1, 2}
+    assert tf[0] == pytest.approx(1 / 3)
+    assert tf[1] == pytest.approx(1.0)
+    assert tf[2] == pytest.approx(1 / 2 + 1 / 3)
+    # slop=2 reaches the transposed "fox quick" in doc2 (fox@1 quick@0)
+    tf2 = {
+        r.docid: r.tf_p
+        for r in phrase_match_df(idx, ["fox", "quick"], slop=2).collect()
+    }
+    assert tf2[2] == pytest.approx(2 / 3)
+
+
+def test_sloppy_freq_unit():
+    """The greedy sweep on hand-checkable arrangements (spec cases)."""
+    import numpy as np
+
+    from solr_spark.query.sloppy import sloppy_freq
+
+    def f(pls, offs, slop, terms=None):
+        return sloppy_freq([np.array(p) for p in pls], offs, slop, terms)
+
+    assert f([[0], [1]], [0, 1], 0) == 1.0          # exact adjacency
+    assert f([[1], [0]], [0, 1], 2) == pytest.approx(1 / 3)  # transposed
+    assert f([[1], [0]], [0, 1], 1) == 0.0          # transposition needs 2
+    assert f([[0], [2]], [0, 1], 1) == 0.5          # one-gap in-order
+    assert f([[0, 2], [1, 3]], [0, 1], 0) == 2.0    # two exact matches
+    assert f([[0], [1], [2]], [0, 1, 2], 0) == 1.0  # 3-term exact
+    assert f([[0], [2], [1]], [0, 1, 2], 2) == pytest.approx(1 / 3)
+    # stopword gap offsets: quick@0 dirty@2 matching "quick X dirty"
+    assert f([[0], [2]], [0, 2], 0) == 1.0
+    # repeated term: "a a"~2 over "a x a" (duplicates seated distinctly)
+    assert f([[0, 2], [0, 2]], [0, 1], 2, terms=["a", "a"]) == 0.5
 
 
 def test_three_term_adjacency(idx):

@@ -150,3 +150,82 @@ def test_highlight_preserves_case_and_tags_best(spark):
     assert fr[0].snippets and all("<em>" in s for s in fr[0].snippets)
     # 'sparkplug' is a substring, not a \b word: no fragment selected
     assert fr[1]._frag_meta == [] and fr[1].snippets == []
+
+
+def test_synonym_rules_parse_and_spans():
+    from solr_spark.analysis.synonyms import expand_spans, parse_rules
+
+    rules = parse_rules(
+        ["sort, order  # comment", "", "hashjoin => hash join",
+         "big data, bigdata"],
+        analyzer="simple",
+    )
+    # equivalence: every member maps to the full class, itself included
+    assert rules[("sort",)] == [["sort"], ["order"]]
+    assert rules[("order",)] == [["sort"], ["order"]]
+    # => replaces: no identity path
+    assert rules[("hashjoin",)] == [["hash", "join"]]
+    # multi-word LHS analyzed into a token tuple
+    assert rules[("big", "data")] == [["big", "data"], ["bigdata"]]
+
+    spans = expand_spans(["big", "data", "hashjoin", "scan"], rules)
+    # longest match wins: "big data" consumed as one span
+    assert spans[0] == (0, 2, [["big", "data"], ["bigdata"]])
+    assert spans[1] == (2, 1, [["hash", "join"]])
+    assert spans[2] == (3, 1, [["scan"]])  # identity for unmatched tokens
+
+
+def test_synonym_search_blended_and_phrase(spark):
+    import math
+
+    from solr_spark.analysis.synonyms import parse_rules
+    from solr_spark.index.build import build_index
+    from solr_spark.query.synonym import synonym_search
+
+    rows = [
+        (0, "sort the rows"),          # matches via 'sort'
+        (1, "order the rows"),         # matches via synonym 'order'
+        (2, "sort order madness"),     # tf blends: 1 + 1
+        (3, "hash join plan"),         # phrase path target
+        (4, "join hash reversed"),     # NOT a "hash join" phrase
+    ]
+    idx = build_index(
+        spark.createDataFrame(rows, "docid long, text string"),
+        analyzer="simple", text_col="text",
+    )
+    rules = parse_rules(["sort, order"], analyzer="simple")
+    got = {r.docid: r.score
+           for r in synonym_search(idx, "sort", rules, k=10).collect()}
+    # SynonymQuery: df = max(df_sort, df_order) = 2, N = 5
+    n, avgdl = idx.corpus_stats()
+    w = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+    assert set(got) == {0, 1, 2}
+
+    def sat(tf, dl):
+        return tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert got[0] == pytest.approx(w * sat(1, 3))
+    assert got[1] == pytest.approx(w * sat(1, 3))
+    assert got[2] == pytest.approx(w * sat(2, 3))  # blended tf = 2
+
+    # multi-word replacement: only the true adjacent bigram matches
+    prules = parse_rules(["hashjoin => hash join"], analyzer="simple")
+    ph = {r.docid for r in
+          synonym_search(idx, "hashjoin", prules, k=10).collect()}
+    assert ph == {3}
+
+
+def test_query_elevation_pin_exclude(spark):
+    from solr_spark.query.elevation import elevate
+
+    scored = spark.createDataFrame(
+        [(10, 5.0), (11, 4.0), (12, 3.0), (13, 2.0)], "docid long, score double"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(10, 20)], "docid long")
+    out = elevate(scored, docs, pinned=[13, 15], excluded=[11], k=10).collect()
+    assert [r.docid for r in out] == [13, 15, 10, 12]
+    # pinned-first in editorial order; 15 force-elevated with score 0
+    assert [r.elevated for r in out] == [True, True, False, False]
+    assert out[1].score == 0.0
+    # excluded id is gone even though it scored second
+    assert all(r.docid != 11 for r in out)

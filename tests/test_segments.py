@@ -253,6 +253,26 @@ def test_physical_boolean_matches_logical(spark, idx_dir, logical, q):
     assert got == want and got
 
 
+@pytest.mark.parametrize("q", [
+    "(spark join) data",                # should-group + flat
+    "+(spark table^2) -slow data",      # must-group with inner boost + neg
+    "(spark join)^2 (table batch)",     # two boosted should-groups
+    "data AND (spark join)",            # AND promotes both sides
+    "((spark table) join) order",       # nested groups
+    "(spar* data) table",               # prefix inside a group
+])
+def test_physical_grouped_matches_logical(spark, idx_dir, logical, q):
+    """Grouped boolean queries on the physical path must be rank- AND
+    score-identical to the logical parser's grouped combination (same
+    _split_top_level grammar, per-segment ordinal-set algebra)."""
+    from solr_spark.query.parser import search
+    from solr_spark.query.wand import open_index
+
+    want = _rows(search(logical, q, k=10, quantize_norms=True))
+    got = _rows(open_index(spark, idx_dir).search(q, k=10))
+    assert got == want and got
+
+
 def test_physical_fuzzy_matches_logical(spark, idx_dir, logical):
     from solr_spark.query.parser import search
     from solr_spark.query.wand import open_index
