@@ -78,6 +78,30 @@ def main() -> None:
         bm25_topk(idx, terms, k=10, quantize_norms=False).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Positions-OFF control series: same logical build + the same BM25
+    # queries over a positions-free index, so the round-1 -> round-2 drift
+    # decomposes into the positions tax (postings rows carry position
+    # arrays even for term-only queries) vs noise. Reported separately —
+    # NOT part of the headline total.
+    t0 = time.perf_counter()
+    idx_off = build_index(docs, id_col="doc_id", text_col="text",
+                          analyzer="simple", positions=False)
+    idx_off.postings = idx_off.postings.persist()
+    idx_off.doclens = idx_off.doclens.persist()
+    idx_off.postings.count()
+    idx_off.doclens.count()
+    idx_off.corpus_stats()
+    idx_off.term_stats().count()
+    build_off_sec = time.perf_counter() - t0
+    timings_off: dict[str, float] = {}
+    for name, q in BM25_QUERIES:
+        t0 = time.perf_counter()
+        terms = sorted(set(analyze(q, "simple")))
+        bm25_topk(idx_off, terms, k=10, quantize_norms=False).collect()
+        timings_off[name] = round(time.perf_counter() - t0, 3)
+    idx_off.postings.unpersist()
+    idx_off.doclens.unpersist()
+
     # Operator headliners over the same sf_dir.
     from solr_spark.entry_queries import CATALOG, _IDX_CACHE
 
@@ -138,6 +162,9 @@ def main() -> None:
                 "positions": True,
                 "index_build_sec": round(build_sec, 3),
                 "index_docs_per_sec": round(n_docs / build_sec, 1),
+                # control series (see BASELINE.md round-3 attribution)
+                "queries_positions_off": timings_off,
+                "index_build_sec_positions_off": round(build_off_sec, 3),
                 "phys_index_build_sec": round(phys_build_sec, 3),
                 "phys_docs_per_sec": round(n_docs / phys_build_sec, 1),
             }

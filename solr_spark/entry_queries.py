@@ -3026,6 +3026,55 @@ def query_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "payload_score",
+    f"""
+WITH {TOKP}
+SELECT doc_id,
+       CAST(max(pos % 5) AS BIGINT) AS payload_max,
+       CAST(sum(pos % 5) AS BIGINT) AS payload_sum,
+       CAST(min_by(pos % 5, pos) AS BIGINT) AS payload_first
+FROM tokp WHERE term = 'spark'
+GROUP BY doc_id ORDER BY doc_id LIMIT 100
+""",
+)
+def payload_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!payload_score}` end to end: documents re-emitted as delimited
+    ``term|payload`` text (payload = token position mod 5 — deterministic
+    from the given table), ingested through the DelimitedPayload path into
+    payload-aligned postings, then scored per doc with max/sum/first over
+    the payloads at 'spark' positions (PayloadScoreQParserPlugin.java,
+    includeSpanScore=false)."""
+    from solr_spark.functions.dedup import tokens_col
+    from solr_spark.query.payload import delimited_payload_postings, payload_score
+
+    docs = _t(spark, sf_dir, "documents")
+    ptext = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                tokens_col(F.col("text")),
+                lambda t, i: F.concat(t, F.lit("|"), (i % 5).cast("string")),
+            ),
+        ).alias("ptext"),
+    )
+    pp = delimited_payload_postings(ptext, id_col="doc_id", text_col="ptext")
+    out = payload_score(
+        pp, "spark", "max", extra_funcs={"p_sum": "sum", "p_first": "first"}
+    )
+    return (
+        out.select(
+            F.col("docid").alias("doc_id"),
+            F.col("score").cast("long").alias("payload_max"),
+            F.col("p_sum").cast("long").alias("payload_sum"),
+            F.col("p_first").cast("long").alias("payload_first"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

@@ -8,12 +8,13 @@ ranges, boosts, prefix wildcards; SURVEY.md §2.2):
 - bare terms on the default text field: analyzed, OR'ed (SHOULD), BM25-scored
 - ``+term`` / ``AND``: MUST — doc must match every must clause
 - ``-term`` / ``NOT``: MUST_NOT — excluded
-- ``"a phrase"`` / ``"a phrase"~N``: TRUE PhraseQuery — position adjacency
-  (or an in-order window of slop N) enforced via the index's stored
-  positions, scored with tf = phrase frequency and idf = Σ member idfs
-  (Lucene PhraseQuery/BM25 parity; see query/phrase.py for the one
-  documented slop divergence). On an index built with ``positions=False``
-  the clause degrades to a conjunction of its terms (documented fallback).
+- ``"a phrase"`` / ``"a phrase"~N``: TRUE PhraseQuery — exact position
+  adjacency at slop 0; Lucene SLOPPY semantics at slop N (out-of-order
+  arrangements admitted, matches weighted 1/(1+matchLength) — see
+  query/sloppy.py), scored with tf = phrase freq and idf = Σ member idfs
+  (Lucene PhraseQuery/BM25 parity). On an index built with
+  ``positions=False`` the clause degrades to a conjunction of its terms
+  (documented fallback).
 - ``field:value`` on a stored (non-text) field: exact-match filter, like
   Solr's fq/{!term}; ``field:[a TO b]``/``{a TO b}``: range filter
 - ``term^2.5``: boost multiplies the term's BM25 weight

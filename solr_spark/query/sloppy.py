@@ -56,6 +56,48 @@ import heapq
 import numpy as np
 
 
+def _sloppy2(adj0: list[int], adj1: list[int], slop: int) -> float:
+    """Two-distinct-term specialization of the greedy sweep — no heap,
+    two pointers (the overwhelmingly common sloppy-phrase shape; a hot
+    bigram can have 10^5 candidate docs per batch, so the constant factor
+    matters)."""
+    a0, b0 = adj0[0], adj1[0]
+    end = a0 if a0 >= b0 else b0
+    if a0 <= b0:
+        cur, ml, nxt = 0, end - a0, b0
+    else:
+        cur, ml, nxt = 1, end - b0, a0
+    i = j = 0
+    freq = 0.0
+    n0, n1 = len(adj0), len(adj1)
+    while True:
+        if cur == 0:
+            i += 1
+            if i >= n0:
+                break
+            newpos = adj0[i]
+        else:
+            j += 1
+            if j >= n1:
+                break
+            newpos = adj1[j]
+        if newpos > end:
+            end = newpos
+        if newpos > nxt:
+            if ml <= slop:
+                freq += 1.0 / (1.0 + ml)
+            cur = 1 - cur
+            ml = end - nxt
+            nxt = newpos
+        else:
+            ml2 = end - newpos
+            if ml2 < ml:
+                ml = ml2
+    if ml <= slop:
+        freq += 1.0 / (1.0 + ml)
+    return freq
+
+
 def sloppy_freq(
     pos_lists: list[np.ndarray],
     offsets: list[int],
@@ -72,11 +114,17 @@ def sloppy_freq(
     arrangement fits the slop.
     """
     n = len(pos_lists)
+    if any(len(p) == 0 for p in pos_lists):
+        return 0.0
+    if n == 2 and (terms is None or terms[0] != terms[1]):
+        return _sloppy2(
+            [int(p) - offsets[0] for p in pos_lists[0]],
+            [int(p) - offsets[1] for p in pos_lists[1]],
+            slop,
+        )
     adj = [
         np.asarray(pos_lists[i], dtype=np.int64) - offsets[i] for i in range(n)
     ]
-    if any(a.size == 0 for a in adj):
-        return 0.0
 
     # Duplicate-term slots share one position stream: seat the j-th
     # duplicate on the j-th occurrence so same-term iterators start (and

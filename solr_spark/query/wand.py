@@ -408,7 +408,7 @@ def _eval_node(
     must_masks: list[np.ndarray] = []
     neg_mask = np.zeros(size, dtype=bool)
 
-    if node["weights"] or node["prefixes"]:
+    if node["has_flat"]:
         facc = np.zeros(size, dtype=np.float64)
         fseen = np.zeros(size, dtype=bool)
         for t, w_bm in node["weights"].items():
@@ -665,6 +665,11 @@ class PhysicalIndex:
             "musts": musts,
             "negs": negs,
             "flat_must": flat_must,
+            # Evaluate the flat block whenever POSITIVE clauses were parsed
+            # — even if every term is corpus-absent (weights empty): a
+            # required absent term must yield an empty flat match set that
+            # still gates the level (logical-path parity), not vanish.
+            "has_flat": bool(scoring or prefixes),
             "children": [],
         }
 

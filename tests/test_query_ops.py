@@ -229,3 +229,31 @@ def test_query_elevation_pin_exclude(spark):
     assert out[1].score == 0.0
     # excluded id is gone even though it scored second
     assert all(r.docid != 11 for r in out)
+
+
+def test_delimited_payloads_and_score(spark):
+    from solr_spark.query.payload import delimited_payload_postings, payload_score
+
+    rows = [
+        (0, "spark|2.5 join|1 spark|0.5"),
+        (1, "spark nopayload|x join|3"),   # bad/absent payloads -> default 1.0
+        (2, "other|9"),
+    ]
+    df = spark.createDataFrame(rows, "docid long, text string")
+    pp = delimited_payload_postings(df, text_col="text")
+    by = {(r.term, r.docid): r for r in pp.collect()}
+    # payloads stay aligned with sorted positions
+    assert by[("spark", 0)].positions == [0, 2]
+    assert by[("spark", 0)].payloads == [2.5, 0.5]
+    assert by[("spark", 1)].payloads == [1.0]      # no delimiter -> default
+    assert by[("nopayload", 1)].payloads == [1.0]  # unparseable -> default
+
+    got = {r.docid: r for r in payload_score(
+        pp, "spark", "max",
+        extra_funcs={"s": "sum", "a": "average", "f": "first", "m": "min"},
+    ).collect()}
+    assert got[0].score == 2.5 and got[0].s == 3.0
+    assert got[0].a == pytest.approx(1.5)
+    assert got[0].f == 2.5 and got[0].m == 0.5
+    assert got[1].score == 1.0
+    assert 2 not in got
