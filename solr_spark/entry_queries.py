@@ -2563,6 +2563,216 @@ def zscores_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "polyfit_quadratic",
+    f"""
+WITH xy AS (SELECT (l_quantity - 25.5) / 25.0 AS x, l_extendedprice AS y
+            FROM lineitem),
+m AS (SELECT count(*)::DOUBLE AS s0, sum(x) AS s1, sum(x*x) AS s2,
+             sum(x*x*x) AS s3, sum(x*x*x*x) AS s4,
+             sum(y) AS t0, sum(x*y) AS t1, sum(x*x*y) AS t2
+      FROM xy),
+d AS (SELECT s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2) AS det,
+             t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2) AS d0,
+             s0*(t1*s4 - s3*t2) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2) AS d1,
+             s0*(s2*t2 - t1*s3) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2) AS d2
+      FROM m)
+SELECT {_sql_scaled('d0 / det', 2)} AS coef_0_x100,
+       {_sql_scaled('d1 / det', 2)} AS coef_1_x100,
+       {_sql_scaled('d2 / det', 2)} AS coef_2_x100
+FROM d
+""",
+)
+def polyfit_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`polyfit(x, y, 2)` (io/eval/PolyFitEvaluator.java): least-squares
+    quadratic of extended price on CENTERED/SCALED quantity — one moments
+    aggregation + a 3x3 driver solve; the oracle solves the same normal
+    equations with Cramer's rule in SQL. Centering keeps the system
+    well-conditioned so both solvers agree far below the 1e-2 rounding."""
+    from solr_spark.functions.mathstream import polyfit
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        ((F.col("l_quantity") - 25.5) / 25.0).alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    out = polyfit(li, "x", "y", degree=2)
+    return out.select(
+        scaled("coef_0", 2).alias("coef_0_x100"),
+        scaled("coef_1", 2).alias("coef_1_x100"),
+        scaled("coef_2", 2).alias("coef_2_x100"),
+    )
+
+
+@register(
+    "welch_ttest_acctbal",
+    f"""
+WITH s AS (
+  SELECT count(*) FILTER (c_mktsegment = 'BUILDING')::DOUBLE AS na,
+         avg(c_acctbal)      FILTER (c_mktsegment = 'BUILDING') AS ma,
+         var_samp(c_acctbal) FILTER (c_mktsegment = 'BUILDING') AS va,
+         count(*) FILTER (c_mktsegment = 'MACHINERY')::DOUBLE AS nb,
+         avg(c_acctbal)      FILTER (c_mktsegment = 'MACHINERY') AS mb,
+         var_samp(c_acctbal) FILTER (c_mktsegment = 'MACHINERY') AS vb
+  FROM customer)
+SELECT {_sql_scaled('(ma - mb) / sqrt(va/na + vb/nb)', 4)} AS t_x10k,
+       {_sql_scaled('pow(va/na + vb/nb, 2) / (pow(va/na, 2)/(na-1) + pow(vb/nb, 2)/(nb-1))', 2)} AS df_x100,
+       na::BIGINT AS n_a, nb::BIGINT AS n_b
+FROM s
+""",
+)
+def welch_ttest_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ttest(a, b)` (io/eval/TTestEvaluator.java, Welch): account balance
+    BUILDING vs MACHINERY — one filtered aggregation; t statistic and
+    Welch-Satterthwaite df oracle-checked (the p-value needs the Student-t
+    CDF, which SQL lacks — it's pytest-verified instead)."""
+    from solr_spark.functions.mathstream import welch_ttest
+
+    c = _t(spark, sf_dir, "customer")
+    out = welch_ttest(c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY")
+    return out.select(
+        scaled("t_stat", 4).alias("t_x10k"),
+        scaled("df", 2).alias("df_x100"),
+        F.col("n_a"),
+        F.col("n_b"),
+    )
+
+
+@register(
+    "ecdf_totalprice",
+    f"""
+WITH n AS (SELECT count(*)::DOUBLE AS n FROM orders),
+p(probe) AS (VALUES (50000.0), (150000.0), (300000.0), (450000.0))
+SELECT probe::DOUBLE AS probe,
+       {_sql_scaled('(SELECT count(*) FROM orders WHERE o_totalprice <= probe) / n.n', 6)} AS cum_x1m
+FROM p, n ORDER BY probe
+""",
+)
+def ecdf_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`empiricalDistribution` + `cumulativeProbability` (io/eval/): ECDF of
+    order totals at four probe points — one aggregation pass with a
+    filtered count per probe."""
+    from solr_spark.functions.mathstream import ecdf
+
+    o = _t(spark, sf_dir, "orders")
+    out = ecdf(o, "o_totalprice", [50000.0, 150000.0, 300000.0, 450000.0])
+    return out.select(
+        "probe", scaled("cum_prob", 6).alias("cum_x1m")
+    ).orderBy("probe")
+
+
+@register("loess_daily_events", None)  # array smoother: rows-only by design
+def loess_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`loess(x, y)` (io/eval/LoessEvaluator.java): tricube local-linear
+    smoothing of the daily event totals — like fft, a driver-side series
+    evaluator (the reference's /stream runs it on in-memory arrays);
+    numpy-property-verified in tests/test_functions.py."""
+    from solr_spark.functions.mathstream import loess
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.sum("value").alias("total"))
+        .select(F.datediff("day", F.lit("2024-01-01")).cast("double").alias("x"),
+                F.col("total").cast("double").alias("y"))
+    )
+    out = loess(daily, "x", "y", bandwidth=0.3, robust_iters=2)
+    return out.select(
+        F.col("x").cast("int").alias("day_idx"),
+        scaled("y", 2).alias("y_x100"),
+        scaled("smoothed", 2).alias("smoothed_x100"),
+    ).orderBy("day_idx")
+
+
+@register("kmeans_embeddings", None)  # iterative clustering: rows-only
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`kmeans(matrix, k)` (io/eval/KmeansEvaluator.java) as distributed
+    Lloyd iterations — deterministic init (k lowest vec_ids), 5 iterations;
+    every pass is one scan with broadcast-literal centroids and a k x dim
+    partial-aggregate shuffle. Parity vs an in-memory numpy Lloyd run is
+    pytest-verified (tests/test_functions.py)."""
+    from solr_spark.functions.ann import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans(emb, k=4, iters=5)
+    return out.select(
+        "cluster",
+        "size",
+        scaled(F.col("centroid")[0], 6).alias("c0_x1m"),
+        scaled(F.col("centroid")[1], 6).alias("c1_x1m"),
+    ).orderBy("cluster")
+
+
+@register(
+    "knn_regress_label",
+    f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+nn AS (
+  SELECT e.label, {_COS} AS sim, e.vec_id
+  FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY sim DESC, e.vec_id ASC LIMIT 10)
+SELECT {_sql_scaled('avg(label)', 4)} AS prediction_x10k, count(*)::INT AS k
+FROM nn
+""",
+)
+def knn_regress_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`knnRegress(obs, outcomes, k)` (io/eval/KnnRegressionEvaluator.java):
+    the query point's predicted outcome = mean label of its 10 cosine
+    nearest neighbors — one scan, TakeOrderedAndProject, k-row average."""
+    from solr_spark.functions.ann import knn_regress
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = knn_regress(emb.where(F.col("vec_id") != 0), qv, "label", k=10)
+    return out.select(
+        scaled("prediction", 4).alias("prediction_x10k"), F.col("k")
+    )
+
+
+# --- spatial (geodist / geofilt; SURVEY §2.8 scoring helpers) ---------------
+
+
+@register(
+    "geodist_customers",
+    f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 9973 % 18000) / 100.0 - 90.0 AS lat,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer),
+d AS (
+  SELECT c_custkey,
+         2.0 * 6371.0087714 * asin(least(1.0, sqrt(
+             pow(sin(radians(40.7 - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(40.7))
+               * pow(sin(radians(-74.0 - lon) / 2), 2)))) AS dist_km
+  FROM pts)
+SELECT c_custkey, {_sql_scaled('dist_km', 2)} AS dist_km_x100
+FROM d WHERE dist_km <= 3000.0
+ORDER BY dist_km_x100 ASC, c_custkey ASC LIMIT 20
+""",
+)
+def geodist_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!geofilt}` + sort=geodist() asc (GeoDistValueSourceParser.java,
+    LatLonPointSpatialField.java): customers within 3000 km of (40.7,-74),
+    nearest first. Synthetic-but-deterministic lat/lon derived from
+    c_custkey (both engines compute the identical formula). The Spark path
+    is two-phase: a pushable bounding-box range predicate prunes the scan,
+    haversine runs only on bbox survivors."""
+    from solr_spark.functions.spatial import geofilt
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    out = geofilt(c, 40.7, -74.0, 3000.0)
+    return (
+        out.select("c_custkey", scaled("dist_km", 2).alias("dist_km_x100"))
+        .orderBy(F.col("dist_km_x100").asc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 # --- joins / block join / spellcheck / atomic update / index-stat fns -------
 
 

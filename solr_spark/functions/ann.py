@@ -164,3 +164,98 @@ def ivf_topk(
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+# --- stream-evaluator-shaped clustering / regression ------------------------
+
+
+def kmeans(
+    vectors: DataFrame, k: int = 8, iters: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """`kmeans(matrix, k)` (solrj io/eval/KmeansEvaluator.java, commons-math
+    KMeansPlusPlusClusterer) as DISTRIBUTED Lloyd iterations — the reference
+    clusters an in-memory matrix inside /stream; here each iteration is one
+    scan with broadcast centroids:
+
+    - assignment: ``assign_cell`` compiles the k centroids into a JVM sims
+      array + argmax (no Python in the scan);
+    - update: per-dimension means via ``dim`` avg() aggregate columns in a
+      single groupBy(cell) — the shuffle carries k x dim partial sums, never
+      rows.
+
+    Deterministic init (the k lowest-id vectors) so results are reproducible
+    and testable. Returns (cluster, size, centroid array).
+
+    Euclidean assignment (commons-math default), not cosine."""
+    dim = len(vectors.select(vec_col).first()[0])
+    init = (
+        vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    cents = np.array([list(r[0]) for r in init], dtype=np.float64)
+
+    def _euclid_cell(vec: Column, c: np.ndarray) -> Column:
+        # argmin ||v - c||^2 = argmax (2 v.c - ||c||^2): same sims-array +
+        # array_position trick as assign_cell, linear expression tree.
+        sims = F.array(
+            *[
+                2.0 * dot(vec, F.array(*[F.lit(float(x)) for x in cent]))
+                - float(cent @ cent)
+                for cent in c
+            ]
+        )
+        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+    assigned = None
+    for _ in range(iters):
+        assigned = vectors.withColumn("cluster", _euclid_cell(F.col(vec_col), cents))
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.avg(F.col(vec_col)[d]).alias(f"m{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            new[r["cluster"]] = [r[f"m{d}"] for d in range(dim)]
+        if np.allclose(new, cents, atol=1e-12):
+            cents = new
+            break
+        cents = new
+    assigned = vectors.withColumn("cluster", _euclid_cell(F.col(vec_col), cents))
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("size"),
+            *[F.avg(F.col(vec_col)[d]).alias(f"m{d}") for d in range(dim)],
+        )
+        .select(
+            "cluster",
+            "size",
+            F.array(*[F.col(f"m{d}") for d in range(dim)]).alias("centroid"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def knn_regress(
+    vectors: DataFrame, query_vec: list[float], y_col: str, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """`knnRegress(obs, outcomes, k)` (io/eval/KnnRegressionEvaluator.java):
+    predict the query point's outcome as the mean outcome of its k nearest
+    neighbors — here exact cosine top-k (one scan, TakeOrderedAndProject)
+    then a k-row average. Returns (prediction, k)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    nn = (
+        vectors.select(F.col(y_col).alias("_y"), sim.alias("sim"),
+                       F.col(id_col).alias("_id"))
+        .orderBy(F.col("sim").desc(), F.col("_id").asc())
+        .limit(k)
+    )
+    return nn.agg(
+        F.avg("_y").alias("prediction"), F.count("*").cast("int").alias("k")
+    )

@@ -162,3 +162,222 @@ def percentiles(df: DataFrame, col: str, ps: Sequence[float]) -> DataFrame:
     return df.agg(
         *[F.percentile(c, F.lit(p)).alias(f"p{int(p * 100)}") for p in ps]
     )
+
+
+def polyfit(df: DataFrame, x: str, y: str, degree: int = 2) -> DataFrame:
+    """`polyfit(x, y, degree)` (io/eval/PolyFitEvaluator.java, commons-math
+    PolynomialCurveFitter): least-squares polynomial coefficients.
+
+    Distributed shape: ONE aggregation pass computes the normal-equation
+    moments Σx^k (k ≤ 2d) and Σx^k·y (k ≤ d) — (3d+2) partial-aggregated
+    doubles regardless of row count — then the (d+1)×(d+1) solve runs on
+    the driver (numpy). The reference evaluator instead materializes both
+    arrays in the /stream JVM; this never moves the data.
+
+    Conditioning note: raw-power normal equations square the Vandermonde
+    condition number — fine for the small degrees the reference supports
+    (callers with wide-range x should center/scale it first).
+
+    Returns one row: coef_0 … coef_{degree} (ascending powers)."""
+    import numpy as np
+
+    xc = F.col(x).cast("double")
+    yc = F.col(y).cast("double")
+    aggs = [F.sum(F.pow(xc, k)).alias(f"sx{k}") for k in range(2 * degree + 1)]
+    aggs += [F.sum(F.pow(xc, k) * yc).alias(f"sxy{k}") for k in range(degree + 1)]
+    m = df.agg(*aggs).collect()[0]
+    a = np.array(
+        [[m[f"sx{i + j}"] for j in range(degree + 1)] for i in range(degree + 1)],
+        dtype=np.float64,
+    )
+    b = np.array([m[f"sxy{i}"] for i in range(degree + 1)], dtype=np.float64)
+    coef = np.linalg.solve(a, b)
+    return df.sparkSession.createDataFrame(
+        [tuple(float(c) for c in coef)],
+        ", ".join(f"coef_{k} double" for k in range(degree + 1)),
+    )
+
+
+def loess(
+    df: DataFrame, x: str, y: str,
+    bandwidth: float = 0.3, robust_iters: int = 2, limit: int = 4096,
+) -> DataFrame:
+    """`loess(x, y, bandwidth)` (io/eval/LoessEvaluator.java, commons-math
+    LoessInterpolator defaults bandwidth=0.3, robustnessIters=2): tricube-
+    weighted local LINEAR regression smoother with bisquare robustness
+    reweighting.
+
+    Like the reference's /stream evaluator this is series/array math —
+    driver-side on a bounded, sorted collect (``limit`` caps it, same
+    contract as fft_magnitudes); the sweep itself is vectorized numpy.
+    Returns (x, y, smoothed) sorted by x."""
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = (
+        df.select(F.col(x).cast("double"), F.col(y).cast("double"))
+        .where(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .orderBy(x)
+        .limit(limit)
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], "x double, y double, smoothed double")
+    xs = np.array([r[0] for r in rows])
+    ys = np.array([r[1] for r in rows])
+    n = len(xs)
+    span = max(2, int(np.ceil(bandwidth * n)))
+    robust = np.ones(n)
+    fit = ys.copy()
+    for it in range(robust_iters + 1):
+        for i in range(n):
+            lo = min(max(0, i - span // 2), n - span)
+            seg = slice(lo, lo + span)
+            d = np.abs(xs[seg] - xs[i])
+            dmax = d.max()
+            w = (1 - (d / dmax) ** 3) ** 3 if dmax > 0 else np.ones_like(d)
+            w = np.clip(w, 0, None) * robust[seg]
+            sw = w.sum()
+            if sw <= 0:
+                # no weighted support (every neighbor robust-zeroed): keep
+                # the previous iteration's estimate — falling back to ys[i]
+                # would hand an outlier residual 0 and full weight back
+                continue
+            xm = (w * xs[seg]).sum() / sw
+            ym = (w * ys[seg]).sum() / sw
+            sxx = (w * (xs[seg] - xm) ** 2).sum()
+            if sxx > 1e-12 * (np.abs(xs[seg]).max() ** 2 or 1.0):
+                beta = (w * (xs[seg] - xm) * (ys[seg] - ym)).sum() / sxx
+            else:
+                beta = 0.0
+            fit[i] = ym + beta * (xs[i] - xm)
+        if it < robust_iters:
+            resid = np.abs(ys - fit)
+            # bisquare with the median |residual| as scale; floored so a
+            # perfectly-fit series (median = fp noise) doesn't zero out
+            # every weight
+            s = max(np.median(resid), 1e-12 * max(1.0, float(np.abs(ys).max())))
+            robust = np.clip(1 - (resid / (6 * s)) ** 2, 0, None) ** 2
+    return spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(xs, ys, fit)],
+        "x double, y double, smoothed double",
+    )
+
+
+def _betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a,b) — Lentz continued fraction
+    (standard published algorithm; needed for the Student-t CDF because
+    neither numpy nor the stdlib expose it)."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    if x > (a + 1) / (a + b + 2):
+        return 1.0 - _betainc(b, a, 1.0 - x)
+    f, c, d = 1.0, 1.0, 0.0
+    for i in range(200):
+        m = i // 2
+        if i == 0:
+            num = 1.0
+        elif i % 2 == 0:
+            num = m * (b - m) * x / ((a + 2 * m - 1) * (a + 2 * m))
+        else:
+            num = -(a + m) * (a + b + m) * x / ((a + 2 * m) * (a + 2 * m + 1))
+        d = 1.0 + num * d
+        d = 1.0 / (d if abs(d) > 1e-30 else 1e-30)
+        c = 1.0 + num / (c if abs(c) > 1e-30 else 1e-30)
+        f *= c * d
+        if abs(1.0 - c * d) < 1e-12:
+            break
+    return math.exp(ln_front) * (f - 1.0) / a
+
+
+def student_t_sf(t: float, dof: float) -> float:
+    """P(T > t) for Student-t with ``dof`` degrees of freedom."""
+    x = dof / (dof + t * t)
+    p = 0.5 * _betainc(dof / 2.0, 0.5, x)
+    return p if t >= 0 else 1.0 - p
+
+
+def welch_ttest(
+    df: DataFrame, value: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """`ttest(a, b)` (io/eval/TTestEvaluator.java, commons-math TTest —
+    Welch's unequal-variance two-sample test): t statistic, Welch–
+    Satterthwaite degrees of freedom, two-sided p-value.
+
+    ONE distributed aggregation (filtered count/avg/var per side); the
+    scalar t/df/p math runs on the driver. The t-CDF uses the regularized
+    incomplete beta (continued fraction) since no library in-sandbox
+    provides it."""
+    c = F.col(value).cast("double")
+    ga = F.col(group_col) == group_a
+    gb = F.col(group_col) == group_b
+    m = df.agg(
+        F.count(F.when(ga, c)).alias("na"),
+        F.avg(F.when(ga, c)).alias("ma"),
+        F.var_samp(F.when(ga, c)).alias("va"),
+        F.count(F.when(gb, c)).alias("nb"),
+        F.avg(F.when(gb, c)).alias("mb"),
+        F.var_samp(F.when(gb, c)).alias("vb"),
+    ).collect()[0]
+    na, nb = m["na"], m["nb"]
+    sa, sb = m["va"] / na, m["vb"] / nb
+    t = (m["ma"] - m["mb"]) / (sa + sb) ** 0.5
+    dof = (sa + sb) ** 2 / (sa**2 / (na - 1) + sb**2 / (nb - 1))
+    p = 2.0 * student_t_sf(abs(t), dof)
+    return df.sparkSession.createDataFrame(
+        [(float(t), float(dof), float(p), int(na), int(nb))],
+        "t_stat double, df double, p_value double, n_a long, n_b long",
+    )
+
+
+def ecdf(df: DataFrame, col: str, probes: Sequence[float]) -> DataFrame:
+    """`empiricalDistribution(values)` + `cumulativeProbability(d, x)`
+    (io/eval/EmpiricalDistributionEvaluator.java + CumulativeProbability-
+    Evaluator.java): P(X <= x) at each probe point, as ONE aggregation pass
+    — a filtered count per probe, partial-aggregated map-side (the
+    reference builds the whole ECDF in /stream memory)."""
+    c = F.col(col).cast("double")
+    spark = df.sparkSession
+    m = df.agg(
+        F.count(c).alias("n"),
+        *[
+            F.count(F.when(c <= float(p), True)).alias(f"le{i}")
+            for i, p in enumerate(probes)
+        ],
+    ).collect()[0]
+    n = m["n"] or 1
+    return spark.createDataFrame(
+        [(float(p), m[f"le{i}"] / n) for i, p in enumerate(probes)],
+        "probe double, cum_prob double",
+    )
+
+
+def normal_cdf(col, mean: float = 0.0, sd: float = 1.0):
+    """`normalDistribution(m, s)` + `cumulativeProbability` as a pure JVM
+    Column expression — Abramowitz & Stegun 7.1.26 erf polynomial (max
+    abs error 1.5e-7; the reference's commons-math is exact-to-double,
+    so treat this as approximate — tests assert 1e-6 tolerance)."""
+    z = (col - F.lit(float(mean))) / F.lit(float(sd) * 2.0**0.5)
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = t * (
+        F.lit(0.254829592)
+        + t * (
+            F.lit(-0.284496736)
+            + t * (
+                F.lit(1.421413741)
+                + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+            )
+        )
+    )
+    erf_abs = F.lit(1.0) - poly * F.exp(-az * az)
+    erf = F.when(z < 0, -erf_abs).otherwise(erf_abs)
+    return F.lit(0.5) * (F.lit(1.0) + erf)

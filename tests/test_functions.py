@@ -254,3 +254,183 @@ def test_linear_regression_known_line(spark):
     r = linear_regression(df, "x", "y").collect()[0]
     assert r.slope == pytest.approx(2.0) and r.intercept == pytest.approx(5.0)
     assert r.r2 == pytest.approx(1.0) and r.n == 100
+
+
+def test_polyfit_recovers_exact_quadratic(spark):
+    from solr_spark.functions.mathstream import polyfit
+
+    rows = [(x / 10.0, 3.0 - 2.0 * (x / 10.0) + 0.5 * (x / 10.0) ** 2)
+            for x in range(-50, 51)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = polyfit(df, "x", "y", degree=2).collect()[0]
+    assert r.coef_0 == pytest.approx(3.0, abs=1e-9)
+    assert r.coef_1 == pytest.approx(-2.0, abs=1e-9)
+    assert r.coef_2 == pytest.approx(0.5, abs=1e-9)
+
+
+def test_polyfit_degree1_matches_regr(spark):
+    from solr_spark.functions.mathstream import linear_regression, polyfit
+
+    rows = [(float(x), 1.5 * x + 4.0 + (x % 7) * 0.3) for x in range(200)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    p = polyfit(df, "x", "y", degree=1).collect()[0]
+    lr = linear_regression(df, "x", "y").collect()[0]
+    assert p.coef_1 == pytest.approx(lr.slope, rel=1e-9)
+    assert p.coef_0 == pytest.approx(lr.intercept, rel=1e-9)
+
+
+def test_loess_smooths_line_and_resists_outlier(spark):
+    from solr_spark.functions.mathstream import loess
+
+    # exactly-linear data: local linear fit must reproduce the line
+    rows = [(float(x), 2.0 * x + 1.0) for x in range(40)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = loess(df, "x", "y", bandwidth=0.3, robust_iters=0).collect()
+    for r in out:
+        assert r.smoothed == pytest.approx(2.0 * r.x + 1.0, abs=1e-9)
+
+    # one wild outlier in mildly noisy data: robustness iterations suppress
+    # it (without them the neighborhood is dragged tens of units off)
+    rng = np.random.default_rng(7)
+    noise = rng.normal(0, 0.1, size=40)
+    rows2 = [(float(x), float(2.0 * x + 1.0 + noise[x]) + (500.0 if x == 20 else 0.0))
+             for x in range(40)]
+    df2 = spark.createDataFrame(rows2, "x double, y double")
+    naive = {r.x: r.smoothed
+             for r in loess(df2, "x", "y", bandwidth=0.3, robust_iters=0).collect()}
+    got = {r.x: r.smoothed
+           for r in loess(df2, "x", "y", bandwidth=0.3, robust_iters=2).collect()}
+    assert abs(naive[19.0] - (2.0 * 19 + 1.0)) > 20.0  # unrobust fit is dragged
+    assert got[19.0] == pytest.approx(2.0 * 19 + 1.0, abs=1.0)
+    assert got[21.0] == pytest.approx(2.0 * 21 + 1.0, abs=1.0)
+
+
+def test_welch_ttest_known_values(spark):
+    from solr_spark.functions.mathstream import welch_ttest
+
+    # classic two-sample data with known Welch results
+    a = [27.5, 21.0, 19.0, 23.6, 17.0, 17.9, 16.9, 20.1, 21.9, 22.6, 23.1,
+         19.6, 19.0, 21.7, 21.4]
+    b = [27.1, 22.0, 20.8, 23.4, 23.4, 23.5, 25.8, 22.0, 24.8, 20.2, 21.9,
+         22.1, 22.9, 30.5, 28.4, 23.5, 20.8, 20.1, 29.3, 21.4, 26.3]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+    # independent expected values: numpy sample moments + Welch's published
+    # formulas (the code under test computes these via distributed filtered
+    # aggregates; the t-CDF is separately table-verified below)
+    na, nb = len(a), len(b)
+    va, vb = np.var(a, ddof=1) / na, np.var(b, ddof=1) / nb
+    t = (np.mean(a) - np.mean(b)) / np.sqrt(va + vb)
+    dof = (va + vb) ** 2 / (va**2 / (na - 1) + vb**2 / (nb - 1))
+    assert r.t_stat == pytest.approx(t, rel=1e-12)
+    assert r.df == pytest.approx(dof, rel=1e-12)
+    assert 0.0 < r.p_value < 0.02  # clearly significant, two-sided
+    assert r.n_a == na and r.n_b == nb
+
+
+def test_student_t_sf_against_known_table(spark):
+    from solr_spark.functions.mathstream import student_t_sf
+
+    # standard t-table values: P(T > t) one-sided
+    assert student_t_sf(2.228, 10) == pytest.approx(0.025, abs=2e-4)
+    assert student_t_sf(1.645, 1e9) == pytest.approx(0.05, abs=1e-3)
+    assert student_t_sf(0.0, 7) == pytest.approx(0.5, abs=1e-12)
+    assert student_t_sf(-2.228, 10) == pytest.approx(0.975, abs=2e-4)
+
+
+def test_ecdf_simple(spark):
+    from solr_spark.functions.mathstream import ecdf
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "v double")
+    out = {r.probe: r.cum_prob for r in ecdf(df, "v", [0.0, 5.0, 10.0]).collect()}
+    assert out[0.0] == 0.0
+    assert out[5.0] == pytest.approx(0.5)
+    assert out[10.0] == pytest.approx(1.0)
+
+
+def test_normal_cdf_matches_math_erf(spark):
+    import math
+
+    from solr_spark.functions.mathstream import normal_cdf
+
+    probes = [-3.0, -1.0, -0.5, 0.0, 0.7, 1.96, 2.5]
+    df = spark.createDataFrame([(p,) for p in probes], "x double")
+    got = {r.x: r.c for r in
+           df.select("x", normal_cdf(F.col("x"), 1.0, 2.0).alias("c")).collect()}
+    for p in probes:
+        want = 0.5 * (1.0 + math.erf((p - 1.0) / (2.0 * math.sqrt(2.0))))
+        assert got[p] == pytest.approx(want, abs=2e-7)
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    from solr_spark.functions.ann import kmeans
+
+    rng = np.random.default_rng(42)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    pts = np.vstack([c + rng.normal(0, 0.5, size=(20, 2)) for c in centers])
+    rows = [(i, [float(a) for a in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans(df, k=3, iters=10)
+
+    # numpy reference: identical deterministic init + Lloyd updates
+    cents = pts[:3].astype(np.float64).copy()
+    for _ in range(10):
+        d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(3):
+            m = pts[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    want_sizes = np.bincount(assign, minlength=3)
+
+    got = out.collect()
+    assert [r.size for r in got] == want_sizes.tolist()
+    for r in got:
+        assert list(r.centroid) == pytest.approx(cents[r.cluster].tolist(), abs=1e-9)
+
+
+def test_knn_regress_prediction(spark):
+    from solr_spark.functions.ann import knn_regress
+
+    # neighbors of [1, 0] by cosine: exactly the x-axis points
+    rows = [(i, [1.0, 0.001 * i], 5.0 + i) for i in range(5)]
+    rows += [(100 + i, [0.0, 1.0], 1000.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, y double")
+    r = knn_regress(df, [1.0, 0.0], "y", k=5).collect()[0]
+    assert r.k == 5
+    assert r.prediction == pytest.approx(sum(5.0 + i for i in range(5)) / 5)
+
+
+def test_haversine_known_distances(spark):
+    from solr_spark.functions.spatial import geodist, geofilt
+
+    # JFK (40.6413, -73.7781) to LHR (51.4700, -0.4543) ~ 5540 km (great circle)
+    df = spark.createDataFrame(
+        [(1, 51.4700, -0.4543), (2, 40.7, -74.0), (3, -33.9, 151.2)],
+        "id long, lat double, lon double",
+    )
+    got = {r.id: r.dist_km
+           for r in geodist(df, 40.6413, -73.7781).collect()}
+    assert got[1] == pytest.approx(5539.5, abs=10.0)  # published JFK-LHR distance
+    assert got[2] < 25.0
+    assert got[3] == pytest.approx(16000, abs=250)    # NYC-Sydney ~ 15,990 km
+
+    near = geofilt(df, 40.6413, -73.7781, 100.0).collect()
+    assert [r.id for r in near] == [2]
+
+
+def test_geofilt_dateline_wrap(spark):
+    from solr_spark.functions.spatial import bbox_filter, geofilt
+
+    # points near the antimeridian: fiji-ish (-17.7, 178.0) and (-17.7, -179.5)
+    df = spark.createDataFrame(
+        [(1, -17.7, 178.0), (2, -17.7, -179.5), (3, -17.7, 170.0)],
+        "id long, lat double, lon double",
+    )
+    out = sorted(r.id for r in geofilt(df, -17.7, 179.5, 300.0).collect())
+    assert out == [1, 2]
+    bb = sorted(r.id for r in bbox_filter(df, -17.7, 179.5, 300.0).collect())
+    assert bb == [1, 2]
