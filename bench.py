@@ -143,7 +143,18 @@ def main() -> None:
     t0 = time.perf_counter()
     ix.phrase_topk("spark join", k=10).collect()
     timings["wand_phrase"] = round(time.perf_counter() - t0, 3)
+    # Hot sloppy-phrase micro-bench pair (VERDICT r2 task #3): the same
+    # slop-2 phrase on the physical (numpy two-pointer sweep) and logical
+    # (JVM HOF) matchers — the physical one should be within ~2x.
+    t0 = time.perf_counter()
+    ix.phrase_topk("spark data", k=10, slop=2).collect()
+    timings["wand_phrase_slop2"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(phys_dir, ignore_errors=True)
+    from solr_spark.query.phrase import phrase_topk as logical_phrase_topk
+
+    t0 = time.perf_counter()
+    logical_phrase_topk(idx, "spark data", k=10, slop=2).collect()
+    timings["phrase_slop2_logical"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -188,10 +188,10 @@ def kmeans(
     and testable. Returns (cluster, size, centroid array).
 
     Euclidean assignment (commons-math default), not cosine."""
-    dim = len(vectors.select(vec_col).first()[0])
-    init = (
-        vectors.orderBy(id_col).limit(k).select(vec_col).collect()
-    )
+    init = vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(init) < k:
+        raise ValueError(f"kmeans(k={k}) needs at least k vectors, got {len(init)}")
+    dim = len(init[0][0])
     cents = np.array([list(r[0]) for r in init], dtype=np.float64)
 
     def _euclid_cell(vec: Column, c: np.ndarray) -> Column:

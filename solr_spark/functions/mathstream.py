@@ -186,6 +186,10 @@ def polyfit(df: DataFrame, x: str, y: str, degree: int = 2) -> DataFrame:
     aggs = [F.sum(F.pow(xc, k)).alias(f"sx{k}") for k in range(2 * degree + 1)]
     aggs += [F.sum(F.pow(xc, k) * yc).alias(f"sxy{k}") for k in range(degree + 1)]
     m = df.agg(*aggs).collect()[0]
+    if m["sx0"] is None or m["sx0"] < degree + 1:
+        raise ValueError(
+            f"polyfit(degree={degree}) needs at least {degree + 1} non-null rows"
+        )
     a = np.array(
         [[m[f"sx{i + j}"] for j in range(degree + 1)] for i in range(degree + 1)],
         dtype=np.float64,
@@ -328,6 +332,11 @@ def welch_ttest(
         F.var_samp(F.when(gb, c)).alias("vb"),
     ).collect()[0]
     na, nb = m["na"], m["nb"]
+    if na < 2 or nb < 2:
+        raise ValueError(
+            f"ttest needs >= 2 observations per group "
+            f"(got {group_a!r}: {na}, {group_b!r}: {nb})"
+        )
     sa, sb = m["va"] / na, m["vb"] / nb
     t = (m["ma"] - m["mb"]) / (sa + sb) ** 0.5
     dof = (sa + sb) ** 2 / (sa**2 / (na - 1) + sb**2 / (nb - 1))

@@ -167,3 +167,42 @@ def test_prefix_stream_pushdown_no_expansion(idx_parquet):
     q = prefix_docids(idx_parquet, "tabl")
     plan = _formatted(q)
     assert "StartsWith" in plan and "PushedFilters" in plan
+
+
+def test_geofilt_bbox_pushdown(spark, tmp_path_factory):
+    """geofilt's phase-1 bounding box must reach the parquet scan as plain
+    range predicates (GreaterThanOrEqual/LessThanOrEqual on lat/lon) so a
+    spatially-partitioned layout prunes row groups; the haversine runs only
+    above the pruned scan."""
+    from solr_spark.functions.spatial import geofilt
+
+    d = str(tmp_path_factory.mktemp("geo") / "pts")
+    pts = spark.range(0, 1000).select(
+        F.col("id"),
+        ((F.col("id") * 9973 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    pts.write.parquet(d)
+    out = geofilt(spark.read.parquet(d), 40.7, -74.0, 500.0)
+    plan = _formatted(out)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(lat" in plan and "LessThanOrEqual(lat" in plan
+    assert "GreaterThanOrEqual(lon" in plan and "LessThanOrEqual(lon" in plan
+    # the exact distance predicate stays above the scan (not pushable)
+    ids = sorted(r.id for r in out.collect())
+    # cross-check against brute-force haversine on the same rows
+    import math
+
+    def hav(lat, lon):
+        r = 6371.0087714
+        a = (math.sin(math.radians(40.7 - lat) / 2) ** 2
+             + math.cos(math.radians(lat)) * math.cos(math.radians(40.7))
+             * math.sin(math.radians(-74.0 - lon) / 2) ** 2)
+        return 2 * r * math.asin(min(1.0, math.sqrt(a)))
+
+    want = sorted(
+        i for i in range(1000)
+        if hav((i * 9973 % 18000) / 100.0 - 90.0,
+               (i * 7919 % 36000) / 100.0 - 180.0) <= 500.0
+    )
+    assert ids == want
