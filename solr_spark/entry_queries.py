@@ -3285,6 +3285,48 @@ def payload_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wand_payload_score",
+    f"""
+WITH {TOKP}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(pos % 5) AS DOUBLE) AS score
+FROM tokp WHERE term = 'spark'
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+def wand_payload_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!payload_score}` on the PHYSICAL path: the same delimited corpus
+    indexed into segments with the position-aligned float32 payload stream
+    (the Lucene .pay-file role) and scored top-k by payload sum with
+    block-max payload pruning (query/wand.py:_payload_partition)."""
+    import hashlib
+
+    from solr_spark.functions.dedup import tokens_col
+    from solr_spark.index.segments import build_index_dir
+    from solr_spark.query.wand import open_index
+
+    d = f"/tmp/solr_spark_payphys_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if not os.path.exists(f"{d}/corpus_stats.json"):
+        docs = _t(spark, sf_dir, "documents")
+        ptext = docs.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    tokens_col(F.col("text")),
+                    lambda t, i: F.concat(t, F.lit("|"), (i % 5).cast("string")),
+                ),
+            ).alias("ptext"),
+        )
+        build_index_dir(
+            ptext, d, n_partitions=8, id_col="docid", text_col="ptext",
+            store_payloads=True,
+        )
+    out = open_index(spark, d).payload_topk("spark", func="sum", k=10)
+    return out.select(F.col("docid").alias("doc_id"), "score")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

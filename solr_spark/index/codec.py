@@ -98,6 +98,15 @@ class EncodedPostings:
     # Empty when the index is built without positions.
     poss: bytes = b""
     block_pos_off: np.ndarray | None = None  # int64
+    # Per-position payloads (Lucene .pay-file role): one float32 per
+    # position, position-aligned with the poss blob (fixed width, so a
+    # block's payload slice is addressable by byte offset alone); per-block
+    # MAX payload is the impact bound a top-k payload scorer prunes with
+    # (max/first/average <= block_max_pay; sum <= block_max_tf *
+    # block_max_pay). Empty when built without payloads.
+    pays: bytes = b""
+    block_pay_off: np.ndarray | None = None  # int64 byte offset into pays
+    block_max_pay: np.ndarray | None = None  # float32
 
 
 def encode_postings(
@@ -105,11 +114,14 @@ def encode_postings(
     tfs: np.ndarray,
     norms: np.ndarray,
     positions: np.ndarray | None = None,
+    payloads: np.ndarray | None = None,
 ) -> EncodedPostings:
     """Encode one term's postings. ``ords`` must be strictly increasing
     segment-local ordinals; ``norms[i]`` is the norm BYTE of doc ords[i];
     ``positions`` (optional) is the FLAT concatenation of each posting's
-    sorted token positions (tfs[i] entries for posting i).
+    sorted token positions (tfs[i] entries for posting i); ``payloads``
+    (optional, requires positions) is the position-aligned FLAT float
+    payload array.
 
     Single vectorized pass: the whole list is encoded once and per-block
     byte offsets are read off the encoder's cumulative ends; block impact
@@ -140,6 +152,9 @@ def encode_postings(
 
     pos_blob = b""
     pos_off = np.zeros(n_blocks, dtype=np.int64)
+    pay_blob = b""
+    pay_off = np.zeros(n_blocks, dtype=np.int64)
+    max_pay = np.zeros(n_blocks, dtype=np.float32)
     if positions is not None and positions.size:
         flat = np.ascontiguousarray(positions, dtype=np.int64)
         # Per-posting delta encoding in one vectorized pass: the first
@@ -154,6 +169,20 @@ def encode_postings(
         # Block b's positions start after all positions of earlier blocks.
         first_pos_idx = pstarts[starts[1:]]  # flat index of each block's 1st pos
         pos_off[1:] = np.where(first_pos_idx > 0, pos_ends[first_pos_idx - 1], 0)
+        if payloads is not None:
+            pay = np.ascontiguousarray(payloads, dtype=np.float32)
+            if pay.size != flat.size:
+                raise ValueError(
+                    f"payloads ({pay.size}) must align 1:1 with positions "
+                    f"({flat.size})"
+                )
+            pay_blob = pay.tobytes()
+            # Fixed 4-byte width: a block's payload slice starts at 4x its
+            # first flat-position index.
+            pay_off[1:] = pstarts[starts[1:]] * 4
+            max_pay = np.maximum.reduceat(pay, pstarts[starts]).astype(
+                np.float32
+            )
 
     return EncodedPostings(
         df=n,
@@ -168,6 +197,9 @@ def encode_postings(
         block_min_norm=min_norm,
         poss=pos_blob,
         block_pos_off=pos_off,
+        pays=pay_blob,
+        block_pay_off=pay_off,
+        block_max_pay=max_pay,
     )
 
 
@@ -200,6 +232,18 @@ def decode_positions(poss: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarr
         np.concatenate([[0], cs[starts[1:] - 1]]) if tfs.size > 1 else [0], tfs
     )
     return cs - rebase, starts
+
+
+def decode_payloads(pays: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode of a payloads blob (position-aligned float32). Returns
+    (flat float32, starts): posting i's payloads are
+    ``flat[starts[i] : starts[i] + tfs[i]]``. Zero-copy: the blob IS the
+    array."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    starts = np.zeros(tfs.size, dtype=np.int64)
+    if tfs.size:
+        starts[1:] = np.cumsum(tfs)[:-1]
+    return np.frombuffer(pays, dtype=np.float32), starts
 
 
 def decode_blocks(

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from collections.abc import Iterable
@@ -60,7 +61,38 @@ _POSTINGS_COLS = [
     "p", "gen", "term", "df", "ttf", "gaps", "tfs", "norms",
     "block_first_ord", "block_last_ord", "block_gap_off", "block_tf_off",
     "block_max_tf", "block_min_norm", "poss", "block_pos_off",
+    "pays", "block_pay_off", "block_max_pay",
 ]
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _payload_tokens(
+    s: str, delim: str, default: float
+) -> list[tuple[str, int, float]]:
+    """The ``delimited_payload`` analysis chain: whitespace tokens carrying
+    ``term|payload`` (Lucene WhitespaceTokenizer + DelimitedPayloadTokenFilter,
+    the reference's ``*_dpf`` field type in
+    solr/server/solr/configsets/_default/conf/managed-schema.xml), terms
+    lowercased for parity with query/payload.py's logical ingestion.
+    Positions are raw whitespace-token indexes — identical to posexplode
+    over split(text, r"\\s+") on the logical path."""
+    out = []
+    for i, tok in enumerate(_WS_RE.split(s)):
+        if not tok:
+            continue
+        parts = tok.split(delim)
+        term = parts[0].lower()
+        if not term:
+            continue
+        pay = default
+        if len(parts) > 1:
+            try:
+                pay = float(parts[1])
+            except ValueError:
+                pay = default
+        out.append((term, i, pay))
+    return out
 
 
 def _seg_dir(index_dir: str, p: int, gen: int) -> str:
@@ -70,13 +102,24 @@ def _seg_dir(index_dir: str, p: int, gen: int) -> str:
 def _invert_partition(
     docids: np.ndarray, texts: pd.Series, analyzer: str,
     store_positions: bool = True,
+    store_payloads: bool = False,
+    payload_delimiter: str = "|",
+    default_payload: float = 1.0,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Analyze + invert one partition. Returns (docs_table, postings_table).
 
     docs_table: (ord, docid, dl, norm) sorted by docid (ord = rank).
     postings_table: one row per term, columns per _POSTINGS_COLS minus p/gen.
+
+    ``store_payloads=True`` switches the analysis to the
+    ``delimited_payload`` chain (whitespace ``term|payload`` tokens; the
+    ``analyzer`` argument is ignored) and writes the position-aligned
+    payload stream — the Lucene .pay-file role.
     """
     from collections import Counter
+
+    if store_payloads and not store_positions:
+        raise ValueError("store_payloads requires store_positions")
 
     order = np.argsort(docids, kind="stable")
     docids = docids[order]
@@ -90,8 +133,33 @@ def _invert_partition(
     term_ords: dict[str, list[int]] = {}
     term_tfs: dict[str, list[int]] = {}
     term_pos: dict[str, list[int]] = {}
+    term_pay: dict[str, list[float]] = {}
     dl = np.zeros(len(docids), dtype=np.int64)
-    if store_positions:
+    if store_payloads:
+        for ord_, s in enumerate(texts):
+            doc_pos: dict[str, list[int]] = {}
+            doc_pay: dict[str, list[float]] = {}
+            ntok = 0
+            if s is not None:
+                for t, i, pay in _payload_tokens(
+                    s, payload_delimiter, default_payload
+                ):
+                    doc_pos.setdefault(t, []).append(i)
+                    doc_pay.setdefault(t, []).append(pay)
+                    ntok += 1
+            dl[ord_] = ntok
+            for t, ps in doc_pos.items():
+                if t in term_ords:
+                    term_ords[t].append(ord_)
+                    term_tfs[t].append(len(ps))
+                    term_pos[t].extend(ps)
+                    term_pay[t].extend(doc_pay[t])
+                else:
+                    term_ords[t] = [ord_]
+                    term_tfs[t] = [len(ps)]
+                    term_pos[t] = list(ps)
+                    term_pay[t] = list(doc_pay[t])
+    elif store_positions:
         fn_pos = ANALYZERS_POS[analyzer]
         for ord_, s in enumerate(texts):
             doc_pos: dict[str, list[int]] = {}
@@ -133,11 +201,16 @@ def _invert_partition(
             np.asarray(term_pos[term], dtype=np.int64)
             if store_positions else None
         )
-        enc = encode_postings(o, t, pn, positions=pos)
+        pay = (
+            np.asarray(term_pay[term], dtype=np.float32)
+            if store_payloads else None
+        )
+        enc = encode_postings(o, t, pn, positions=pos, payloads=pay)
         # The norm byte rides WITH the postings (1 byte per posting, like
         # Lucene's impact pairs): scoring then never touches the doc table —
         # the doc table is consulted only to map the winning top-k ords back
         # to docids via a filtered read.
+        n_blk = len(enc.block_first_ord)
         rows.append(
             (
                 term, enc.df, enc.ttf, enc.gaps, enc.tfs, pn.tobytes(),
@@ -147,7 +220,12 @@ def _invert_partition(
                 enc.block_min_norm.astype(np.int32).tolist(),
                 enc.poss,
                 enc.block_pos_off.tolist() if enc.block_pos_off is not None
-                else [0] * len(enc.block_first_ord),
+                else [0] * n_blk,
+                enc.pays,
+                enc.block_pay_off.tolist() if enc.block_pay_off is not None
+                else [0] * n_blk,
+                [float(x) for x in enc.block_max_pay]
+                if enc.block_max_pay is not None else [0.0] * n_blk,
             )
         )
     postings = pd.DataFrame(
@@ -167,6 +245,7 @@ def _invert_partition(
 def _write_segment(
     index_dir: str, p: int, gen: int, docs: pd.DataFrame, postings: pd.DataFrame,
     docid_checksum: int, wall_s: float, store_positions: bool = True,
+    store_payloads: bool = False,
 ) -> dict:
     """Atomically commit one segment directory (tmp write + rename)."""
     import pyarrow as pa
@@ -200,6 +279,7 @@ def _write_segment(
         "sum_dl": int(docs["dl"].sum()) if len(docs) else 0,
         "docid_checksum": int(docid_checksum),
         "positions": bool(store_positions),
+        "payloads": bool(store_payloads),
         "bytes": int(
             postings["gaps"].map(len).sum() + postings["tfs"].map(len).sum()
         ) if len(postings) else 0,
@@ -256,7 +336,8 @@ def partition_col(id_col: str = "docid", n_partitions: int = 32):
 
 def _build_one(index_dir: str, generation: int, analyzer: str,
                p: int, pdf: pd.DataFrame,
-               store_positions: bool = True) -> pd.DataFrame:
+               store_positions: bool = True,
+               store_payloads: bool = False) -> pd.DataFrame:
     final = _seg_dir(index_dir, p, generation)
     mpath = os.path.join(final, "manifest.json")
     docids = pdf["docid"].to_numpy(dtype=np.int64)
@@ -280,11 +361,12 @@ def _build_one(index_dir: str, generation: int, analyzer: str,
         return _manifest_row(m, skipped=True)
     t0 = time.time()
     docs, postings = _invert_partition(
-        docids, pdf["text"], analyzer, store_positions
+        docids, pdf["text"], analyzer, store_positions,
+        store_payloads=store_payloads,
     )
     m = _write_segment(
         index_dir, p, generation, docs, postings, checksum, time.time() - t0,
-        store_positions,
+        store_positions, store_payloads,
     )
     return _manifest_row(m, skipped=False)
 
@@ -299,6 +381,7 @@ def build_segments(
     text_col: str = "content",
     assume_partitioned: bool = False,
     store_positions: bool = True,
+    store_payloads: bool = False,
 ) -> pd.DataFrame:
     """Build one generation of segments from ``corpus`` (docid must be int64).
 
@@ -306,6 +389,9 @@ def build_segments(
     DOCS_AND_FREQS_AND_POSITIONS) writes the per-posting positions blob that
     phrase queries need; term-only workloads can disable it to cut segment
     bytes and build cost (Lucene's IndexOptions.DOCS_AND_FREQS equivalent).
+    ``store_payloads=True`` additionally writes the position-aligned payload
+    stream via the ``delimited_payload`` chain (whitespace ``term|payload``
+    tokens — the ``analyzer`` argument is ignored), Lucene's .pay-file role.
 
     Returns the manifest table (one row per partition; ``skipped=True`` rows
     were already committed by a previous run — the resume path).
@@ -331,7 +417,7 @@ def build_segments(
             for p, grp in pdf.groupby("p", sort=True):
                 yield _build_one(
                     index_dir, generation, analyzer, int(p), grp,
-                    store_positions,
+                    store_positions, store_payloads,
                 )
 
         return df.mapInPandas(writer_local, MANIFEST_SCHEMA).toPandas()
@@ -342,7 +428,8 @@ def build_segments(
 
     def writer(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return _build_one(
-            index_dir, generation, analyzer, int(key[0]), pdf, store_positions
+            index_dir, generation, analyzer, int(key[0]), pdf,
+            store_positions, store_payloads,
         )
 
     manifests = (
@@ -371,17 +458,20 @@ def finalize_index(
     n_docs = sum_dl = 0
     gens: set[int] = set()
     positions_all = True
+    payloads_all = True
     for mp in glob.glob(f"{index_dir}/seg/*/*/manifest.json"):
         with open(mp) as f:
             m = json.load(f)
         n_docs += m["n_docs"]
         sum_dl += m["sum_dl"]
         positions_all = positions_all and m.get("positions", True)
+        payloads_all = payloads_all and m.get("payloads", False)
         gens.add(m["gen"])
     stats = {
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "positions": positions_all,
+        "payloads": payloads_all,
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
         "analyzer": analyzer,
         "k1": k1,
@@ -408,12 +498,13 @@ def build_index_dir(
     k1: float = 1.2,
     b: float = 0.75,
     store_positions: bool = True,
+    store_payloads: bool = False,
 ) -> dict:
     """build_segments + finalize_index in one call. Idempotent/resumable."""
     build_segments(
         corpus, index_dir, n_partitions, analyzer,
         generation=0, id_col=id_col, text_col=text_col,
-        store_positions=store_positions,
+        store_positions=store_positions, store_payloads=store_payloads,
     )
     return finalize_index(corpus.sparkSession, index_dir, analyzer, k1, b)
 
@@ -435,7 +526,11 @@ def merge_index(
     """
     import glob as _glob
 
-    from solr_spark.index.codec import decode_positions, decode_postings
+    from solr_spark.index.codec import (
+        decode_payloads,
+        decode_positions,
+        decode_postings,
+    )
 
     stats = read_corpus_stats(index_dir)
     analyzer = analyzer or stats["analyzer"]
@@ -457,16 +552,19 @@ def merge_index(
                     continue
                 t0 = time.time()
                 merged_has_positions = True
+                merged_has_payloads = True
                 gen_dirs = sorted(_glob.glob(f"{index_dir}/seg/p={p:05d}/gen=*"))
                 docs_parts, post_parts = [], []
                 for gd in gen_dirs:
                     docs_parts.append(pq.read_table(f"{gd}/docs.parquet").to_pandas())
-                    post_parts.append(
-                        pq.read_table(
-                            f"{gd}/postings.parquet",
-                            columns=["gen", "term", "gaps", "tfs", "poss"],
-                        ).to_pandas()
-                    )
+                    tbl = pq.read_table(f"{gd}/postings.parquet")
+                    cols = ["gen", "term", "gaps", "tfs", "poss"]
+                    if "pays" in tbl.schema.names:
+                        cols.append("pays")
+                    part = tbl.select(cols).to_pandas()
+                    if "pays" not in part.columns:  # pre-payload segment
+                        part["pays"] = b""
+                    post_parts.append(part)
                 all_docs = pd.concat(docs_parts, ignore_index=True)
                 order = np.argsort(all_docs["docid"].to_numpy(), kind="stable")
                 all_docs = all_docs.iloc[order].reset_index(drop=True)
@@ -485,16 +583,20 @@ def merge_index(
                 all_posts = pd.concat(post_parts, ignore_index=True)
                 rows = []
                 for term, grp in all_posts.groupby("term", sort=True):
-                    os_, ts_, flats, seg_starts = [], [], [], []
+                    os_, ts_, flats, seg_starts, pay_flats = [], [], [], [], []
                     pos_off = 0
                     for _, r in grp.iterrows():
                         o, t = decode_postings(r["gaps"], r["tfs"])
                         flat, starts = decode_positions(r["poss"], t)
                         if flat.size == 0 and t.size > 0:
                             flat = None  # this gen stored no positions
+                        pay_flat = decode_payloads(r["pays"] or b"", t)[0]
+                        if pay_flat.size == 0:
+                            pay_flat = None  # this gen stored no payloads
                         os_.append(remap[int(r["gen"])][o])
                         ts_.append(t)
                         flats.append(flat)
+                        pay_flats.append(pay_flat)
                         if flat is not None:
                             seg_starts.append(starts + pos_off)
                             pos_off += flat.size
@@ -510,6 +612,19 @@ def merge_index(
                         )
                     if not any(f is not None for f in flats):
                         merged_has_positions = False
+                    if any(f is not None for f in pay_flats) and any(
+                        f is None for f in pay_flats
+                    ):
+                        raise RuntimeError(
+                            f"merge p={p} term={term!r}: generations mix "
+                            "store_payloads=True and False — a merged "
+                            "payload stream would silently misalign; rebuild "
+                            "the payload-less generation with payloads (or "
+                            "all without)"
+                        )
+                    if not any(f is not None for f in pay_flats):
+                        merged_has_payloads = False
+                    pay_flats = [f for f in pay_flats if f is not None]
                     flats = [f for f in flats if f is not None]
                     o = np.concatenate(os_)
                     t = np.concatenate(ts_)
@@ -521,13 +636,24 @@ def merge_index(
                     # new order, then re-encode.
                     flat_all = np.concatenate(flats) if flats else np.empty(0, np.int64)
                     new_flat = None
+                    new_pay = None
                     if flat_all.size:
                         starts_all = np.concatenate(seg_starts)
                         ends_all = starts_all + np.concatenate(ts_)
                         new_flat = np.concatenate(
                             [flat_all[starts_all[j]:ends_all[j]] for j in so]
                         )
-                    enc = encode_postings(o, t, pn, positions=new_flat)
+                        if pay_flats:
+                            # Payloads are position-aligned, so the same
+                            # gather order re-sorts them.
+                            pay_all = np.concatenate(pay_flats)
+                            new_pay = np.concatenate(
+                                [pay_all[starts_all[j]:ends_all[j]] for j in so]
+                            )
+                    enc = encode_postings(
+                        o, t, pn, positions=new_flat, payloads=new_pay
+                    )
+                    n_blk = len(enc.block_first_ord)
                     rows.append(
                         (
                             term, enc.df, enc.ttf, enc.gaps, enc.tfs, pn.tobytes(),
@@ -538,7 +664,13 @@ def merge_index(
                             enc.poss,
                             enc.block_pos_off.tolist()
                             if enc.block_pos_off is not None
-                            else [0] * len(enc.block_first_ord),
+                            else [0] * n_blk,
+                            enc.pays,
+                            enc.block_pay_off.tolist()
+                            if enc.block_pay_off is not None
+                            else [0] * n_blk,
+                            [float(x) for x in enc.block_max_pay]
+                            if enc.block_max_pay is not None else [0.0] * n_blk,
                         )
                     )
                 postings = pd.DataFrame(rows, columns=_POSTINGS_COLS[2:])
@@ -558,6 +690,7 @@ def merge_index(
                 m = _write_segment(
                     out_dir, p, 0, docs, postings, checksum, time.time() - t0,
                     store_positions=merged_has_positions,
+                    store_payloads=merged_has_payloads,
                 )
                 yield _manifest_row(m, skipped=False)
 

@@ -20,10 +20,11 @@ Spark shape — everything is whole-stage-codegen JVM expressions:
   array of the single postings row the term filter prunes to. Per-query IO
   is O(postings of the query term).
 
-Documented gap: the PHYSICAL segment codec (index/codec.py) does not
-serialize payload bytes — payload queries run on this logical payload
-postings table (the reference stores payloads in the .pay file; adding a
-payload stream to the codec is the remaining step).
+The PHYSICAL path serializes payloads too (the reference's .pay-file
+role): ``build_index_dir(..., store_payloads=True)`` writes a
+position-aligned float32 payload stream with per-block max-payload impact
+metadata, and ``PhysicalIndex.payload_topk`` scores top-k with block-max
+pruning over it (index/codec.py, query/wand.py:_payload_partition).
 """
 
 from __future__ import annotations

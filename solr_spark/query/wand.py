@@ -497,6 +497,112 @@ def _tree_partition(
     )
 
 
+_PAYLOAD_BOUNDED = {"max", "sum", "average", "first"}
+
+
+def _payload_partition(
+    pdf: pd.DataFrame, func: str, k: int, index_dir: str, p: int
+) -> pd.DataFrame:
+    """Top-k (docid, score) for ONE term's payload postings in one segment
+    partition, score = ``func`` over the payloads at the term's positions
+    (PayloadScoreQParserPlugin.java, includeSpanScore=false).
+
+    Block-max pruning on the payload stream (no Lucene analogue — payload
+    queries there always decode every matching doc): each block's stored
+    max payload bounds any doc's score in it (max/first/average <= max_pay;
+    sum <= max_tf*max_pay when max_pay >= 0, else <= max_pay). Blocks are
+    visited bound-descending and skipped once k candidates beat the bound
+    strictly — ``min`` has no upper bound from max metadata and decodes all
+    blocks.
+    """
+    cands_ord: list[np.ndarray] = []
+    cands_gen: list[np.ndarray] = []
+    cands_score: list[np.ndarray] = []
+    kth = -np.inf  # k-th best score seen so far (score-only threshold)
+    n_kept = 0
+
+    def _threshold() -> float:
+        # exact k-th best among kept candidate scores (kept list is small:
+        # it's compacted against the previous threshold)
+        allsc = np.concatenate(cands_score)
+        if allsc.size < k:
+            return -np.inf
+        return float(np.partition(allsc, allsc.size - k)[allsc.size - k])
+
+    for _, r in pdf.iterrows():  # one row per generation holding this term
+        if len(r["pays"] or b"") == 0:
+            raise ValueError(
+                "payload query on an index built without store_payloads "
+                "(same contract as positions for phrase queries)"
+            )
+        gen = int(r["gen"])
+        pays = np.frombuffer(r["pays"], dtype=np.float32)
+        bmp = np.asarray(r["block_max_pay"], dtype=np.float64)
+        n_blocks = bmp.size
+        if func == "sum":
+            bmt = np.asarray(r["block_max_tf"], dtype=np.float64)
+            bounds = np.where(bmp >= 0, bmp * bmt, bmp)
+        elif func in _PAYLOAD_BOUNDED:
+            bounds = bmp
+        else:  # min — not boundable by max metadata
+            bounds = np.full(n_blocks, np.inf)
+        pay_off = np.asarray(r["block_pay_off"], dtype=np.int64)
+        pay_end = np.append(pay_off[1:], len(r["pays"]))
+        b_first = np.asarray(r["block_first_ord"], dtype=np.int64)
+        b_goff = np.asarray(r["block_gap_off"], dtype=np.int64)
+        b_toff = np.asarray(r["block_tf_off"], dtype=np.int64)
+        for bi in np.argsort(-bounds, kind="stable"):
+            if n_kept >= k and bounds[bi] < kth:
+                break  # all remaining blocks bound strictly below k-th best
+            ords_b, tfs_b = decode_blocks(
+                r["gaps"], r["tfs"], np.array([bi]), b_first, b_goff, b_toff,
+                int(r["df"]),
+            )
+            seg = pays[pay_off[bi] // 4 : pay_end[bi] // 4]
+            offs = np.zeros(tfs_b.size, dtype=np.int64)
+            offs[1:] = np.cumsum(tfs_b)[:-1]
+            if func == "max":
+                sc = np.maximum.reduceat(seg, offs).astype(np.float64)
+            elif func == "min":
+                sc = np.minimum.reduceat(seg, offs).astype(np.float64)
+            elif func == "sum":
+                sc = np.add.reduceat(seg.astype(np.float64), offs)
+            elif func == "average":
+                sc = np.add.reduceat(seg.astype(np.float64), offs) / tfs_b
+            else:  # first
+                sc = seg[offs].astype(np.float64)
+            cands_ord.append(ords_b)
+            cands_gen.append(np.full(ords_b.size, gen, dtype=np.int64))
+            cands_score.append(sc)
+            n_kept += ords_b.size
+            if n_kept >= k:
+                kth = _threshold()
+                # Compact: only scores >= kth can reach the top k (ties at
+                # kth stay — the docid tiebreak is resolved after lookup).
+                if len(cands_score) > 8:
+                    keep = [s >= kth for s in cands_score]
+                    cands_ord = [o[m] for o, m in zip(cands_ord, keep, strict=True)]
+                    cands_gen = [g[m] for g, m in zip(cands_gen, keep, strict=True)]
+                    cands_score = [
+                        s[m] for s, m in zip(cands_score, keep, strict=True)
+                    ]
+
+    if not cands_score:
+        return pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    ords = np.concatenate(cands_ord)
+    gens = np.concatenate(cands_gen)
+    scores = np.concatenate(cands_score)
+    mask = scores >= (kth if n_kept >= k else -np.inf)
+    ords, gens, scores = ords[mask], gens[mask], scores[mask]
+    docids = np.empty(ords.size, dtype=np.int64)
+    for g in np.unique(gens):
+        gm = gens == g
+        docids[gm] = _lookup_docids(index_dir, p, int(g), ords[gm])
+    order = np.lexsort((docids, -scores))[:k]
+    return pd.DataFrame({"docid": docids[order], "score": scores[order]})
+
+
 class PhysicalIndex:
     """Searcher over a physical index directory.
 
@@ -908,6 +1014,43 @@ class PhysicalIndex:
         scored = postings.groupBy("p").applyInPandas(score, "docid long, score double")
         return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
 
+    def payload_topk(self, term: str, func: str = "max", k: int = 10) -> DataFrame:
+        """Top-k `{!payload_score}` over the physical payload stream
+        (includeSpanScore=false: the payload function value IS the score).
+        ``term`` is matched against the delimited_payload chain's terms
+        (lowercased whitespace tokens). Payloads are float32 on disk
+        (Lucene PayloadHelper float-encoder width) — scores reflect that
+        precision, unlike the logical double-precision path."""
+        from solr_spark.query.payload import PAYLOAD_FUNCS
+
+        if func not in PAYLOAD_FUNCS:
+            raise ValueError(
+                f"unknown payload function {func!r}; one of {PAYLOAD_FUNCS}"
+            )
+        if not self.stats.get("payloads", False):
+            raise ValueError(
+                "payload query needs payloads: this index was built with "
+                "store_payloads=False"
+            )
+        empty = self.spark.createDataFrame([], "docid long, score double")
+        t = term.lower()
+        if not t or not self._df_for_terms([t]):
+            return empty
+        # Payload columns only on THIS scan (parquet column pruning keeps
+        # BM25/phrase queries from ever reading the .pay bytes).
+        postings = self._scan.select(
+            "p", "gen", "term", "df", "gaps", "tfs",
+            "block_first_ord", "block_gap_off", "block_tf_off",
+            "block_max_tf", "pays", "block_pay_off", "block_max_pay",
+        ).where(F.col("term") == t)
+        index_dir = self.index_dir
+
+        def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _payload_partition(pdf, func, k, index_dir, int(key[0]))
+
+        scored = postings.groupBy("p").applyInPandas(score, "docid long, score double")
+        return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
 
 _READER_CACHE: dict[tuple[str, str], PhysicalIndex] = {}
 
@@ -958,3 +1101,14 @@ def wand_phrase_topk(
 ) -> DataFrame:
     """Top-k phrase matches from a physical index directory."""
     return open_index(spark, index_dir).phrase_topk(phrase, k=k, slop=slop)
+
+
+def wand_payload_topk(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    func: str = "max",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k payload_score matches from a physical payload index."""
+    return open_index(spark, index_dir).payload_topk(term, func=func, k=k)
