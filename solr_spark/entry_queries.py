@@ -3327,6 +3327,122 @@ def wand_payload_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("docid").alias("doc_id"), "score")
 
 
+_LTR_MAIN_SQL = f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES ('data')),
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+main AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id) GROUP BY tf.doc_id),
+win AS (SELECT doc_id, s FROM main
+        QUALIFY row_number() OVER (ORDER BY s DESC, doc_id ASC) <= 50),
+feats AS (
+  SELECT w.doc_id, w.s AS orig, d.n_chars / 1000.0 AS ncharsk,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS is_en
+  FROM win w JOIN documents d USING (doc_id))
+"""
+
+
+def _ltr_features() -> dict:
+    return {
+        "originalScore": F.col("score"),
+        "ncharsK": F.col("n_chars") / F.lit(1000.0),
+        "isEn": F.when(F.col("lang") == "en", 1.0).otherwise(0.0),
+    }
+
+
+def _ltr_main(spark: SparkSession, sf_dir: str):
+    from solr_spark.query.bm25 import bm25_score_df
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    main = bm25_score_df(idx, ["data"], quantize_norms=False)
+    doc_feats = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("docid"), "n_chars", "lang"
+    )
+    return main, doc_feats
+
+
+@register(
+    "ltr_linear_rerank",
+    _LTR_MAIN_SQL + f"""
+SELECT doc_id,
+       {_sql_scaled('1.0 * orig + 0.9 * ncharsk + 0.4 * is_en')} AS score_x10k
+FROM feats ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def ltr_linear_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!ltr}` with a LinearModel (solr/contrib/ltr LinearModel.java dot
+    product; LTRRescorer replaces window scores): top-50 of q=data
+    re-scored by 1·originalScore + 0.9·(n_chars/1000) + 0.4·[lang=en],
+    compiled to one Catalyst expression — no UDF."""
+    from solr_spark.query.ltr import LinearModel, ltr_rerank
+
+    main, doc_feats = _ltr_main(spark, sf_dir)
+    model = LinearModel({"originalScore": 1.0, "ncharsK": 0.9, "isEn": 0.4})
+    out = ltr_rerank(main, doc_feats, _ltr_features(), model,
+                     rerank_docs=50, k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"),
+                   scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+    )
+
+
+@register(
+    "ltr_mart_rerank",
+    _LTR_MAIN_SQL + f"""
+SELECT doc_id,
+       {_sql_scaled(
+           "1.0 * (CASE WHEN ncharsk <= 0.8 + 1e-6 THEN 0.2 "
+           "            ELSE CASE WHEN orig <= 0.15 + 1e-6 THEN 0.5 ELSE 1.0 END END) "
+           "+ 0.5 * (CASE WHEN is_en <= 0.5 + 1e-6 THEN 0.1 ELSE 0.6 END) "
+           "+ 0.05 * orig"
+       )} AS score_x10k
+FROM feats ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def ltr_mart_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!ltr}` with a MultipleAdditiveTreesModel (solr/contrib/ltr
+    MultipleAdditiveTreesModel.java:285-300 — feature <= threshold+1e-6 →
+    left, Σ tree_weight·leaf): a 2-tree ensemble + a small linear term,
+    compiled to nested CASE WHEN (whole-stage codegen, no UDF). The linear
+    term keeps the final order deterministic inside tree leaves."""
+    from solr_spark.query.ltr import LinearModel, TreesModel, ltr_rerank
+
+    main, doc_feats = _ltr_main(spark, sf_dir)
+    trees = TreesModel([
+        {"weight": 1.0, "root": {
+            "feature": "ncharsK", "threshold": 0.8,
+            "left": {"value": 0.2},
+            "right": {"feature": "originalScore", "threshold": 0.15,
+                      "left": {"value": 0.5}, "right": {"value": 1.0}},
+        }},
+        {"weight": 0.5, "root": {
+            "feature": "isEn", "threshold": 0.5,
+            "left": {"value": 0.1}, "right": {"value": 0.6},
+        }},
+    ])
+    lin = LinearModel({"originalScore": 0.05})
+
+    class _Sum:
+        def compile(self, features):
+            return trees.compile(features) + lin.compile(features)
+
+    # Tree leaves collapse distinct originalScores into ties, so the k=10
+    # cutoff must be decided on the QUANTIZED score (like the oracle), not
+    # the raw double: take the full reranked window, then cut.
+    out = ltr_rerank(main, doc_feats, _ltr_features(), _Sum(),
+                     rerank_docs=50, k=50)
+    return (
+        out.select(F.col("docid").alias("doc_id"),
+                   scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
