@@ -1935,6 +1935,54 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
 
 
+@register(
+    "cosine_neardup_pairs",
+    """
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding::DOUBLE[], (x, i) -> x * (1 + 0.02 * ((i % 5) - 2)))
+  FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM aug)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000.0 + 0.5) AS BIGINT) AS sim_x10k
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
+ORDER BY id_a, id_b
+""",
+)
+def cosine_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.99) via banded
+    hyperplane LSH discovery + exact JVM cosine verify. The synthetic
+    embeddings have no natural near-dups (max pairwise cosine ~0.51), so the
+    query deterministically plants one perturbed copy per vector (each
+    coordinate scaled by 1 + 0.02·((i%5)-2), cosine ~0.9996 to its original)
+    and must recover exactly the planted pairs; the oracle brute-forces all
+    pairs. Discovery shuffles only on (band, signature) buckets — the
+    sub-quadratic 100 TB shape — never all-pairs."""
+    from solr_spark.functions.dedup import cosine_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pert = e.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x
+            * (F.lit(1.0) + F.lit(0.02) * (((i + 1) % 5) - 2).cast("double")),
+        ).alias("v"),
+    )
+    out = cosine_neardup_pairs(
+        e.unionByName(pert), 0.99, id_col="vec_id", vec_col="v"
+    )
+    return (
+        out.select("id_a", "id_b", scaled("sim").alias("sim_x10k"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 # --- text pipeline ops (training-data) --------------------------------------
 
 

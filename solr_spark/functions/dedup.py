@@ -344,3 +344,89 @@ def simhash_pairs(
         .where(F.col("dist") <= max_distance)
         .select("id_a", "id_b", "dist")
     )
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+
+def hyperplane_band_sigs(
+    vec: Column, planes, bands: int, planes_per_band: int
+) -> Column:
+    """Array of ``bands`` signature longs; band b's signature packs the sign
+    bits of ``vec · plane`` for that band's ``planes_per_band`` hyperplanes.
+    Two vectors at angle θ agree on one plane's sign with probability
+    1 - θ/π, so near-parallel vectors collide on whole bands while unrelated
+    ones rarely do — the banded random-hyperplane LSH family (Charikar,
+    STOC'02). Pure JVM expressions (literal plane arrays + zip_with dot)."""
+    from solr_spark.functions.ann import dot
+
+    sigs = []
+    for b in range(bands):
+        sig = F.lit(0).cast("long")
+        for p in range(planes_per_band):
+            plane = planes[b * planes_per_band + p]
+            pa = F.array(*[F.lit(float(x)) for x in plane])
+            sig = sig + F.when(
+                dot(vec, pa) >= 0, F.lit(1 << p).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        sigs.append(sig)
+    return F.array(*sigs)
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    planes_per_band: int = 8,
+    seed: int = 777,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine(a, b) >= threshold.
+
+    Discovery is banded hyperplane LSH — each vector lands in ``bands``
+    buckets; a pair is a candidate iff it shares >= 1 (band, signature)
+    bucket. The only shuffle is the equality join on band signatures
+    (sub-quadratic, the MinHash-banding shape); candidates are then verified
+    with the exact JVM cosine. Recall is 1-(1-p^r)^b for per-plane agreement
+    p = 1 - θ/π: with the default 8x8 at cosine 0.999 the per-pair miss
+    probability is ~1e-9 — tune bands up for looser thresholds. Unlike
+    pigeonhole SimHash blocking this is probabilistic, so callers needing a
+    guarantee should raise ``bands`` until b·ln(1-p^r) clears their budget.
+    """
+    from solr_spark.functions.ann import cosine, lsh_planes
+
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = lsh_planes(dim, bands * planes_per_band, seed)
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    sigged = v.select(
+        "id",
+        "vec",
+        F.posexplode(
+            hyperplane_band_sigs(F.col("vec"), planes, bands, planes_per_band)
+        ).alias("band", "sig"),
+    )
+    a, b = sigged.alias("a"), sigged.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .where(F.col("sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "sim")
+    )

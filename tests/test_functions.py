@@ -434,3 +434,45 @@ def test_geofilt_dateline_wrap(spark):
     assert out == [1, 2]
     bb = sorted(r.id for r in bbox_filter(df, -17.7, 179.5, 300.0).collect())
     assert bb == [1, 2]
+
+
+def test_cosine_neardup_pairs_recall_and_precision(spark):
+    """Planted near-parallel pairs recovered; orthogonal-ish vectors not
+    paired; no CartesianProduct in the plan (banded-bucket join only)."""
+    import numpy as np
+
+    from solr_spark.functions.dedup import cosine_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # near-copy: coordinate-wise jitter, cosine ~0.999
+        rows.append((i + 1000, [float(x * (1 + 0.02 * ((j % 5) - 2)))
+                                for j, x in enumerate(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_neardup_pairs(df, 0.99, bands=8, planes_per_band=8)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(i, i + 1000) for i in range(20)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_hyperplane_band_sigs_shape(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.ann import lsh_planes
+    from solr_spark.functions.dedup import hyperplane_band_sigs
+
+    planes = lsh_planes(8, 12, seed=5)
+    df = spark.createDataFrame([([1.0] * 8,)], "embedding array<double>")
+    sigs = df.select(
+        hyperplane_band_sigs(F.col("embedding"), planes, 3, 4).alias("s")
+    ).first().s
+    assert len(sigs) == 3
+    # recompute band 0 with numpy signs
+    want = sum((1 << p) for p in range(4) if float(np.ones(8) @ planes[p]) >= 0)
+    assert sigs[0] == want
