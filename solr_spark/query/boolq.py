@@ -1,0 +1,75 @@
+"""`{!bool}` query parser — boolean composition of named sub-queries.
+
+Reference: solr/core/src/java/org/apache/solr/search/BoolQParserPlugin.java
+(`{!bool must=... must_not=... filter=... should=...}`), which builds a
+Lucene BooleanQuery: MUST clauses score and restrict, SHOULD clauses add
+score when they match, FILTER clauses restrict without scoring (wrapped in
+FilterQuery, BoolQParserPlugin.java:50-55), MUST_NOT excludes. Lucene
+BooleanQuery semantics: when no MUST/FILTER clause exists at least one
+SHOULD must match; the document score is the sum of its matching scoring
+clauses; a bool query with only filter/must_not clauses scores 0.
+
+Spark-first: every sub-query string runs through the same Lucene-grammar
+``search`` compiler as a full (docid, score) stream; composition is one
+union + groupBy-sum for the scoring clauses, a left-semi join per
+must/filter set, a left-anti join per must_not set, then one
+TakeOrderedAndProject. Sub-query streams are keyed aggregations over
+term-pruned postings scans, so nothing here adds a driver loop or an extra
+pass over the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.index.build import IndexTables
+from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT
+from solr_spark.query.parser import search
+
+
+def bool_query(
+    index: IndexTables,
+    must: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    filter: Sequence[str] = (),  # noqa: A002 - Solr param name
+    should: Sequence[str] = (),
+    k: int = 10,
+    default_field: str = "text",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Top-k (docid, score) for a `{!bool}` composition of sub-queries."""
+    if not (must or must_not or filter or should):
+        raise ValueError("bool query needs at least one clause")
+
+    def sub(q: str) -> DataFrame:
+        return search(
+            index, q, k=k, default_field=default_field, k1=k1, b=b,
+            _scores_only=True,
+        )
+
+    parts = [sub(q) for q in must] + [sub(q) for q in should]
+    must_sets = [p.select("docid") for p in parts[: len(must)]]
+    filter_sets = [sub(q).select("docid") for q in filter]
+    not_sets = [sub(q).select("docid") for q in must_not]
+
+    if parts:
+        allc = parts[0]
+        for p in parts[1:]:
+            allc = allc.unionByName(p)
+        scored = allc.groupBy("docid").agg(F.sum("score").alias("score"))
+    elif filter_sets:
+        # filter-only bool: matches score 0 (FilterQuery)
+        scored = filter_sets[0].select("docid", F.lit(0.0).alias("score"))
+        filter_sets = filter_sets[1:]
+    else:
+        raise ValueError("bool query with only must_not clauses matches nothing")
+
+    for s in must_sets + filter_sets:
+        scored = scored.join(s, "docid", "left_semi")
+    for s in not_sets:
+        scored = scored.join(s, "docid", "left_anti")
+    return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

@@ -282,3 +282,51 @@ def test_promote_helpers_respect_tokens():
     assert _promote_last_clause("n:[1 TO 2]") == "+n:[1 TO 2]"  # range token
     assert _promote_first_clause("  b c") == "  +b c"
     assert _promote_first_clause("NOT b") == "NOT b"
+
+
+# --- {!bool} composition ----------------------------------------------------
+
+
+def test_bool_query_must_should_mustnot_filter(spark, idx, term_docs):
+    from solr_spark.query.boolq import bool_query
+    from solr_spark.query.parser import search
+
+    out = bool_query(idx, must=["data"], should=["spark"],
+                     must_not=["merge"], filter=["lang:en"], k=200)
+    rows = out.collect()
+    data_d, spark_d, merge_d = (term_docs(t) for t in ("data", "spark", "merge"))
+    got = {r.docid for r in rows}
+    assert got, "bool query matched nothing"
+    assert got <= data_d and not (got & merge_d)
+    # scores: must bm25 + should bm25 when the should term matches
+    base = {r.docid: r.score
+            for r in search(idx, "data", k=10**6, _scores_only=True).collect()}
+    both = {r.docid: r.score
+            for r in search(idx, "data spark", k=10**6, _scores_only=True).collect()}
+    for r in rows:
+        want = both[r.docid] if r.docid in spark_d else base[r.docid]
+        assert r.score == pytest.approx(want)
+
+
+def test_bool_query_filter_only_scores_zero(spark, idx):
+    from solr_spark.query.boolq import bool_query
+
+    rows = bool_query(idx, filter=["lang:en"], k=5).collect()
+    assert rows and all(r.score == 0.0 for r in rows)
+
+
+def test_bool_query_should_only_requires_one_match(spark, idx, term_docs):
+    from solr_spark.query.boolq import bool_query
+
+    out = bool_query(idx, should=["data", "spark"], k=10**6)
+    got = {r.docid for r in out.collect()}
+    assert got == term_docs("data") | term_docs("spark")
+
+
+def test_bool_query_mustnot_only_raises(idx):
+    from solr_spark.query.boolq import bool_query
+
+    with pytest.raises(ValueError):
+        bool_query(idx, must_not=["data"])
+    with pytest.raises(ValueError):
+        bool_query(idx)
