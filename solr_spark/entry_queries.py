@@ -361,6 +361,71 @@ def facet_subfacet_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "facet_allbuckets_missing",
+    """
+SELECT
+  (SELECT count(*) FROM documents WHERE lang = 'en') AS all_count,
+  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE lang = 'en') AS all_sum_nchars,
+  (SELECT count(DISTINCT source) FROM documents WHERE lang = 'en') AS num_buckets,
+  (SELECT count(*) FROM documents WHERE lang = 'en' AND source IS NULL) AS missing_count
+""",
+)
+def facet_allbuckets_missing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON facet sibling buckets (FacetField.java): ``allBuckets`` (union
+    of every bucket, past any limit), ``numBuckets`` (exact distinct value
+    count pre-limit), ``missing`` (null-field bucket), on a
+    ``domain: {filter: lang:en}``-restricted domain."""
+    from solr_spark.operators.facets import json_facet
+
+    docs = _t(spark, sf_dir, "documents")
+    res = json_facet(
+        docs,
+        {
+            "type": "terms", "field": "source",
+            "domain": {"filter": "lang:en"},
+            "allBuckets": True, "numBuckets": True, "missing": True,
+            "facet": {"sum_nchars": "sum(n_chars)"},
+        },
+    )
+    ab = res["allBuckets"].select(
+        F.col("count").alias("all_count"),
+        F.col("sum_nchars").cast("long").alias("all_sum_nchars"),
+    )
+    nb = res["numBuckets"].select(F.col("numBuckets").alias("num_buckets"))
+    mi = res["missing"].select(F.col("count").alias("missing_count"))
+    return ab.crossJoin(nb).crossJoin(mi)
+
+
+@register(
+    "facet_prefix_sources",
+    """
+SELECT source, count(*) AS count, CAST(sum(n_chars) AS BIGINT) AS sum_nchars
+FROM documents GROUP BY source
+HAVING source LIKE 'src1%'
+ORDER BY source ASC LIMIT 20
+""",
+)
+def facet_prefix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms facet with the ``prefix`` option (FacetField.java prefix):
+    buckets restricted to values starting 'src1', index order, with a stat
+    sub-agg riding the same single groupBy."""
+    from solr_spark.operators.facets import json_facet
+
+    docs = _t(spark, sf_dir, "documents")
+    res = json_facet(
+        docs,
+        {
+            "type": "terms", "field": "source", "prefix": "src1",
+            "limit": 20, "sort": "index asc",
+            "facet": {"sum_nchars": "sum(n_chars)"},
+        },
+    )
+    return res["buckets"].select(
+        "source", "count", F.col("sum_nchars").cast("long").alias("sum_nchars")
+    )
+
+
+@register(
     "wordbreak_split_suggestions",
     f"""
 WITH {TOKS}, {TF},

@@ -171,18 +171,40 @@ def _stat_col(expr: str) -> Column:
     return F.percentile(c, F.lit(float(arg) / 100.0))
 
 
+def _domain_filter(df: DataFrame, flt) -> DataFrame:
+    """Apply a JSON-facet ``domain: {filter: ...}`` (FacetRequest.java
+    domain changes). Accepts a Column, a simple ``field:value`` query
+    string, or a SQL boolean expression string."""
+    if isinstance(flt, Column):
+        return df.where(flt)
+    m = _re.fullmatch(r"(\w+):([\w.]+)", flt.strip())
+    if m:
+        return df.where(F.col(m.group(1)) == m.group(2))
+    return df.where(F.expr(flt))
+
+
 def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None
                ) -> dict[str, DataFrame]:
     """JSON Facet API terms facet with nested sub-facets and stat sorting.
 
     ``spec`` mirrors Solr's json.facet (facet/FacetField.java +
     FacetRequest.java): ``{"type": "terms", "field": ..., "limit": N,
-    "mincount": M, "sort": "<stat>|count|index asc|desc", "facet":
+    "mincount": M, "sort": "<stat>|count|index asc|desc", "prefix": str,
+    "missing": bool, "allBuckets": bool, "numBuckets": bool,
+    "domain": {"filter": <query>}, "facet":
     {statName: "sum(col)", subName: {nested terms spec}}}``.
 
     Returns ``{"buckets": <this facet's buckets>, "<subName>": <child flat
     table with the parent bucket columns>, ...}`` — nested children are
-    flattened with dotted keys. Bucket ties always break by bucket value
+    flattened with dotted keys. Optional keys add siblings, each grouped by
+    the parent bucket columns when nested: ``"missing"`` (count + stats over
+    docs with a null field value — FacetField missing bucket),
+    ``"allBuckets"`` (one bucket over the whole domain regardless of field
+    value or limit), ``"numBuckets"`` (distinct non-null value count before
+    offset/limit; computed exactly — no approximation, unlike distributed
+    Solr's hll estimate). ``prefix`` restricts to values with the given
+    prefix (applied to the domain rows, so stats and numBuckets see the
+    same restriction). Bucket ties always break by bucket value
     ascending (Solr's index order), so output is deterministic.
 
     Scale shape: ONE groupBy per facet level (stats ride the same partial+
@@ -199,6 +221,10 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None
     mincount = spec.get("mincount", 1)
     sort = spec.get("sort", "count desc")
 
+    domain = spec.get("domain") or {}
+    if domain.get("filter") is not None:
+        df = _domain_filter(df, domain["filter"])
+
     sub_spec = spec.get("facet", {}) or {}
     stats = {n: s for n, s in sub_spec.items() if isinstance(s, str)}
     subs = {n: s for n, s in sub_spec.items() if isinstance(s, dict)}
@@ -206,7 +232,28 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None
     aggs = [F.count("*").alias("count")] + [
         _stat_col(e).alias(n) for n, e in stats.items()
     ]
-    buckets = df.groupBy(*parents, field).agg(*aggs)
+
+    extras: dict[str, DataFrame] = {}
+    if spec.get("missing"):
+        mb = df.where(F.col(field).isNull())
+        extras["missing"] = (
+            mb.groupBy(*parents).agg(*aggs) if parents else mb.agg(*aggs)
+        )
+    if spec.get("prefix") is not None:
+        df = df.where(F.col(field).startswith(spec["prefix"]))
+    if spec.get("allBuckets"):
+        ab = df.where(F.col(field).isNotNull())
+        extras["allBuckets"] = (
+            ab.groupBy(*parents).agg(*aggs) if parents else ab.agg(*aggs)
+        )
+    if spec.get("numBuckets"):
+        nb = df.where(F.col(field).isNotNull())
+        agg = F.countDistinct(F.col(field)).alias("numBuckets")
+        extras["numBuckets"] = (
+            nb.groupBy(*parents).agg(agg) if parents else nb.agg(agg)
+        )
+
+    buckets = df.where(F.col(field).isNotNull()).groupBy(*parents, field).agg(*aggs)
     if mincount > 0:
         buckets = buckets.where(F.col("count") >= mincount)
 
@@ -235,7 +282,7 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None
             buckets = buckets.offset(offset)
         buckets = buckets.limit(limit)
 
-    out: dict[str, DataFrame] = {"buckets": buckets}
+    out: dict[str, DataFrame] = {"buckets": buckets, **extras}
     if subs:
         surviving = buckets.select(*parents, field)
         child_base = df.join(F.broadcast(surviving), [*parents, field], "left_semi")

@@ -96,3 +96,68 @@ def test_unsupported_agg_raises(docs):
         json_facet(docs, {"field": "lang", "facet": {"x": "median(n_chars)"}})[
             "buckets"
         ].collect()
+
+
+@pytest.fixture(scope="module")
+def nully(docs):
+    """Docs with some null sources, for missing-bucket semantics."""
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [("a", "en", "s1", 10), ("b", "en", "s1", 20), ("c", "en", None, 5),
+         ("d", "de", "s2", 7), ("e", "de", None, 3), ("f", "en", "t9", 40)],
+        "doc_id string, lang string, source string, n_chars int",
+    )
+
+
+def test_missing_allbuckets_numbuckets(nully):
+    res = json_facet(
+        nully,
+        {"field": "source", "missing": True, "allBuckets": True,
+         "numBuckets": True, "facet": {"s": "sum(n_chars)"}},
+    )
+    m = res["missing"].first()
+    assert (m["count"], m["s"]) == (2, 8)          # c + e
+    ab = res["allBuckets"].first()
+    assert (ab["count"], ab["s"]) == (4, 77)       # non-null only
+    assert res["numBuckets"].first()["numBuckets"] == 3
+    # null values form no bucket of their own
+    assert None not in {r.source for r in res["buckets"].collect()}
+
+
+def test_prefix_restricts_buckets_and_numbuckets(nully):
+    res = json_facet(
+        nully, {"field": "source", "prefix": "s", "numBuckets": True,
+                "sort": "index asc"},
+    )
+    assert [r.source for r in res["buckets"].collect()] == ["s1", "s2"]
+    assert res["numBuckets"].first()["numBuckets"] == 2
+
+
+def test_domain_filter(nully):
+    res = json_facet(
+        nully, {"field": "source", "domain": {"filter": "lang:en"},
+                "sort": "index asc"},
+    )
+    got = {(r.source, r["count"]) for r in res["buckets"].collect()}
+    assert got == {("s1", 2), ("t9", 1)}
+    # SQL-expression form of the domain filter
+    res2 = json_facet(
+        nully, {"field": "source", "domain": {"filter": "n_chars >= 10"},
+                "sort": "index asc"},
+    )
+    got2 = {(r.source, r["count"]) for r in res2["buckets"].collect()}
+    assert got2 == {("s1", 2), ("t9", 1)}
+
+
+def test_nested_extras_grouped_by_parent(nully):
+    res = json_facet(
+        nully,
+        {"field": "lang", "limit": 5, "sort": "index asc",
+         "facet": {"srcs": {"field": "source", "missing": True,
+                            "numBuckets": True}}},
+    )
+    assert {"srcs", "srcs.missing", "srcs.numBuckets"} <= set(res)
+    miss = {r.lang: r["count"] for r in res["srcs.missing"].collect()}
+    assert miss == {"en": 1, "de": 1}
+    nb = {r.lang: r.numBuckets for r in res["srcs.numBuckets"].collect()}
+    assert nb == {"en": 2, "de": 1}
