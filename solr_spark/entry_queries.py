@@ -820,6 +820,120 @@ def rollup_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "having_rollup_quantity",
+    f"""
+SELECT l_returnflag, l_linestatus, {_sql_scaled('sum(l_quantity)', 2)} AS qty_x100
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+HAVING sum(l_quantity) >= 100000
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def having_rollup_quantity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`having(rollup(...), gt(sum_qty, N))` (io/stream/HavingStream.java):
+    the boolean evaluator compiles to a pushable JVM predicate over the
+    rollup output."""
+    from solr_spark.operators.streams import having_stream, rollup_stream
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = rollup_stream(
+        li, ["l_returnflag", "l_linestatus"], {"qty": F.sum("l_quantity")}
+    )
+    return (
+        having_stream(out, F.col("qty") >= 100000)
+        .select("l_returnflag", "l_linestatus", scaled("qty", 2).alias("qty_x100"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "reduce_top_orders_per_cust",
+    """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders WHERE o_custkey <= 50)
+SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), '-' ORDER BY rn) AS top_orders
+FROM ranked WHERE rn <= 3 GROUP BY o_custkey ORDER BY o_custkey
+""",
+)
+def reduce_top_orders_per_cust_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`reduce(s, by=custkey, group(sort=price desc, n=3))`
+    (io/stream/ReducerStream.java + GroupOperation): each key's tuples
+    gathered into one grouped tuple — a single groupBy with in-group
+    array_sort, never a per-key driver loop."""
+    from solr_spark.operators.streams import reduce_stream
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 50)
+    out = reduce_stream(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        by=["o_custkey"],
+        sort=[-F.col("o_totalprice"), F.col("o_orderkey")],
+        max_group_size=3,
+    )
+    return out.select(
+        "o_custkey",
+        F.array_join(
+            F.transform(F.col("group"), lambda t: t["o_orderkey"].cast("string")),
+            "-",
+        ).alias("top_orders"),
+    ).orderBy("o_custkey")
+
+
+@register(
+    "outer_hashjoin_customer_orders",
+    f"""
+WITH agg AS (
+  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+  FROM orders GROUP BY o_custkey)
+SELECT c_custkey, coalesce(n_orders, 0) AS n_orders,
+       {_sql_scaled('coalesce(total, 0.0)', 2)} AS total_x100
+FROM customer LEFT JOIN agg ON c_custkey = o_custkey
+WHERE c_custkey <= 100 ORDER BY c_custkey
+""",
+)
+def outer_hashjoin_customer_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`outerHashJoin(customers, hashed=orderAgg, on=custkey)`
+    (io/stream/OuterHashJoinStream.java): left outer, hashed side
+    broadcast; customers without orders survive with zeroes."""
+    from solr_spark.operators.streams import outer_hash_join_stream
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 100)
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total"))
+    )
+    out = outer_hash_join_stream(c, agg, on=["c_custkey"])
+    return out.select(
+        "c_custkey",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        scaled(F.coalesce(F.col("total"), F.lit(0.0)), 2).alias("total_x100"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "random_sample_docs",
+    """
+SELECT doc_id, n_chars
+FROM documents
+ORDER BY md5('42' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+LIMIT 20
+""",
+)
+def random_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`random(collection, rows=20)` (io/stream/RandomStream.java) as a
+    seeded md5 permutation — engine-portable pseudo-random sampling, a
+    TakeOrderedAndProject rather than a full sort."""
+    from solr_spark.operators.streams import random_stream
+
+    d = _t(spark, sf_dir, "documents")
+    return random_stream(d, 20, seed="42", id_col="doc_id").select(
+        "doc_id", "n_chars"
+    )
+
+
+@register(
     "timeseries_events_daily",
     f"""
 SELECT date_trunc('day', ts)::DATE AS bucket, count(*) AS n,

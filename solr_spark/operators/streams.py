@@ -118,6 +118,76 @@ def select_stream(df: DataFrame, mapping: dict[str, Column | str]) -> DataFrame:
     return df.select(*cols)
 
 
+def having_stream(df: DataFrame, predicate: Column) -> DataFrame:
+    """`having(s, booleanEvaluator)` — keep tuples for which the evaluator
+    is true (io/stream/HavingStream.java). The evaluator maps to any
+    boolean Column, so comparisons/and/or/not compile to pushable JVM
+    predicates instead of per-tuple evaluator objects."""
+    return df.where(predicate)
+
+
+def sort_stream(df: DataFrame, by: list[Column]) -> DataFrame:
+    """`sort(s, by=...)` — full re-sort (io/stream/SortStream.java buffers
+    the whole stream then quicksorts on one node; here it's a distributed
+    range-partitioned sort, the scale-correct shape)."""
+    return df.orderBy(*by)
+
+
+def reduce_stream(
+    df: DataFrame, by: Sequence[str], sort: list[Column],
+    group_col: str = "group", max_group_size: int | None = None,
+) -> DataFrame:
+    """`reduce(s, by=..., group(sort=..., n=...))` — gather each key's
+    tuples into one grouped tuple (io/stream/ReducerStream.java with
+    GroupOperation). One groupBy: tuples are collected as structs, sorted
+    inside the group with array_sort on the sort-key prefix, and truncated
+    to the group head — never a per-key driver loop. The reference relies
+    on input sort order to detect group boundaries; the hash aggregate is
+    the unsorted generalization."""
+    sort_names = [f"_s{i}" for i in range(len(sort))]
+    rest = [c for c in df.columns]
+    packed = df.select(
+        *by,
+        F.struct(
+            *[c.alias(n) for c, n in zip(sort, sort_names)],
+            F.struct(*rest).alias("_t"),
+        ).alias("_p"),
+    )
+    grouped = packed.groupBy(*by).agg(
+        F.array_sort(F.collect_list("_p")).alias("_g")
+    )
+    g = F.transform(F.col("_g"), lambda s: s["_t"])
+    if max_group_size is not None:
+        g = F.slice(g, 1, max_group_size)
+    return grouped.select(*by, g.alias(group_col))
+
+
+def outer_hash_join_stream(
+    df: DataFrame, hashed: DataFrame, on: Sequence[str]
+) -> DataFrame:
+    """`outerHashJoin(a, hashed=b, on=...)` — left outer with the hashed
+    side broadcast (io/stream/OuterHashJoinStream.java)."""
+    return df.join(F.broadcast(hashed), on=list(on), how="left")
+
+
+def random_stream(
+    df: DataFrame, n: int, seed: str = "0", id_col: str = "id"
+) -> DataFrame:
+    """`random(collection, rows=n)` — pseudo-random sample
+    (io/stream/RandomStream.java uses a random-ordering ValueSource).
+    Deterministic portable variant: order by md5(seed || id) — a seeded
+    uniform permutation both engines compute identically, so samples are
+    reproducible and oracle-checkable. TakeOrderedAndProject, not a full
+    sort."""
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("_rk", key)
+        .orderBy(F.col("_rk").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_rk")
+    )
+
+
 def hash_partition_filter(
     df: DataFrame, keys: Sequence[str], workers: int, worker: int
 ) -> DataFrame:
