@@ -1469,6 +1469,58 @@ def bool_query_parser_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_query_parser",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES ('data'), ('spark')),
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+per AS (
+  SELECT tf.doc_id,
+         w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)),
+sc AS (SELECT doc_id, max(s) + 0.1 * (sum(s) - max(s)) AS s FROM per GROUP BY doc_id),
+filtered AS (
+  SELECT sc.doc_id, sc.s FROM sc JOIN documents d USING (doc_id)
+  WHERE d.n_chars BETWEEN 100 AND 2000
+        AND sc.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'))
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM filtered
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def xml_query_parser_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{{!xmlparser}}` (search/XmlQParserPlugin.java / Lucene CoreParser):
+    a BooleanQuery whose MUST clause is a DisjunctionMaxQuery
+    (tieBreaker=0.1) over two TermQuery leaves, a mustnot TermQuery, and a
+    filter RangeQuery on a stored field — the XML tree compiles once,
+    driver-side, into the same keyed-aggregation streams as the string
+    parsers."""
+    from solr_spark.query.xmlq import xml_query
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    q = """
+    <BooleanQuery>
+      <Clause occurs="must">
+        <DisjunctionMaxQuery tieBreaker="0.1">
+          <TermQuery>data</TermQuery>
+          <TermQuery>spark</TermQuery>
+        </DisjunctionMaxQuery>
+      </Clause>
+      <Clause occurs="mustnot"><TermQuery>merge</TermQuery></Clause>
+      <Clause occurs="filter">
+        <RangeQuery fieldName="n_chars" lowerTerm="100" upperTerm="2000"/>
+      </Clause>
+    </BooleanQuery>
+    """
+    out = xml_query(idx, q, k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
     "fuzzy_query",
     f"""
 WITH {TOKS}, {TF}, {DL},
