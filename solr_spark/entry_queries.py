@@ -1392,6 +1392,52 @@ def frange_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "func_scale_map_boost",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES ('data')),
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+main AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id) GROUP BY tf.doc_id),
+mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+boosted AS (
+  SELECT m.doc_id,
+         m.s * (0.5 + (d.n_chars - mm.mn) * 1.0 / (mm.mx - mm.mn))
+             * (CASE WHEN d.n_chars >= 100 AND d.n_chars <= 200 THEN 0.1 ELSE 1.0 END) AS s
+  FROM main m JOIN documents d USING (doc_id), mm)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM boosted
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def func_scale_map_boost_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function queries needing corpus state: `{{!boost
+    b=product(sum(0.5, scale(n_chars,0,1)), map(n_chars,100,200,0.1,1))}}`
+    (Lucene ScaleFloatFunction — corpus min/max rescale as ONE tiny
+    aggregate broadcast back, no second pass — and RangeMapFloatFunction)."""
+    from solr_spark.query.bm25 import bm25_score_df
+    from solr_spark.query.rerank import boost_by, map_func, scale_func
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    main = bm25_score_df(idx, ["data"], quantize_norms=False)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("docid"), "n_chars"
+    )
+    d = scale_func(d, F.col("n_chars"), 0.0, 1.0, out="sc01")
+    boost = (F.lit(0.5) + F.col("sc01")) * map_func(
+        F.col("n_chars"), 100, 200, 0.1, default=1.0
+    )
+    out = boost_by(main, d, boost, k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
     "lucene_query_parser",
     f"""
 WITH {TOKS}, {TF}, {DL},

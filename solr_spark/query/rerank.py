@@ -66,3 +66,39 @@ def frange(df: DataFrame, expr: Column, lower=None, upper=None,
     if upper is not None:
         pred = pred & (expr <= upper if incl_upper else expr < upper)
     return df.where(pred)
+
+
+def map_func(expr: Column, mn: float, mx: float, target: float,
+             default: Column | float | None = None) -> Column:
+    """``map(x, min, max, target[, default])`` — values inside [min, max]
+    become ``target``, others pass through (or ``default``)
+    (Lucene/Solr RangeMapFloatFunction via ValueSourceParser "map")."""
+    inside = (expr >= F.lit(mn)) & (expr <= F.lit(mx))
+    other = expr if default is None else (
+        default if isinstance(default, Column) else F.lit(float(default))
+    )
+    return F.when(inside, F.lit(float(target))).otherwise(other)
+
+
+def scale_func(
+    docs: DataFrame, expr: Column, target_min: float, target_max: float,
+    out: str = "scaled",
+) -> DataFrame:
+    """``scale(f, min, max)`` — linearly rescale a function's values so the
+    corpus-wide min/max land on [target_min, target_max] (Lucene
+    ScaleFloatFunction via ValueSourceParser "scale"; the reference scans
+    the index once per searcher to find the extremes). One tiny aggregate
+    broadcast-joined back — no second pass over the data, no driver
+    collect. A constant column maps to target_min (range 0 guard)."""
+    mm = docs.agg(F.min(expr).alias("_mn"), F.max(expr).alias("_mx"))
+    rng = F.col("_mx") - F.col("_mn")
+    scaled = F.when(
+        rng > 0,
+        F.lit(float(target_min))
+        + (expr - F.col("_mn")) * F.lit(float(target_max - target_min)) / rng,
+    ).otherwise(F.lit(float(target_min)))
+    return (
+        docs.crossJoin(F.broadcast(mm))
+        .withColumn(out, scaled)
+        .drop("_mn", "_mx")
+    )

@@ -257,3 +257,27 @@ def test_delimited_payloads_and_score(spark):
     assert got[0].f == 2.5 and got[0].m == 0.5
     assert got[1].score == 1.0
     assert 2 not in got
+
+
+def test_scale_func_bounds_and_constant_guard(spark):
+    from solr_spark.query.rerank import scale_func
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 15.0)], "docid long, v double")
+    out = {r.docid: r.scaled
+           for r in scale_func(df, F.col("v"), 0.0, 2.0).collect()}
+    assert out == {1: 0.0, 2: 2.0, 3: 1.0}
+    const = spark.createDataFrame([(1, 5.0), (2, 5.0)], "docid long, v double")
+    got = {r.scaled for r in scale_func(const, F.col("v"), 3.0, 9.0).collect()}
+    assert got == {3.0}
+
+
+def test_map_func_inside_outside_default(spark):
+    from solr_spark.query.rerank import map_func
+
+    df = spark.createDataFrame([(50,), (150,), (250,)], "v int")
+    got = [r.m for r in df.select(
+        map_func(F.col("v"), 100, 200, 0.1).alias("m")).collect()]
+    assert got == [50.0, 0.1, 250.0]
+    got2 = [r.m for r in df.select(
+        map_func(F.col("v"), 100, 200, 0.1, default=1.0).alias("m")).collect()]
+    assert got2 == [1.0, 0.1, 1.0]
