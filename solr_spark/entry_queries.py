@@ -397,6 +397,47 @@ def facet_allbuckets_missing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "facet_stats_extended",
+    f"""
+SELECT lang,
+       {_sql_scaled('stddev_samp(n_chars)', 2)} AS stddev_x100,
+       {_sql_scaled('var_samp(n_chars)', 2)} AS var_x100,
+       CAST(sum(CAST(n_chars AS DOUBLE) * n_chars) AS BIGINT) AS sumsq,
+       count(n_chars) AS countvals,
+       count(*) - count(n_chars) AS missing
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def facet_stats_extended_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON facet agg long tail (facet/SlotAcc.java registry): stddev /
+    variance (sample n-1 forms, Solr StddevAgg/VarianceAgg), sumsq,
+    countvals, missing — all riding ONE groupBy with the count."""
+    from solr_spark.operators.facets import json_facet
+
+    docs = _t(spark, sf_dir, "documents")
+    res = json_facet(
+        docs,
+        {
+            "type": "terms", "field": "lang", "limit": 100,
+            "sort": "index asc",
+            "facet": {
+                "sd": "stddev(n_chars)", "vr": "variance(n_chars)",
+                "sq": "sumsq(n_chars)", "cv": "countvals(n_chars)",
+                "ms": "missing(n_chars)",
+            },
+        },
+    )
+    return res["buckets"].select(
+        "lang",
+        scaled("sd", 2).alias("stddev_x100"),
+        scaled("vr", 2).alias("var_x100"),
+        F.col("sq").cast("long").alias("sumsq"),
+        F.col("cv").alias("countvals"),
+        F.col("ms").alias("missing"),
+    ).orderBy("lang")
+
+
+@register(
     "facet_prefix_sources",
     """
 SELECT source, count(*) AS count, CAST(sum(n_chars) AS BIGINT) AS sum_nchars

@@ -28,11 +28,26 @@ def _ordered_window(partition_col: str, order_by: list[Column]):
 
 
 def collapse(
-    df: DataFrame, field: str, order_by: list[Column], keep_rank_col: bool = False
+    df: DataFrame, field: str, order_by: list[Column],
+    keep_rank_col: bool = False, null_policy: str = "ignore",
 ) -> DataFrame:
-    """`{!collapse field=f sort=...}`: one group-head row per value of ``field``."""
+    """`{!collapse field=f sort=... nullPolicy=...}`: one group-head row per
+    value of ``field``.
+
+    nullPolicy (CollapsingQParserPlugin NULL_IGNORE/NULL_EXPAND/
+    NULL_COLLAPSE): ``ignore`` drops null-field docs (the reference
+    default), ``expand`` keeps every null-field doc as its own group,
+    ``collapse`` treats null as one more group value (all nulls shuffle to
+    one window partition — fine for sparse nulls, a skew hazard when most
+    docs lack the field; prefer expand/ignore there)."""
+    if null_policy not in ("ignore", "expand", "collapse"):
+        raise ValueError(f"unknown nullPolicy {null_policy!r}")
+    base = df if null_policy == "collapse" else df.where(F.col(field).isNotNull())
     w = _ordered_window(field, order_by)
-    out = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    out = base.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    if null_policy == "expand":
+        nulls = df.where(F.col(field).isNull()).withColumn("_rn", F.lit(1))
+        out = out.unionByName(nulls)
     return out if keep_rank_col else out.drop("_rn")
 
 

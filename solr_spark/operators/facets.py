@@ -144,13 +144,18 @@ def field_stats(
 
 import re as _re
 
-_AGG_RE = _re.compile(r"(sum|avg|min|max|unique|percentile)\((\w+)(?:\s*,\s*([\d.]+))?\)")
+_AGG_RE = _re.compile(
+    r"(sum|avg|min|max|unique|percentile|sumsq|variance|stddev|missing|countvals)"
+    r"\((\w+)(?:\s*,\s*([\d.]+))?\)"
+)
 
 
 def _stat_col(expr: str) -> Column:
     """Parse a JSON-facet stat expression ('sum(f)', 'avg(f)', 'min(f)',
-    'max(f)', 'unique(f)', 'percentile(f, 50)', 'count') into a Column
-    (facet/SlotAcc.java agg registry)."""
+    'max(f)', 'unique(f)', 'percentile(f, 50)', 'sumsq(f)', 'variance(f)',
+    'stddev(f)', 'missing(f)', 'countvals(f)', 'count') into a Column
+    (facet/SlotAcc.java agg registry). variance/stddev are the sample
+    (n-1) forms, matching Solr's VarianceAgg/StddevAgg."""
     if expr == "count":
         return F.count("*")
     m = _AGG_RE.fullmatch(expr.strip())
@@ -168,6 +173,16 @@ def _stat_col(expr: str) -> Column:
         return F.max(c)
     if fn == "unique":
         return F.countDistinct(c)
+    if fn == "sumsq":
+        return F.sum(c.cast("double") * c.cast("double"))
+    if fn == "variance":
+        return F.var_samp(c)
+    if fn == "stddev":
+        return F.stddev_samp(c)
+    if fn == "missing":
+        return F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long")
+    if fn == "countvals":
+        return F.count(c)
     return F.percentile(c, F.lit(float(arg) / 100.0))
 
 

@@ -161,3 +161,18 @@ def test_nested_extras_grouped_by_parent(nully):
     assert miss == {"en": 1, "de": 1}
     nb = {r.lang: r.numBuckets for r in res["srcs.numBuckets"].collect()}
     assert nb == {"en": 2, "de": 1}
+
+
+def test_extended_stat_aggs(nully):
+    res = json_facet(
+        nully,
+        {"field": "lang", "sort": "index asc",
+         "facet": {"sq": "sumsq(n_chars)", "cv": "countvals(source)",
+                   "ms": "missing(source)", "sd": "stddev(n_chars)"}},
+    )
+    rows = {r.lang: r for r in res["buckets"].collect()}
+    # en: n_chars 10,20,5,40 -> sumsq 2125; sources s1,s1,None,t9
+    assert rows["en"].sq == 2125.0
+    assert rows["en"].cv == 3 and rows["en"].ms == 1
+    import statistics
+    assert rows["en"].sd == pytest.approx(statistics.stdev([10, 20, 5, 40]))

@@ -281,3 +281,23 @@ def test_map_func_inside_outside_default(spark):
     got2 = [r.m for r in df.select(
         map_func(F.col("v"), 100, 200, 0.1, default=1.0).alias("m")).collect()]
     assert got2 == [1.0, 0.1, 1.0]
+
+
+def test_collapse_null_policies(spark):
+    from solr_spark.operators.collapse import collapse
+
+    df = spark.createDataFrame(
+        [(1, "a", 9.0), (2, "a", 5.0), (3, None, 7.0), (4, None, 6.0),
+         (5, "b", 1.0)],
+        "docid long, grp string, score double",
+    )
+    order = [F.col("score").desc(), F.col("docid").asc()]
+    ign = {r.docid for r in collapse(df, "grp", order).collect()}
+    assert ign == {1, 5}                    # nulls dropped (reference default)
+    exp = {r.docid for r in collapse(df, "grp", order, null_policy="expand").collect()}
+    assert exp == {1, 5, 3, 4}              # each null its own group
+    col = {r.docid for r in collapse(df, "grp", order, null_policy="collapse").collect()}
+    assert col == {1, 5, 3}                 # nulls one group, head kept
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        collapse(df, "grp", order, null_policy="bogus")
