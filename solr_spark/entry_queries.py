@@ -363,21 +363,28 @@ def facet_subfacet_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "facet_allbuckets_missing",
     """
+WITH d AS (SELECT NULLIF(source, 'src0') AS source, n_chars
+           FROM documents WHERE lang = 'en')
 SELECT
-  (SELECT count(*) FROM documents WHERE lang = 'en') AS all_count,
-  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE lang = 'en') AS all_sum_nchars,
-  (SELECT count(DISTINCT source) FROM documents WHERE lang = 'en') AS num_buckets,
-  (SELECT count(*) FROM documents WHERE lang = 'en' AND source IS NULL) AS missing_count
+  (SELECT count(*) FROM d WHERE source IS NOT NULL) AS all_count,
+  (SELECT CAST(sum(n_chars) AS BIGINT) FROM d WHERE source IS NOT NULL) AS all_sum_nchars,
+  (SELECT count(DISTINCT source) FROM d) AS num_buckets,
+  (SELECT count(*) FROM d WHERE source IS NULL) AS missing_count
 """,
 )
 def facet_allbuckets_missing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON facet sibling buckets (FacetField.java): ``allBuckets`` (union
-    of every bucket, past any limit), ``numBuckets`` (exact distinct value
-    count pre-limit), ``missing`` (null-field bucket), on a
-    ``domain: {filter: lang:en}``-restricted domain."""
+    of every bucket, past any limit — null-field docs belong to NO bucket,
+    so they are excluded), ``numBuckets`` (exact distinct value count
+    pre-limit), ``missing`` (null-field bucket), on a
+    ``domain: {filter: lang:en}``-restricted domain. The testdata has no
+    null sources, so 'src0' is deterministically nulled (NULLIF in both
+    engines) to exercise the missing bucket for real."""
     from solr_spark.operators.facets import json_facet
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "source", F.nullif(F.col("source"), F.lit("src0"))
+    )
     res = json_facet(
         docs,
         {
@@ -3877,7 +3884,10 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "significant_terms_spark", "wand_bm25_top10", "wand_bm25_hot",
     "mlt_doc0", "dismax_text_source",
     "rerank_by_nchars", "frange_boosted", "lucene_query_parser",
-    "phrase_adjacency", "phrase_slop", "complexphrase_wildcard",
+    # NOTE: "phrase_slop" deliberately absent — round 3 rewrote its engine
+    # semantics AND its oracle (Lucene sloppy weights), so it must re-enter
+    # the driver's never-verified-first block until re-checked.
+    "phrase_adjacency", "complexphrase_wildcard",
     "span_near_unordered", "wand_phrase_adjacency", "edismax_pf",
     "grouped_boolean_query", "ann_cosine_top10", "knn_label_vote",
     "ngram_jaccard_pairs", "minhash_lsh_candidates", "simhash_near_pairs",

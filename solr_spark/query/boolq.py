@@ -51,8 +51,13 @@ def bool_query(
             _scores_only=True,
         )
 
-    parts = [sub(q) for q in must] + [sub(q) for q in should]
-    must_sets = [p.select("docid") for p in parts[: len(must)]]
+    # MUST enforcement by membership COUNT inside the one union+groupBy:
+    # each sub-query stream is docid-unique, so a doc matching all of the
+    # len(must) required streams contributes exactly len(must) `_m` — no
+    # re-execution of the must streams as separate semi-join sets.
+    parts = [sub(q).withColumn("_m", F.lit(1)) for q in must] + [
+        sub(q).withColumn("_m", F.lit(0)) for q in should
+    ]
     filter_sets = [sub(q).select("docid") for q in filter]
     not_sets = [sub(q).select("docid") for q in must_not]
 
@@ -60,7 +65,12 @@ def bool_query(
         allc = parts[0]
         for p in parts[1:]:
             allc = allc.unionByName(p)
-        scored = allc.groupBy("docid").agg(F.sum("score").alias("score"))
+        scored = (
+            allc.groupBy("docid")
+            .agg(F.sum("score").alias("score"), F.sum("_m").alias("_m"))
+            .where(F.col("_m") == len(must))
+            .drop("_m")
+        )
     elif filter_sets:
         # filter-only bool: matches score 0 (FilterQuery)
         scored = filter_sets[0].select("docid", F.lit(0.0).alias("score"))
@@ -68,7 +78,7 @@ def bool_query(
     else:
         raise ValueError("bool query with only must_not clauses matches nothing")
 
-    for s in must_sets + filter_sets:
+    for s in filter_sets:
         scored = scored.join(s, "docid", "left_semi")
     for s in not_sets:
         scored = scored.join(s, "docid", "left_anti")

@@ -43,14 +43,20 @@ def elevate(
             )
         )
         # forceElevation: pinned ids absent from the organic stream join in
-        # from the corpus with score 0.
+        # from the corpus with score 0. Union + max-groupBy rather than an
+        # anti-join so the organic stream executes ONCE (organic scores are
+        # non-negative, so max() keeps the real score when both rows exist).
         forced = (
             docs.select("docid")
-            .join(pins, "docid", "left_semi")
-            .join(organic.select("docid"), "docid", "left_anti")
+            .join(pins.select("docid"), "docid", "left_semi")
             .select("docid", F.lit(0.0).alias("score"))
         )
-        organic = organic.unionByName(forced).join(pins, "docid", "left")
+        organic = (
+            organic.unionByName(forced)
+            .groupBy("docid")
+            .agg(F.max("score").alias("score"))
+            .join(pins, "docid", "left")
+        )
     else:
         organic = organic.withColumn("pin", F.lit(None).cast("int"))
     out = organic.select(

@@ -209,6 +209,13 @@ def ltr_rerank(
     window = main_scored.orderBy(
         F.col("score").desc(), F.col("docid").asc()
     ).limit(rerank_docs)
+    # The window is referenced three times below (model input, its docid
+    # set for the anti-join, and implicitly by `rest`); without a lineage
+    # cut Spark would re-run the full main query per reference. It is at
+    # most rerank_docs rows — materialize it once.
+    window = window.localCheckpoint(eager=True)
+    win_ids = window.select("docid")
+    n_win = window.count()  # cheap: counts the checkpointed rows
     if doc_features is not None:
         window = window.join(doc_features, "docid", "left")
     reranked = window.select(
@@ -216,8 +223,16 @@ def ltr_rerank(
         model.compile(features).alias("score"),
         F.lit(1).alias("_w"),
     )
+    if n_win >= k:
+        # every reranked doc sorts above the remainder, so the top-k comes
+        # entirely from the window — skip the second main-query scan.
+        return (
+            reranked.orderBy(F.col("score").desc(), F.col("docid").asc())
+            .limit(k)
+            .drop("_w")
+        )
     rest = (
-        main_scored.join(window.select("docid"), "docid", "left_anti")
+        main_scored.join(win_ids, "docid", "left_anti")
         .select("docid", "score", F.lit(0).alias("_w"))
     )
     return (

@@ -209,6 +209,11 @@ def _promote_last_clause(text: str) -> str:
     tok = m.group(1)
     if tok.startswith(("+", "-")) or tok in _OPERATOR_TOKENS:
         return text
+    # 'NOT x AND (b)': x already carries must_not from the NOT keyword — an
+    # inserted '+' would OVERRIDE it and require the excluded term.
+    head = text[: m.start(1)].rstrip()
+    if head.endswith("NOT") and (len(head) == 3 or head[-4].isspace()):
+        return text
     return text[: m.start(1)] + "+" + text[m.start(1) :]
 
 
@@ -249,10 +254,16 @@ def _split_top_level(q: str) -> tuple[str, list[tuple[str, float, str]]]:
         if s.endswith("-"):
             buf = s[:-1]
             return "must_not", False
-        for kw, occ in (("NOT", "must_not"), ("AND", "must")):
+        for kw, occ in (("NOT", "must_not"), ("AND", "must"), ("!", "must_not")):
             if s.endswith(kw) and (len(s) == len(kw) or s[-len(kw) - 1].isspace()):
                 buf = s[: -len(kw)]
                 return occ, kw == "AND"
+        if s.endswith("&&"):
+            buf = s[:-2]
+            return "must", True
+        if s.endswith("||"):
+            buf = s[:-2]
+            return "should", False
         return "should", False
 
     in_quote = False
@@ -306,7 +317,7 @@ def _split_top_level(q: str) -> tuple[str, list[tuple[str, float, str]]]:
     # is exactly the text following group i (appended right after it).
     for gi in range(len(groups)):
         seg = flat_parts[gi + 1]
-        m = re.match(r"\s*(AND|&&)\b", seg or "")
+        m = re.match(r"\s*(AND\b|&&)", seg or "")
         if m:
             g_occur, g_boost, g_inner = groups[gi]
             if g_occur == "should":

@@ -116,6 +116,10 @@ def sloppy_freq(
     n = len(pos_lists)
     if any(len(p) == 0 for p in pos_lists):
         return 0.0
+    if n == 1:
+        # Lucene degrades a 1-term phrase to a TermQuery: every occurrence
+        # matches with matchLength 0, so freq == tf.
+        return float(len(pos_lists[0]))
     if n == 2 and (terms is None or terms[0] != terms[1]):
         return _sloppy2(
             [int(p) - offsets[0] for p in pos_lists[0]],

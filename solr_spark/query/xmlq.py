@@ -171,8 +171,11 @@ class _Compiler:
         )
 
     def _BooleanQuery(self, el: ET.Element, field: str) -> DataFrame:
+        # MUST enforcement by membership count inside the single
+        # union+groupBy (streams are docid-unique) — must clauses are not
+        # re-executed as separate semi-join sets.
         parts: list[DataFrame] = []
-        must_sets: list[DataFrame] = []
+        n_must = 0
         filter_sets: list[DataFrame] = []
         not_sets: list[DataFrame] = []
         for clause in el:
@@ -184,10 +187,10 @@ class _Compiler:
                 raise ValueError("<Clause> needs exactly one query child")
             sub = self.compile(children[0], clause.get("fieldName") or field)
             if occurs == "must":
-                parts.append(sub)
-                must_sets.append(sub.select("docid"))
+                parts.append(sub.withColumn("_m", F.lit(1)))
+                n_must += 1
             elif occurs == "should":
-                parts.append(sub)
+                parts.append(sub.withColumn("_m", F.lit(0)))
             elif occurs == "filter":
                 filter_sets.append(sub.select("docid"))
             elif occurs in ("mustnot", "must_not"):
@@ -198,7 +201,12 @@ class _Compiler:
             scored = parts[0]
             for p in parts[1:]:
                 scored = scored.unionByName(p)
-            scored = scored.groupBy("docid").agg(F.sum("score").alias("score"))
+            scored = (
+                scored.groupBy("docid")
+                .agg(F.sum("score").alias("score"), F.sum("_m").alias("_m"))
+                .where(F.col("_m") == n_must)
+                .drop("_m")
+            )
         elif filter_sets:
             scored = filter_sets[0].distinct().select(
                 "docid", F.lit(0.0).alias("score")
@@ -206,7 +214,7 @@ class _Compiler:
             filter_sets = filter_sets[1:]
         else:
             return self._empty()
-        for s in must_sets + filter_sets:
+        for s in filter_sets:
             scored = scored.join(s.distinct(), "docid", "left_semi")
         for s in not_sets:
             scored = scored.join(s.distinct(), "docid", "left_anti")

@@ -330,3 +330,35 @@ def test_bool_query_mustnot_only_raises(idx):
         bool_query(idx, must_not=["data"])
     with pytest.raises(ValueError):
         bool_query(idx)
+
+
+# --- round-3 review regressions ----------------------------------------------
+
+
+def test_not_clause_next_to_and_group_keeps_polarity(spark, idx, term_docs):
+    """'NOT x AND (b)' must EXCLUDE x-docs (review: the '+' promotion used
+    to override the NOT and require them)."""
+    from solr_spark.query.parser import search
+
+    out = {r.docid for r in
+           search(idx, "NOT merge AND (data)", k=10**6).collect()}
+    assert out == term_docs("data") - term_docs("merge")
+
+
+def test_ampamp_group_promotion(spark, idx, term_docs):
+    """'a && (b)' and '(a) && b' are conjunctions like their AND spellings."""
+    from solr_spark.query.parser import search
+
+    both = term_docs("data") & term_docs("spark")
+    got1 = {r.docid for r in search(idx, "data && (spark)", k=10**6).collect()}
+    got2 = {r.docid for r in search(idx, "(data) && spark", k=10**6).collect()}
+    want = {r.docid for r in search(idx, "data AND (spark)", k=10**6).collect()}
+    assert got1 == got2 == want == both
+
+
+def test_single_term_sloppy_phrase_is_termfreq(spark, idx):
+    """'\"spark\"~2' degrades to a term query (freq = tf), not a crash."""
+    from solr_spark.query.parser import search
+
+    out = search(idx, '"spark"~2', k=5).collect()
+    assert len(out) == 5
