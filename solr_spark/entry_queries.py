@@ -268,6 +268,61 @@ def facet_range_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "facet_range_other",
+    """
+WITH b AS (
+  SELECT CAST(floor((o_totalprice - 50000) / 100000.0) * 100000 + 50000 AS DOUBLE)::VARCHAR AS bucket,
+         count(*) AS count
+  FROM orders WHERE o_totalprice >= 50000 AND o_totalprice < 450000
+  GROUP BY 1
+), o AS (
+  SELECT 'before' AS bucket, count(*) FILTER (WHERE o_totalprice < 50000) AS count FROM orders
+  UNION ALL
+  SELECT 'after', count(*) FILTER (WHERE o_totalprice >= 450000) FROM orders
+  UNION ALL
+  SELECT 'between', count(*) FILTER (WHERE o_totalprice >= 50000 AND o_totalprice < 450000) FROM orders
+)
+SELECT * FROM (SELECT * FROM b UNION ALL SELECT * FROM o) ORDER BY bucket
+""",
+)
+def facet_range_other_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range.other=all (facet/FacetRange.java FacetRangeOther):
+    the numeric [lo,hi) buckets plus the before / after / between sibling
+    counts, all from one scan (two map-side-partial aggregates)."""
+    from solr_spark.operators.facets import range_facet_other
+
+    return range_facet_other(
+        _t(spark, sf_dir, "orders"), "o_totalprice",
+        start=50000, end=450000, gap=100000,
+    )
+
+
+@register(
+    "facet_intervals_nchars",
+    """
+SELECT '[*,100)' AS interval, count(*) FILTER (WHERE n_chars < 100) AS count FROM documents
+UNION ALL
+SELECT '[100,300)', count(*) FILTER (WHERE n_chars >= 100 AND n_chars < 300) FROM documents
+UNION ALL
+SELECT '[200,400]', count(*) FILTER (WHERE n_chars >= 200 AND n_chars <= 400) FROM documents
+UNION ALL
+SELECT '(400,*)', count(*) FILTER (WHERE n_chars > 400) FROM documents
+""",
+)
+def facet_intervals_nchars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.interval (request/IntervalFacets.java): arbitrary bound sets
+    with [/( inclusivity and * unbounded ends; intervals may OVERLAP
+    (here [100,300) and [200,400] both count the 200-299 docs) — one
+    conditional-aggregation pass, unlike range facets' disjoint grid."""
+    from solr_spark.operators.facets import interval_facet
+
+    return interval_facet(
+        _t(spark, sf_dir, "documents"), "n_chars",
+        ["[*,100)", "[100,300)", "[200,400]", "(400,*)"],
+    )
+
+
+@register(
     "facet_query_buckets",
     """
 SELECT sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT AS short,
@@ -1135,6 +1190,93 @@ def terms_dictionary_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "term_vectors_doc",
+    f"""
+WITH {TOKS}, {TF},
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
+       {_sql_scaled('tf.tf * 1.0 / dfs.df')} AS tfidf_x10k
+FROM tf JOIN dfs USING (term) WHERE tf.doc_id = 42
+ORDER BY tfidf_x10k DESC, term ASC LIMIT 15
+""",
+)
+def term_vectors_doc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermVectorComponent (handler/component/TermVectorComponent.java
+    mapOneVector): per-doc term vectors with tf, df, and tf-idf — which the
+    reference computes literally as tf/df. One docid-filtered postings scan
+    joined to broadcast term stats; IO independent of corpus size."""
+    from solr_spark.query.mlt import term_vectors
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = term_vectors(idx, ["42"], top_n=15)
+    return out.select(
+        F.col("docid").alias("doc_id"), "term", "tf", "df",
+        scaled("tfidf").alias("tfidf_x10k"),
+    ).orderBy(F.col("tfidf_x10k").desc(), F.col("term").asc())
+
+
+@register(
+    "terms_regex_browse",
+    f"""
+WITH {TOKS}, {TF}
+SELECT term, count(*) AS df FROM tf
+WHERE regexp_matches(term, '^s.*')
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+""",
+)
+def terms_regex_browse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsComponent terms.regex (handler/component/TermsComponent.java:
+    the regex branch walks the dictionary applying the pattern): dictionary
+    browse filtered by regular expression. The scan is over the persisted
+    term-stats table (dictionary-sized, not corpus-sized) — the reference
+    pays the same full-dictionary walk for regex terms."""
+    idx, _, _ = documents_index(spark, sf_dir)
+    return (
+        idx.term_stats()
+        .where(F.col("term").rlike("^s.*"))
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "timeseries_gapfill_daily",
+    f"""
+WITH f AS (SELECT * FROM events WHERE event_type = 'purchase' AND value > 200),
+a AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS n, sum(value) AS total
+      FROM f GROUP BY 1),
+spine AS (SELECT generate_series AS bucket
+          FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                               INTERVAL '1' DAY))
+SELECT spine.bucket::DATE AS bucket, coalesce(a.n, 0) AS n,
+       {_sql_scaled('coalesce(a.total, 0)', 2)} AS total_x100
+FROM spine LEFT JOIN a ON spine.bucket = a.bucket
+ORDER BY bucket
+""",
+)
+def timeseries_gapfill_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeseries(...) with the full bucket spine: the reference's range
+    facet emits EVERY gap bucket in [start,end] even when empty
+    (io/stream/TimeSeriesStream.java builds the range request; FacetRange
+    emits zero-count buckets). The filter (purchase, value>200) leaves 9 of
+    30 days empty at sf0.01 — those rows appear with n=0. The spine is an
+    exploded sequence() literal broadcast into the join, no data shuffle."""
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    )
+    out = timeseries_stream(
+        e, "ts", "day", {"n": F.count("*"), "total": F.sum("value")},
+        start="2024-01-01", end="2024-01-30",
+    )
+    return out.select(
+        F.col("bucket").cast("date").alias("bucket"),
+        "n",
+        scaled("total", 2).alias("total_x100"),
+    )
+
+
+@register(
     "significant_terms_spark",
     f"""
 WITH {TOKS}, {TF},
@@ -1481,6 +1623,45 @@ def func_scale_map_boost_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
         .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "func_ord_strdist",
+    f"""
+WITH dict AS (
+  SELECT c_mktsegment,
+         dense_rank() OVER (ORDER BY c_mktsegment DESC) AS rord
+  FROM (SELECT DISTINCT c_mktsegment FROM customer)
+), s AS (
+  SELECT c.c_custkey,
+         {_sql_scaled(
+             "d.rord + 10.0 * (1.0 - levenshtein(c.c_name, 'Customer#000000100')"
+             " * 1.0 / greatest(length(c.c_name), 18))"
+         )} AS score_x10k
+  FROM customer c JOIN dict d USING (c_mktsegment))
+SELECT c_custkey, score_x10k FROM s
+ORDER BY score_x10k DESC, c_custkey ASC LIMIT 10
+""",
+)
+def func_ord_strdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function queries ``rord(f)`` (Lucene ReverseOrdFieldSource — the
+    value's 1-based position in the index-sorted dictionary; built as a
+    broadcast distinct-value rank, never a full-table window) and
+    ``strdist(f, 'const', edit)`` (LevenshteinDistance.getDistance =
+    1 - edits/longerLen), combined as a sort score."""
+    from solr_spark.query.rerank import ord_func, strdist
+
+    cust = _t(spark, sf_dir, "customer")
+    cust = ord_func(cust, "c_mktsegment", reverse=True, out="rord")
+    sim = strdist(F.col("c_name"), F.lit("Customer#000000100"))
+    return (
+        cust.select(
+            "c_custkey",
+            scaled(F.col("rord") + F.lit(10.0) * sim).alias("score_x10k"),
+        )
+        .orderBy(F.col("score_x10k").desc(), F.col("c_custkey").asc())
         .limit(10)
     )
 
@@ -2724,6 +2905,45 @@ def graph_gather_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("node"))
     )
     return gather_nodes(edges, seeds, hops=2).orderBy("hop", "node")
+
+
+@register(
+    "shortest_path_hops",
+    """
+WITH RECURSIVE e AS (
+  SELECT 'o:' || l_orderkey::VARCHAR AS src, 'p:' || l_partkey::VARCHAR AS dst FROM lineitem
+  UNION ALL
+  SELECT 'p:' || l_partkey::VARCHAR, 'o:' || l_orderkey::VARCHAR FROM lineitem),
+bfs AS (
+  SELECT 'o:1' AS node, 0 AS hop
+  UNION
+  SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.hop < 6)
+SELECT 'o:1' AS from_node, 'p:1000' AS to_node, min(hop) AS hops
+FROM bfs WHERE node = 'p:1000'
+""",
+)
+def shortest_path_hops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPath stream (io/graph/ShortestPathStream.java): BFS distance
+    between two nodes of the bipartite order—part graph, max 6 hops. The
+    Spark BFS is a driver-side hop loop over executor-side joins (each
+    frontier is a distinct-join against the edge table — the same
+    iterative-join shape the reference runs, one search round per hop)."""
+    from solr_spark.operators.graph import shortest_path
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    hops = shortest_path(edges, "o:1", "p:1000", max_hops=6)
+    return spark.createDataFrame(
+        [("o:1", "p:1000", hops)], ["from_node", "to_node", "hops"]
+    ).select(
+        "from_node", "to_node", F.col("hops").cast("long").alias("hops")
+    )
 
 
 @register(

@@ -80,6 +80,102 @@ def range_facet(
     return out.orderBy("bucket")
 
 
+def range_facet_other(
+    df: DataFrame,
+    field: str,
+    start: float,
+    end: float,
+    gap: float,
+    include: str = "lower",
+) -> DataFrame:
+    """Range facet with the ``other`` sibling buckets (before/after/between).
+
+    Matches facet.range.other=all (facet/FacetRange.java, FacetRangeOther
+    enum) with facet.range.include = ``lower`` ([lo,hi) buckets, the
+    default) or ``upper`` ((lo,hi] buckets). Returns (bucket string, count):
+    numeric bucket starts plus the 'before' / 'after' / 'between' rows —
+    Solr emits those as response siblings; the long form keeps one schema.
+
+    One scan: the in-range rows feed the groupBy, and before/after/between
+    are conditional sums of a SECOND aggregate over the same cached-free
+    scan unioned in — both aggregations are map-side partial, so the
+    shuffle carries only bucket keys + 3 counters.
+    """
+    x = F.col(field)
+    if include == "upper":
+        in_range = (x > F.lit(start)) & (x <= F.lit(end))
+        before = x <= F.lit(start)
+        idx = F.ceil((x - F.lit(start)) / F.lit(gap)) - F.lit(1)
+    else:
+        in_range = (x >= F.lit(start)) & (x < F.lit(end))
+        before = x < F.lit(start)
+        idx = F.floor((x - F.lit(start)) / F.lit(gap))
+    bucket = (idx * F.lit(gap) + F.lit(start)).cast("double")
+    buckets = (
+        df.where(in_range)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("count"))
+        .select(F.col("bucket").cast("string").alias("bucket"), "count")
+    )
+    others = df.agg(
+        F.sum(F.when(before, 1).otherwise(0)).cast("long").alias("before"),
+        F.sum(F.when(~before & ~in_range, 1).otherwise(0)).cast("long").alias("after"),
+        F.sum(F.when(in_range, 1).otherwise(0)).cast("long").alias("between"),
+    ).select(
+        F.expr("stack(3, 'before', before, 'after', after, 'between', between)")
+        .alias("bucket", "count")
+    )
+    return buckets.unionByName(others).orderBy("bucket")
+
+
+def _parse_interval(spec: str):
+    """Parse Solr interval syntax '[a,b)' / '(a,b]' / '[*,b]' / '(a,*)'.
+
+    Returns (lo, lo_incl, hi, hi_incl) with None for '*'. Reference:
+    request/IntervalFacets.java getInterval() — '[' / '(' select bound
+    inclusivity; '*' is unbounded.
+    """
+    s = spec.strip()
+    if s[0] not in "[(" or s[-1] not in ")]":
+        raise ValueError(f"bad interval {spec!r}")
+    lo_incl, hi_incl = s[0] == "[", s[-1] == "]"
+    body = s[1:-1]
+    lo_s, hi_s = (p.strip() for p in body.split(",", 1))
+    lo = None if lo_s == "*" else float(lo_s)
+    hi = None if hi_s == "*" else float(hi_s)
+    return lo, lo_incl, hi, hi_incl
+
+
+def interval_facet(df: DataFrame, field: str, intervals: Sequence[str]) -> DataFrame:
+    """Interval facets: arbitrary (possibly overlapping) bound sets.
+
+    Matches facet.interval (request/IntervalFacets.java): each interval is
+    counted independently — unlike range facets they may overlap or leave
+    gaps. ONE conditional-aggregation pass (the reference streams docValues
+    once per field too); output (interval, count) in the given order.
+    """
+    x = F.col(field)
+    preds = []
+    for spec in intervals:
+        lo, lo_incl, hi, hi_incl = _parse_interval(spec)
+        p = F.lit(True) & x.isNotNull()
+        if lo is not None:
+            p = p & (x >= lo if lo_incl else x > lo)
+        if hi is not None:
+            p = p & (x <= hi if hi_incl else x < hi)
+        preds.append(p)
+    aggs = [
+        F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"_i{i}")
+        for i, p in enumerate(preds)
+    ]
+    stack_args = ", ".join(
+        f"'{spec}', _i{i}" for i, spec in enumerate(intervals)
+    )
+    return df.agg(*aggs).select(
+        F.expr(f"stack({len(intervals)}, {stack_args})").alias("interval", "count")
+    )
+
+
 def query_facet(df: DataFrame, buckets: dict[str, Column]) -> DataFrame:
     """Query facet: named arbitrary-predicate buckets counted in ONE pass.
 

@@ -220,13 +220,35 @@ def timeseries_stream(
     ts_col: str,
     unit: str,
     aggs: dict[str, Column],
+    start: str | None = None,
+    end: str | None = None,
 ) -> DataFrame:
     """`timeseries(...)` — date-range facet over a time column
     (io/stream/TimeSeriesStream.java = a FacetRange on dates). ``unit`` is a
-    date_trunc unit (year/quarter/month/week/day/hour)."""
+    date_trunc unit (year/quarter/month/week/day/hour).
+
+    With ``start``/``end`` (ISO timestamps), every bucket in the range is
+    emitted even when empty — the reference's range facet emits the full
+    bucket spine with count 0. The spine is one `sequence()` literal
+    exploded from a single row (range/gap buckets, not data rows) and
+    broadcast into the left join, so gap-filling adds no shuffle of data.
+    """
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
-    return (
-        df.groupBy(bucket)
-        .agg(*[c.alias(n) for n, c in aggs.items()])
-        .orderBy("bucket")
-    )
+    out = df.groupBy(bucket).agg(*[c.alias(n) for n, c in aggs.items()])
+    if start is not None and end is not None:
+        spark = df.sparkSession
+        spine = spark.range(1).select(
+            F.explode(
+                F.expr(
+                    f"sequence(timestamp'{start}', timestamp'{end}',"
+                    f" interval 1 {unit})"
+                )
+            ).alias("bucket")
+        )
+        # empty buckets: count-like metrics become 0 (the reference emits
+        # count:0 and omits other stats; a columnar row fills 0 for all).
+        out = spine.join(out, "bucket", "left").select(
+            "bucket",
+            *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in aggs],
+        )
+    return out.orderBy("bucket")

@@ -72,3 +72,29 @@ def more_like_this(
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
+
+
+def term_vectors(
+    index: IndexTables, docids: list[str], top_n: int | None = None
+) -> DataFrame:
+    """TermVectorComponent (handler/component/TermVectorComponent.java):
+    per-doc term vectors with tf, df and tf-idf, where the reference's
+    "tf-idf" is literally tf/df (TermVectorComponent.java mapOneVector).
+
+    Scale shape: one docid-IN-filtered postings scan (pushed down) joined
+    to the small broadcast term-stats table — per-request IO is O(the
+    requested docs' postings rows), independent of corpus size.
+    """
+    rows = index.postings.where(F.col("docid").isin(docids)).select(
+        "docid", "term", "tf"
+    )
+    stats = F.broadcast(index.term_stats().select("term", "df"))
+    out = rows.join(stats, "term").select(
+        "docid", "term", "tf", "df",
+        (F.col("tf") / F.col("df")).alias("tfidf"),
+    )
+    if top_n is not None:
+        out = out.orderBy(
+            F.col("tfidf").desc(), F.col("term").asc(), F.col("docid").asc()
+        ).limit(top_n)
+    return out

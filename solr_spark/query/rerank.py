@@ -102,3 +102,38 @@ def scale_func(
         .withColumn(out, scaled)
         .drop("_mn", "_mx")
     )
+
+
+def ord_func(
+    docs: DataFrame, field: str, reverse: bool = False, out: str = "ord",
+) -> DataFrame:
+    """``ord(f)`` / ``rord(f)`` — the 1-based position of a doc's value in
+    the index-sorted term dictionary for the field (Lucene OrdFieldSource /
+    ReverseOrdFieldSource via ValueSourceParser "ord"/"rord"; ordinals are
+    per-searcher in the reference — here the logical single-searcher view).
+
+    Scale shape: the ordinal dictionary is DISTINCT values + dense_rank —
+    a tiny frame (cardinality of the field, not rows) built with one
+    aggregate + one single-partition sort of the distinct values only,
+    then broadcast-joined back. Never a window over the full table.
+    """
+    from pyspark.sql import Window
+
+    order = F.col(field).desc() if reverse else F.col(field).asc()
+    dict_df = (
+        docs.select(field).where(F.col(field).isNotNull()).distinct()
+        .withColumn(out, F.dense_rank().over(Window.orderBy(order)))
+    )
+    return docs.join(F.broadcast(dict_df), field, "left")
+
+
+def strdist(a: Column, b: Column, measure: str = "edit") -> Column:
+    """``strdist(s1, s2, measure)`` — string similarity in [0,1]
+    (ValueSourceParser "strdist"; measure 'edit' = Lucene
+    LevenshteinDistance.getDistance: 1 - edits/longerLength)."""
+    if measure != "edit":
+        raise NotImplementedError(f"strdist measure {measure!r}")
+    longer = F.greatest(F.length(a), F.length(b))
+    return F.when(longer == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(a, b) / longer.cast("double")
+    )
