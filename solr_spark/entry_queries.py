@@ -2908,6 +2908,154 @@ def graph_gather_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spellcheck_collations",
+    f"""
+WITH {TOKS}, {TF},
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+c1 AS (SELECT term FROM (
+  SELECT term, levenshtein(term, 'sar') AS dist, df FROM dict
+  WHERE term LIKE 's%' AND levenshtein(term, 'sar') BETWEEN 1 AND 2
+  QUALIFY row_number() OVER (ORDER BY dist ASC, df DESC, term ASC) <= 3)),
+c2 AS (SELECT term FROM (
+  SELECT term, levenshtein(term, 'jion') AS dist, df FROM dict
+  WHERE term LIKE 'j%' AND levenshtein(term, 'jion') BETWEEN 1 AND 2
+  QUALIFY row_number() OVER (ORDER BY dist ASC, df DESC, term ASC) <= 3)),
+coll AS (SELECT c1.term AS t1, c2.term AS t2 FROM c1, c2),
+dt AS (SELECT DISTINCT doc_id, term FROM tf),
+hits AS (SELECT coll.t1, coll.t2, count(*) AS hits
+         FROM coll JOIN dt a ON a.term = coll.t1
+                   JOIN dt b ON b.term = coll.t2 AND b.doc_id = a.doc_id
+         GROUP BY 1, 2)
+SELECT t1 || ' ' || t2 AS "collation", hits FROM hits
+ORDER BY hits DESC, "collation" ASC LIMIT 5
+""",
+)
+def spellcheck_collations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spellcheck collations (spelling/SpellCheckCollator.java): per-word
+    correction candidates for the misspelled query 'sar jion' combined
+    into whole corrected queries, kept only when the combination has hits
+    (docs matching ALL corrected words), ranked by hit count. One
+    distinct-postings scan joined to the literal combination frame — not
+    the reference's one-requery-per-collation loop."""
+    from solr_spark.query.spellcheck import collate
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    return collate(idx, ["sar", "jion"], max_edits=2,
+                   max_candidates=3, max_collations=5)
+
+
+@register(
+    "facet_heatmap_customers",
+    """
+WITH pts AS (
+  SELECT (c_custkey * 9973 % 18000) / 100.0 - 90.0 AS lat,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer)
+SELECT CAST(least(floor((90.0 - lat) / 30.0), 5) AS INT) AS grid_row,
+       CAST(least(floor((lon + 180.0) / 45.0), 7) AS INT) AS grid_col,
+       count(*) AS count
+FROM pts GROUP BY grid_row, grid_col ORDER BY grid_row, grid_col
+""",
+)
+def facet_heatmap_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.heatmap (search/facet/FacetHeatmap.java): 2D grid counts over
+    the whole-world bbox, 6 rows x 8 cols, row 0 = north edge, max-edge
+    points clamped into the last cell. Sparse long form of the reference's
+    counts_ints2D; one groupBy on the computed cell indices (a 48-key
+    shuffle at any data size). Same deterministic synthetic lat/lon as
+    geodist_customers."""
+    from solr_spark.functions.spatial import heatmap_facet
+
+    c = _t(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") * 9973 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return heatmap_facet(c, "lat", "lon", -90.0, 90.0, -180.0, 180.0,
+                         rows=6, cols=8)
+
+
+@register(
+    "explain_bm25_breakdown",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES ('data'), ('spark')),
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, df, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+contrib AS (
+  SELECT tf.doc_id, tf.term, tf.tf, w.df, w.w,
+         w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS c
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)),
+top3 AS (
+  SELECT doc_id FROM (SELECT doc_id, {_sql_scaled('sum(c)')} AS s FROM contrib GROUP BY doc_id)
+  QUALIFY row_number() OVER (ORDER BY s DESC, doc_id ASC) <= 3)
+SELECT c.doc_id, c.term, c.tf, c.df,
+       {_sql_scaled('c.w')} AS idf_x10k, {_sql_scaled('c.c')} AS contrib_x10k
+FROM contrib c JOIN top3 USING (doc_id)
+ORDER BY c.doc_id, c.term
+""",
+)
+def explain_bm25_breakdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `[explain]` doc transformer / debug=results
+    (response/transform/ExplainAugmenterFactory.java; Lucene
+    BM25Similarity.explain): per-(doc, term) tf / df / idf / contribution
+    rows for the top-3 docs of q='data spark' — the reference's nested
+    Explanation tree in columnar form. Exact-dl scoring so both engines
+    share the arithmetic; top-3 cut on the quantized total like the
+    oracle."""
+    from solr_spark.query.bm25 import bm25_score_df, explain_score
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    main = bm25_score_df(idx, ["data", "spark"], quantize_norms=False)
+    top3 = [
+        r["docid"]
+        for r in main.select("docid", scaled("score").alias("s"))
+        .orderBy(F.col("s").desc(), F.col("docid").asc())
+        .limit(3)
+        .collect()
+    ]
+    out = explain_score(idx, ["data", "spark"], docids=top3,
+                        quantize_norms=False)
+    return (
+        out.select(
+            F.col("docid").alias("doc_id"), "term", "tf", "df",
+            scaled("idf").alias("idf_x10k"),
+            scaled("contrib").alias("contrib_x10k"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+@register(
+    "analyze_tokens",
+    """
+WITH l AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '') AS arr
+           FROM documents WHERE doc_id = 42),
+e AS (SELECT unnest(list_transform(arr, (x, i) -> {'term': x, 'pos': i - 1})) AS u
+      FROM l)
+SELECT u.pos AS pos, u.term AS term FROM e ORDER BY pos
+""",
+)
+def analyze_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `analyze()` stream evaluator / FieldAnalysisRequestHandler
+    (io/eval/AnalyzeEvaluator.java, handler/FieldAnalysisRequestHandler.
+    java): run an analysis chain over a stored text and return the token
+    stream with positions — here the 'simple' chain over doc 42."""
+    from solr_spark.analysis.chain import analyze_pos
+
+    txt = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") == 42)
+        .select("text")
+        .collect()[0]["text"]
+    )
+    toks = analyze_pos(txt, "simple")
+    return spark.createDataFrame(
+        [(int(p), t) for t, p in toks], ["pos", "term"]
+    ).orderBy("pos")
+
+
+@register(
     "shortest_path_hops",
     """
 WITH RECURSIVE e AS (

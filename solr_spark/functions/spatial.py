@@ -106,3 +106,44 @@ def geofilt(
     pruned = bbox_filter(df, pt_lat, pt_lon, d_km, lat_col, lon_col)
     withd = geodist(pruned, pt_lat, pt_lon, lat_col, lon_col, dist_col)
     return withd.where(F.col(dist_col) <= float(d_km))
+
+
+def heatmap_facet(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    rows: int,
+    cols: int,
+) -> DataFrame:
+    """facet.heatmap (search/facet/FacetHeatmap.java): 2D grid-cell counts
+    over a bounding box. The reference returns a dense counts_ints2D
+    matrix; this returns the SPARSE long form (grid_row, grid_col, count)
+    with zero cells omitted — same numbers, columnar shape.
+
+    grid_row 0 is the NORTH edge (the reference emits rows top-down).
+    Points exactly on the max edges clamp into the last cell, matching the
+    reference's closed outer boundary. One groupBy on the two computed
+    cell indices — a (rows × cols)-key shuffle regardless of data size.
+    """
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    cell_h = (max_lat - min_lat) / rows
+    cell_w = (max_lon - min_lon) / cols
+    in_box = (
+        (lat >= min_lat) & (lat <= max_lat) & (lon >= min_lon) & (lon <= max_lon)
+    )
+    row_idx = F.least(
+        F.floor((F.lit(max_lat) - lat) / F.lit(cell_h)), F.lit(rows - 1)
+    ).cast("int")
+    col_idx = F.least(
+        F.floor((lon - F.lit(min_lon)) / F.lit(cell_w)), F.lit(cols - 1)
+    ).cast("int")
+    return (
+        df.where(in_box)
+        .groupBy(row_idx.alias("grid_row"), col_idx.alias("grid_col"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("grid_row", "grid_col")
+    )

@@ -135,3 +135,48 @@ def bm25_topk(
     terms = analyze(query, index.analyzer) if isinstance(query, str) else query
     scored = bm25_score_df(index, terms, k1=k1, b=b, quantize_norms=quantize_norms)
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def explain_score(
+    index: IndexTables,
+    terms: list[str],
+    docids: list[str] | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    quantize_norms: bool = True,
+) -> DataFrame:
+    """The `[explain]` doc transformer / debug=results score breakdown
+    (response/transform/ExplainAugmenterFactory.java; Lucene
+    BM25Similarity.explain): one row per (doc, matched term) with the tf,
+    df, idf weight and the term's score contribution — the same numbers
+    the reference prints as a nested Explanation tree, in columnar form.
+
+    Same single postings scan as bm25_score_df (term IN filter pushed
+    down, broadcast weights); restricting ``docids`` prunes further.
+    """
+    spark = index.postings.sparkSession
+    n_docs, avgdl = index.corpus_stats()
+    weights = query_weights(index, terms, n_docs)
+    if not weights or n_docs == 0:
+        return spark.createDataFrame(
+            [], "docid string, term string, tf long, df long, "
+            "idf double, contrib double"
+        )
+    wdf = F.broadcast(spark.createDataFrame(weights, ["term", "w"]))
+    stats = F.broadcast(index.term_stats().select("term", "df"))
+    dl_col = F.col("dl_quant") if quantize_norms else F.col("dl")
+    rows = index.postings.where(
+        F.col("term").isin([t for t, _ in weights])
+    )
+    if docids is not None:
+        rows = rows.where(F.col("docid").isin(docids))
+    return (
+        rows.join(wdf, "term")
+        .join(stats, "term")
+        .join(index.doclens, "docid")
+        .select(
+            "docid", "term", "tf", "df",
+            F.col("w").alias("idf"),
+            (F.col("w") * tf_saturation("tf", dl_col, k1, b, avgdl)).alias("contrib"),
+        )
+    )

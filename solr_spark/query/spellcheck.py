@@ -112,3 +112,69 @@ def wordbreak_combine(
         .orderBy(F.col("df").desc(), F.col("combined").asc())
         .limit(count)
     )
+
+
+def collate(
+    index: IndexTables,
+    words: list[str],
+    max_edits: int = 2,
+    max_candidates: int = 3,
+    max_collations: int = 5,
+) -> DataFrame:
+    """Spellcheck collations (spelling/SpellCheckCollator.java): combine
+    per-word correction candidates into whole corrected queries and keep
+    only combinations that actually produce hits (the reference re-runs
+    each collation as a query; hits = docs matching ALL corrected words).
+
+    Scale shape: candidate lists are tiny (<= max_candidates per word, the
+    reference builds the same combinations in memory), so the cross
+    product happens driver-side; hit counting is ONE distinct-postings
+    scan filtered to the candidate terms, joined to the literal
+    (collation, slot, term) frame, grouped twice — never one query per
+    collation like the reference's collate loop.
+    """
+    from itertools import product
+
+    spark = index.postings.sparkSession
+    cand_lists = []
+    for w in words:
+        cands = [
+            r["term"]
+            for r in spellcheck(
+                index, w, max_edits=max_edits, count=max_candidates
+            ).collect()
+        ]
+        # the original word participates if it is a real dictionary term
+        if index.term_stats().where(F.col("term") == w.lower()).limit(1).count():
+            cands.insert(0, w.lower())
+        if not cands:
+            return spark.createDataFrame([], "collation string, hits long")
+        cand_lists.append(cands)
+
+    combos = [
+        (" ".join(c), i, slot, term)
+        for i, c in enumerate(product(*cand_lists))
+        for slot, term in enumerate(c)
+    ]
+    combo_df = F.broadcast(
+        spark.createDataFrame(combos, ["collation", "cid", "slot", "term"])
+    )
+    terms = sorted({t for *_, t in combos})
+    doc_terms = (
+        index.postings.where(F.col("term").isin(terms))
+        .select("docid", "term")
+        .distinct()
+    )
+    n_slots = len(words)
+    hits = (
+        doc_terms.join(combo_df, "term")
+        .groupBy("cid", "collation", "docid")
+        .agg(F.countDistinct("slot").alias("_ns"))
+        .where(F.col("_ns") == n_slots)
+        .groupBy("collation")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        hits.orderBy(F.col("hits").desc(), F.col("collation").asc())
+        .limit(max_collations)
+    )
