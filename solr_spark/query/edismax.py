@@ -32,9 +32,59 @@ from pyspark.sql import functions as F
 
 from solr_spark.analysis.chain import analyze, analyze_pos
 from solr_spark.index.build import IndexTables
-from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT
+from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf, tf_saturation
 from solr_spark.query.dismax import dismax_score_df
-from solr_spark.query.phrase import phrase_score_df
+from solr_spark.query.phrase import phrase_score_df, phrase_tf_col
+
+
+def _combined_phrase_boosts(
+    index: IndexTables,
+    gram_specs: list[tuple[list[str], list[int], float]],
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """All slop=0 phrase boosts of one field in ONE postings aggregation.
+
+    ``gram_specs``: (gram terms, query-position offsets, phrase weight =
+    boost · Σ idf). The naive shape is one positions-join per gram (pf +
+    pf2 + pf3 over an n-term query = 3n-3 postings scans and 2n-3 joins);
+    here the union of all gram terms is scanned ONCE into a per-doc
+    term→positions map, and every gram's adjacency tf + saturated
+    contribution is a JVM expression over that map in the same row pass —
+    one shuffle total, which is also the right plan at 100× the data.
+    """
+    n_docs, avgdl = index.corpus_stats()
+    all_terms = sorted({t for gt, _, _ in gram_specs for t in gt})
+    pos_map = (
+        index.postings.where(F.col("term").isin(all_terms))
+        .groupBy("docid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("_pm")
+        )
+    )
+    joined = pos_map.join(index.doclens, "docid")
+    contribs = []
+    for gterms, offsets, w in gram_specs:
+        cols = [F.element_at(F.col("_pm"), t) for t in gterms]
+        present = cols[0].isNotNull()
+        for c in cols[1:]:
+            present = present & c.isNotNull()
+        tfp = phrase_tf_col(cols, 0, offsets)
+        contribs.append(
+            F.when(
+                present,
+                F.lit(w) * tf_saturation(tfp, F.col("dl"), k1, b, avgdl),
+            ).otherwise(F.lit(0.0))
+        )
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return (
+        joined.select("docid", total.alias("contrib"))
+        .where(F.col("contrib") > 0)
+    )
 
 
 def resolve_aliases(
@@ -112,6 +162,9 @@ def edismax_search(
     parts = [main]
     min_gram = None
     field_stats: dict[str, dict[str, int]] = {}
+    # slop=0 grams batch into ONE postings aggregation per field
+    # (_combined_phrase_boosts); sloppy grams keep the per-gram path.
+    combined: dict[str, list[tuple[list[str], list[int], float]]] = {}
     for pdict, size, slop in ((pf, 0, ps), (pf2, 2, ps2), (pf3, 3, ps3)):
         if not pdict:
             continue
@@ -137,14 +190,28 @@ def edismax_search(
                 min_gram = (
                     n_distinct if min_gram is None else min(min_gram, n_distinct)
                 )
-                parts.append(
-                    phrase_score_df(
-                        indexes[fname], gterms, slop=slop, boost=boost,
-                        k1=k1, b=b, quantize_norms=False,
-                        stats=field_stats[fname],
-                        offsets=[p - gram[0][1] for _, p in gram],
-                    ).select("docid", F.col("score").alias("contrib"))
-                )
+                offs = [p - gram[0][1] for _, p in gram]
+                if slop == 0:
+                    if any(t not in field_stats[fname] for t in gterms):
+                        continue  # an absent term: the gram matches nothing
+                    nd_f, _ = indexes[fname].corpus_stats()
+                    w = boost * sum(
+                        idf(nd_f, field_stats[fname][t]) for t in gterms
+                    )
+                    combined.setdefault(fname, []).append((gterms, offs, w))
+                else:
+                    parts.append(
+                        phrase_score_df(
+                            indexes[fname], gterms, slop=slop, boost=boost,
+                            k1=k1, b=b, quantize_norms=False,
+                            stats=field_stats[fname],
+                            offsets=offs,
+                        ).select("docid", F.col("score").alias("contrib"))
+                    )
+    for fname, specs in combined.items():
+        parts.append(
+            _combined_phrase_boosts(indexes[fname], specs, k1=k1, b=b)
+        )
 
     allc = parts[0]
     for p in parts[1:]:

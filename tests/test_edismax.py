@@ -152,3 +152,36 @@ def test_mm_repeated_term_gram_not_resurrected(spark):
     )
     assert 1 in out
     assert 0 not in out  # matched only 'spark' (1 distinct term) despite bigram
+
+
+def test_combined_boosts_equal_per_gram_sum(spark):
+    # The single-scan combined phrase-boost path must produce exactly the
+    # per-gram phrase_score_df sum it replaced.
+    from solr_spark.query.edismax import _combined_phrase_boosts
+    from solr_spark.query.phrase import phrase_score_df
+    from solr_spark.query.bm25 import idf
+
+    docs = spark.createDataFrame(
+        [(0, "fast merge sort wins"), (1, "merge sort is fast"),
+         (2, "fast sort"), (3, "merge fast merge sort")],
+        ["doc_id", "text"],
+    )
+    idx = build_index(docs, id_col="doc_id", text_col="text",
+                      analyzer="simple")
+    n, _ = idx.corpus_stats()
+    stats = {r["term"]: r["df"] for r in idx.term_stats().collect()}
+    grams = [["fast", "merge"], ["merge", "sort"], ["fast", "merge", "sort"]]
+    specs = [
+        (g, list(range(len(g))), 2.0 * sum(idf(n, stats[t]) for t in g))
+        for g in grams
+    ]
+    got = dict(_rows(_combined_phrase_boosts(idx, specs, k1=1.2, b=0.75)))
+    want: dict = {}
+    for g in grams:
+        for d, s in _rows(
+            phrase_score_df(idx, g, boost=2.0, quantize_norms=False)
+        ):
+            want[d] = want.get(d, 0.0) + s
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-8)
