@@ -2386,6 +2386,52 @@ sh AS (
 
 
 @register(
+    "dedup_cluster_canonical",
+    f"""
+WITH RECURSIVE {_SH},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+n AS (SELECT DISTINCT src AS node FROM e),
+reach AS (
+  SELECT node, node AS r FROM n
+  UNION
+  SELECT e.src AS node, reach.r FROM e JOIN reach ON e.dst = reach.node)
+SELECT node AS doc_id, min(r) AS cluster, (node = min(r)) AS is_canonical
+FROM reach GROUP BY node ORDER BY cluster, doc_id
+""",
+)
+def dedup_cluster_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup step AFTER pair discovery: connected components over the
+    3-gram-Jaccard near-dup pairs (tau=0.5), each doc labeled with its
+    component's minimum doc_id and whether it is the canonical survivor —
+    what a 100 TB pipeline uses to DROP duplicates transitively (a~b~c
+    must keep exactly one even though a,c were never compared). Iterative
+    min-label propagation, one join+groupBy per round, O(diameter) rounds;
+    oracle = recursive-CTE transitive closure."""
+    from solr_spark.functions.dedup import dup_clusters, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+    out = dup_clusters(pairs)
+    return (
+        out.select(
+            F.col("node").alias("doc_id"), "cluster", "is_canonical"
+        )
+        .orderBy("cluster", "doc_id")
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     f"""
 WITH {_SH},
@@ -3605,6 +3651,131 @@ def score_join_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("c_custkey", scaled("score").alias("score_x10k"))
         .orderBy(F.col("score_x10k").desc(), F.col("c_custkey").asc())
         .limit(20)
+    )
+
+
+@register(
+    "child_transformer",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+  FROM lineitem
+  WHERE l_quantity >= 30
+    AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000))
+WHERE rn <= 3 ORDER BY l_orderkey, l_linenumber
+""",
+)
+def child_transformer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `[child]` doc transformer (response/transform/
+    ChildDocTransformerFactory.java): for each matched parent order
+    (o_totalprice > 450000), its qualifying lineitem children
+    (childFilter l_quantity >= 30), capped at 3 per parent in line order —
+    the per-parent cap is a window partitioned by the parent key."""
+    from solr_spark.operators.joins import child_transform
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    out = child_transform(
+        o, li, "o_orderkey",
+        child_filter=F.col("l_quantity") >= 30,
+        limit=3, order_by="l_linenumber",
+    )
+    return (
+        out.select(
+            F.col("o_orderkey").alias("l_orderkey"), "l_linenumber", "l_quantity"
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "group_ngroups",
+    """
+WITH m AS (SELECT source FROM documents WHERE lang = 'en'),
+g AS (SELECT source, count(*) AS count FROM m GROUP BY source)
+SELECT source, count, (SELECT count(*) FROM g) AS ngroups FROM g
+ORDER BY count DESC, source ASC LIMIT 3
+""",
+)
+def group_ngroups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.ngroups (search/grouping/ — the grouped response's ngroups
+    header): the total number of distinct groups matching the query,
+    alongside the top groups. The total is a 1-row aggregate of the
+    already-shuffled group frame broadcast back — no second scan."""
+    d = _t(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    g = d.groupBy("source").agg(F.count("*").alias("count"))
+    ng = g.agg(F.count("*").alias("ngroups"))
+    return (
+        g.crossJoin(F.broadcast(ng))
+        .orderBy(F.col("count").desc(), F.col("source").asc())
+        .limit(3)
+    )
+
+
+@register(
+    "diff_daily_events",
+    f"""
+WITH d AS (SELECT date_trunc('day', ts)::DATE AS bucket, count(*) AS n
+           FROM events GROUP BY 1),
+w AS (SELECT bucket, n,
+             n - lag(n, 1) OVER (ORDER BY bucket) AS diff FROM d)
+SELECT bucket, n, diff FROM w WHERE diff IS NOT NULL ORDER BY bucket
+""",
+)
+def diff_daily_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`diff(values, 1)` (io/eval/TimeDifferencingEvaluator.java): serial
+    day-over-day differencing of the daily event count series; the lag-1
+    head row is dropped like the reference's (n - lag) output length."""
+    from solr_spark.functions.mathstream import diff_series
+    from solr_spark.operators.streams import timeseries_stream
+
+    e = _t(spark, sf_dir, "events")
+    d = timeseries_stream(e, "ts", "day", {"n": F.count("*")})
+    out = diff_series(d, "n", "bucket")
+    return (
+        out.where(F.col("diff").isNotNull())
+        .select(F.col("bucket").cast("date").alias("bucket"), "n", "diff")
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "moving_median_daily",
+    f"""
+WITH d AS (SELECT date_trunc('day', ts)::DATE AS bucket, sum(value) AS total
+           FROM events GROUP BY 1),
+w AS (SELECT bucket,
+             list_sort(list(total) OVER
+               (ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vals
+      FROM d)
+SELECT bucket,
+       {_sql_scaled(
+           "CASE WHEN len(vals) % 2 = 1 THEN vals[len(vals) // 2 + 1] "
+           "ELSE (vals[len(vals) // 2] + vals[len(vals) // 2 + 1]) / 2.0 END", 2
+       )} AS median_x100
+FROM w ORDER BY bucket
+""",
+)
+def moving_median_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`movingMedian(values, 7)` (io/eval/MovingMedianEvaluator.java):
+    trailing 7-day median of daily event value totals — the window frame
+    collects at most 7 values per row, exact median of that tiny array in
+    JVM expressions."""
+    from solr_spark.functions.mathstream import moving_median
+    from solr_spark.operators.streams import timeseries_stream
+
+    e = _t(spark, sf_dir, "events")
+    d = timeseries_stream(e, "ts", "day", {"total": F.sum("value")})
+    out = moving_median(d, "total", "bucket", window=7)
+    return (
+        out.select(
+            F.col("bucket").cast("date").alias("bucket"),
+            scaled("moving_median", 2).alias("median_x100"),
+        )
+        .orderBy("bucket")
     )
 
 

@@ -430,3 +430,75 @@ def cosine_neardup_pairs(
         .where(F.col("sim") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "sim")
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (node, cluster).
+
+    The step a 100 TB dedup pipeline runs AFTER pair discovery (minhash /
+    simhash / cosine buckets emit PAIRS; dropping duplicates needs the
+    transitive closure so each group keeps exactly one canonical doc).
+    cluster = the component's minimum node id; is_canonical = node equals
+    it.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one join + one groupBy per
+    round), converging in O(component diameter) rounds — near-dup
+    components are short chains in practice, so this terminates in a few
+    rounds. Lineage is cut per round (localCheckpoint) so the plan stays
+    flat. For adversarially long chains swap in the large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce"),
+    which needs O(log^2 n) rounds; same interface.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("mn"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("mn"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("old")), "node"
+            )
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "node",
+        F.col("label").alias("cluster"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )

@@ -390,3 +390,45 @@ def normal_cdf(col, mean: float = 0.0, sd: float = 1.0):
     erf_abs = F.lit(1.0) - poly * F.exp(-az * az)
     erf = F.when(z < 0, -erf_abs).otherwise(erf_abs)
     return F.lit(0.5) * (F.lit(1.0) + erf)
+
+
+def diff_series(
+    df: DataFrame, value: str, order_by: str, lag: int = 1,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """`diff(values, lag)` (io/eval/TimeDifferencingEvaluator.java): serial
+    time-differencing x_t - x_{t-lag} over a sorted stream. Lag window
+    function — same shuffle shape as movingAvg; first `lag` rows are null
+    (the reference drops them; callers filter)."""
+    w = (
+        Window.partitionBy(partition_by).orderBy(order_by)
+        if partition_by
+        else Window.orderBy(order_by)
+    )
+    return df.withColumn(
+        "diff", F.col(value) - F.lag(F.col(value), lag).over(w)
+    )
+
+
+def moving_median(
+    df: DataFrame, value: str, order_by: str, window: int,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """`movingMedian(values, n)` (io/eval/MovingMedianEvaluator.java):
+    trailing-window median. The window frame collects at most ``window``
+    values per row; median is an exact sort of that tiny array (JVM
+    expressions, no UDF)."""
+    w = Window.orderBy(order_by).rowsBetween(-(window - 1), 0)
+    if partition_by:
+        w = Window.partitionBy(partition_by).orderBy(order_by).rowsBetween(
+            -(window - 1), 0
+        )
+    vals = F.array_sort(F.collect_list(F.col(value)).over(w))
+    n = F.size(vals)
+    mid = (n / 2).cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at(vals, mid + 1).cast("double")
+    ).otherwise(
+        (F.element_at(vals, mid) + F.element_at(vals, mid + 1)) / 2.0
+    )
+    return df.withColumn("moving_median", med)

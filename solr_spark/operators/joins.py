@@ -105,3 +105,35 @@ def atomic_update(
             c, F.col(c) + F.coalesce(F.col(f"_inc_{c}"), F.lit(0))
         )
     return out.drop(*[f"_set_{c}" for c in set_cols], *[f"_inc_{c}" for c in inc_cols])
+
+
+def child_transform(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_filter: Column | None = None,
+    limit: int | None = None,
+    order_by: str | None = None,
+) -> DataFrame:
+    """The `[child]` doc transformer (response/transform/
+    ChildDocTransformerFactory.java): attach each matched parent's child
+    docs — optional childFilter, at most ``limit`` children per parent in
+    ``order_by`` order. Long form (one row per surviving child), where the
+    reference nests the same rows under the parent.
+
+    The per-parent cap is a window PARTITIONED by the parent key — ranks
+    compute within each parent's partition, never a global sort."""
+    from pyspark.sql import Window
+
+    kids = children.where(child_filter) if child_filter is not None else children
+    kids = kids.join(parents.select(parent_key), parent_key, "left_semi")
+    if limit is not None:
+        w = Window.partitionBy(parent_key).orderBy(
+            order_by if order_by is not None else parent_key
+        )
+        kids = (
+            kids.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= limit)
+            .drop("_rn")
+        )
+    return kids
