@@ -1190,6 +1190,77 @@ def terms_dictionary_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "date_math_range",
+    """
+SELECT event_type, count(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def date_math_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr date math in range queries (util/DateMathParser.java):
+    ts:['2024-01-10T13:45:00Z/DAY' TO '2024-01-10T13:45:00Z/DAY+5DAYS'} —
+    the expression resolves to a literal instant driver-side (the
+    reference does the same before building the range query) and the
+    literal is pushed into the scan predicate."""
+    from solr_spark.functions.datemath import parse_date_math
+
+    lo = parse_date_math("2024-01-10T13:45:00Z/DAY")
+    hi = parse_date_math("2024-01-10T13:45:00Z/DAY+5DAYS")
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(lo.replace(tzinfo=None)))
+        & (F.col("ts") < F.lit(hi.replace(tzinfo=None)))
+    )
+    return (
+        e.groupBy("event_type").agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "delete_by_query_bm25",
+    f"""
+WITH live AS (SELECT * FROM documents WHERE lang <> 'de'),
+toks AS (SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+         FROM live),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nd AS (SELECT count(*) AS n FROM live),
+ad AS (SELECT sum(dl) * 1.0 / (SELECT n FROM nd) AS avgdl FROM dl),
+qt(term) AS (VALUES ('data')),
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ((SELECT n FROM nd) - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+s AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / (SELECT avgdl FROM ad)))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id) GROUP BY tf.doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM s
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def delete_by_query_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deleteByQuery (update/DirectUpdateHandler2.java) then search: drop
+    lang:de docs from the logical index (one semi-join per view, stats
+    recomputed lazily = the post-merge state) and run q=data — deleted
+    docs are gone AND the survivors' idf/avgdl reflect the smaller
+    corpus."""
+    from solr_spark.index.build import delete_by_query
+    from solr_spark.query.bm25 import bm25_score_df
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    live = delete_by_query(idx, F.col("lang") == "de")
+    out = bm25_score_df(live, ["data"], quantize_norms=False)
+    return (
+        out.select(F.col("docid").alias("doc_id"),
+                   scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
     "term_vectors_doc",
     f"""
 WITH {TOKS}, {TF},

@@ -167,3 +167,26 @@ def build_index(
         postings=postings, doclens=doclens, docs=docs, analyzer=analyzer,
         has_positions=positions,
     )
+
+
+def delete_by_query(index: IndexTables, predicate) -> IndexTables:
+    """deleteByQuery (update/DirectUpdateHandler2.java deleteByQuery;
+    update/processor chain): drop every doc matching ``predicate`` (a
+    Column over the stored-fields view) from the logical index.
+
+    Returns a NEW IndexTables whose three views exclude the deleted docs —
+    one semi-join against the surviving docid set, no rewrite of surviving
+    rows. Corpus/term statistics are recomputed lazily from the filtered
+    views, i.e. the index behaves like the reference AFTER a merge
+    expunges its tombstones (Lucene keeps deleted docs in df/docCount
+    until segments merge; this models the steady state, which is also
+    what a columnar rebuild would produce).
+    """
+    keep = index.docs.where(~predicate).select("docid")
+    return IndexTables(
+        postings=index.postings.join(keep, "docid", "left_semi"),
+        doclens=index.doclens.join(keep, "docid", "left_semi"),
+        docs=index.docs.where(~predicate),
+        analyzer=index.analyzer,
+        has_positions=index.has_positions,
+    )

@@ -83,3 +83,18 @@ def bool_query(
     for s in not_sets:
         scored = scored.join(s, "docid", "left_anti")
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def switch_query(value: str | None, cases: dict[str, str], default: str | None = None) -> str:
+    """`{!switch}` (search/SwitchQParserPlugin.java): route a request
+    value to one of several sub-query strings. ``cases`` keys match the
+    trimmed value; '' matches a present-but-blank value (case.''); a
+    missing/None value or an unmatched value falls to ``default``;
+    no-default + no-match is an error, like the reference."""
+    if value is not None:
+        key = value.strip()
+        if key in cases:
+            return cases[key]
+    if default is not None:
+        return default
+    raise ValueError(f"switch: no case matches {value!r} and no default")

@@ -128,3 +128,58 @@ def test_timeseries_gapfill_emits_empty_buckets(spark):
         e, "ts", "day", {"n": F.count("*")}
     ).toPandas()
     assert (out["n"] > 0).sum() == len(nonzero)
+
+
+def test_date_math_parser_reference_cases():
+    from datetime import datetime, timezone
+
+    from solr_spark.functions.datemath import parse_date_math
+
+    now = datetime(2024, 1, 10, 13, 45, 30, tzinfo=timezone.utc)
+
+    def iso(e):
+        return parse_date_math(e, now).isoformat()
+
+    assert iso("NOW/DAY") == "2024-01-10T00:00:00+00:00"
+    assert iso("NOW/DAY+7DAYS") == "2024-01-17T00:00:00+00:00"
+    assert iso("NOW-1MONTH/MONTH") == "2023-12-01T00:00:00+00:00"
+    # month arithmetic clamps like java.time plusMonths
+    assert iso("2024-03-31T00:00:00Z-1MONTH") == "2024-02-29T00:00:00+00:00"
+    assert iso("NOW/YEAR+1YEAR-1MILLI") == "2024-12-31T23:59:59.999000+00:00"
+    import pytest as _pytest
+    for bad in ("NOW/3DAYS", "NOW+DAYS", "NOW/DAY junk", "FOO", "NOW+1FORTNIGHT"):
+        with _pytest.raises(ValueError):
+            parse_date_math(bad, now)
+    with _pytest.raises(ValueError):
+        parse_date_math("NOW/DAY")  # NOW needs an explicit anchor
+
+
+def test_delete_by_query_shrinks_stats(spark, docs):
+    from solr_spark.index.build import build_index, delete_by_query
+    from solr_spark.query.bm25 import bm25_topk
+
+    idx = build_index(
+        docs.withColumn("docid", F.col("doc_id").cast("string")),
+        text_col="text", analyzer="simple",
+    )
+    n0, _ = idx.corpus_stats()
+    deleted = {r.docid for r in idx.docs.where(F.col("lang") == "de")
+               .select("docid").collect()}
+    live = delete_by_query(idx, F.col("lang") == "de")
+    n1, _ = live.corpus_stats()
+    assert n1 == n0 - len(deleted) and deleted
+    hits = {r.docid for r in bm25_topk(live, "data", k=10**6).collect()}
+    assert not (hits & deleted)
+
+
+def test_switch_query_routing():
+    from solr_spark.query.boolq import switch_query
+
+    cases = {"day": "q_day", "": "q_blank"}
+    assert switch_query("day", cases) == "q_day"
+    assert switch_query("  day ", cases) == "q_day"
+    assert switch_query("", cases, default="d") == "q_blank"
+    assert switch_query("night", cases, default="d") == "d"
+    assert switch_query(None, cases, default="d") == "d"
+    with pytest.raises(ValueError):
+        switch_query("night", cases)
