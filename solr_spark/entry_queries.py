@@ -4468,6 +4468,127 @@ def ltr_mart_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-select faceting, block facet domains, date range facets,
+# --- freshness boost (SURVEY §2.4/§2.8; round-3 batch 2) ---------------------
+
+
+@register(
+    "facet_multiselect_lang",
+    """
+SELECT lang, count(*) AS count FROM documents
+WHERE n_chars >= 300 AND lang IS NOT NULL
+GROUP BY lang ORDER BY count DESC, lang ASC LIMIT 10
+""",
+)
+def facet_multiselect_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-select faceting via tag/ex (facet/FacetRequest.java parseDomain
+    excludeTags; the classic `fq={!tag=LANG}lang:en` +
+    `facet domain:{excludeTags:LANG}` idiom): the lang facet counts over a
+    domain that IGNORES the lang filter but keeps the n_chars filter, so a
+    UI can show the other language options while one is selected."""
+    from solr_spark.operators.facets import json_facet
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = {
+        "LANG": F.col("lang") == "en",
+        "NCH": F.col("n_chars") >= 300,
+    }
+    res = json_facet(
+        docs,
+        {"type": "terms", "field": "lang", "limit": 10,
+         "domain": {"excludeTags": ["LANG"]}},
+        tagged_filters=tagged,
+    )
+    return res["buckets"].select("lang", "count")
+
+
+@register(
+    "facet_block_children",
+    """
+SELECT l_returnflag, count(*) AS count FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  AND l_returnflag IS NOT NULL
+GROUP BY l_returnflag ORDER BY count DESC, l_returnflag ASC LIMIT 10
+""",
+)
+def facet_block_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-join facet domain (FacetRequest domain blockChildren;
+    search/join/BlockJoinChildQParserPlugin.java): the domain of finished
+    orders switches to their lineitem children, then facets on returnflag.
+    The domain switch is a shuffled semi-join on the block key — no collect,
+    no explode; at 100 TB both sides stay distributed."""
+    from solr_spark.operators.facets import json_facet
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    res = json_facet(
+        orders,
+        {"type": "terms", "field": "l_returnflag", "limit": 10,
+         "domain": {"blockChildren": (li, "o_orderkey", "l_orderkey")}},
+    )
+    return res["buckets"].select("l_returnflag", "count")
+
+
+@register(
+    "facet_range_date_month",
+    """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS bucket,
+       count(*) AS count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY bucket ORDER BY bucket
+""",
+)
+def facet_range_date_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range over a date field with a calendar gap
+    (facet/FacetRange.java + util/DateMathParser.java `+1MONTH`): bucket
+    edges resolved driver-side by the date-math parser, counts from ONE
+    conditional-aggregate scan (#buckets counters in the shuffle, no rows).
+    The oracle's date_trunc matches because every month bucket is non-empty
+    in this data; the Spark side would also emit empty buckets (Solr does)."""
+    from solr_spark.operators.facets import date_range_facet
+
+    orders = _t(spark, sf_dir, "orders")
+    return date_range_facet(
+        orders, "o_orderdate",
+        "1995-01-01T00:00:00Z", "1996-01-01T00:00:00Z", "+1MONTH",
+    )
+
+
+@register(
+    "freshness_boost_orders",
+    f"""
+SELECT o_orderkey,
+       {_sql_scaled(
+           "o_totalprice / 100000.0 * "
+           "(1.0 / (3.16e-11 * (epoch_ms(TIMESTAMP '2001-09-01') "
+           "- epoch_ms(o_orderdate)) + 1.0))"
+       )} AS score_x10k
+FROM orders
+ORDER BY score_x10k DESC, o_orderkey ASC LIMIT 10
+""",
+)
+def freshness_boost_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical date-freshness boost
+    `recip(ms(NOW,date),3.16e-11,1,1)` (ValueSourceParser "recip"/"ms",
+    Lucene ReciprocalFloatFunction; NOW pinned to 2001-09-01 so the result
+    is deterministic, as the reference's NOW= request param allows): score =
+    (price/100k) · recip — recent expensive orders win. All whole-stage
+    codegen arithmetic over a column-pruned scan."""
+    from solr_spark.query.rerank import ms_func, recip_func
+
+    orders = _t(spark, sf_dir, "orders")
+    age_ms = ms_func("2001-09-01", F.col("o_orderdate"))
+    score = (F.col("o_totalprice") / F.lit(100000.0)) * recip_func(
+        age_ms, 3.16e-11, 1.0, 1.0
+    )
+    return (
+        orders.select("o_orderkey", scaled(score).alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

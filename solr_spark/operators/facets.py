@@ -128,6 +128,66 @@ def range_facet_other(
     return buckets.unionByName(others).orderBy("bucket")
 
 
+def date_range_facet(
+    df: DataFrame,
+    field: str,
+    start: str,
+    end: str,
+    gap: str,
+    mincount: int = 0,
+) -> DataFrame:
+    """Date range facet with a calendar-aware date-math gap.
+
+    Matches ``facet.range`` on a date field with
+    ``facet.range.gap=+1MONTH``-style gaps (facet/FacetRange.java —
+    the reference calls DateMathParser per bucket edge because calendar
+    months/years are irregular; util/DateMathParser.java). ``start`` /
+    ``end`` are ISO instants or date-math expressions; ``gap`` is the
+    date-math op string appended per step (``+1MONTH``, ``+7DAYS``…).
+
+    Bucket edges are resolved DRIVER-SIDE (they're request constants, like
+    the reference) and the counts come from ONE conditional-aggregate scan
+    — each bucket is a ``sum(when(lo <= f < hi, 1))`` column of a single
+    global aggregate, so the shuffle carries #buckets counters, never rows.
+    Empty buckets are emitted (Solr does too); rows outside [start, end)
+    are ignored. Returns (bucket ISO-date string, count) ordered by bucket.
+    """
+    from ..functions.datemath import parse_date_math
+
+    lo = parse_date_math(start)
+    hi = parse_date_math(end)
+    edges = [lo]
+    while edges[-1] < hi:
+        edges.append(parse_date_math(edges[-1].strftime("%Y-%m-%dT%H:%M:%S") + "Z" + gap))
+    if len(edges) > 10_000:
+        raise ValueError("date range facet with >10k buckets — widen the gap")
+
+    x = F.col(field).cast("timestamp")
+    aggs = []
+    for i in range(len(edges) - 1):
+        b_lo = edges[i].strftime("%Y-%m-%d %H:%M:%S")
+        b_hi = edges[i + 1].strftime("%Y-%m-%d %H:%M:%S")
+        aggs.append(
+            F.sum(
+                F.when(
+                    (x >= F.lit(b_lo).cast("timestamp"))
+                    & (x < F.lit(b_hi).cast("timestamp")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias(f"_b{i}")
+        )
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{edges[i].strftime('%Y-%m-%d')}', _b{i}" for i in range(len(edges) - 1)
+    )
+    out = row.select(
+        F.expr(f"stack({len(edges) - 1}, {stack_args})").alias("bucket", "count")
+    )
+    if mincount > 0:
+        out = out.where(F.col("count") >= mincount)
+    return out.orderBy("bucket")
+
+
 def _parse_interval(spec: str):
     """Parse Solr interval syntax '[a,b)' / '(a,b]' / '[*,b]' / '(a,*)'.
 
@@ -294,7 +354,46 @@ def _domain_filter(df: DataFrame, flt) -> DataFrame:
     return df.where(F.expr(flt))
 
 
-def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None
+def _apply_domain(
+    df: DataFrame,
+    domain: dict,
+    tagged_filters: dict[str, Column] | None,
+) -> DataFrame:
+    """FacetRequest.java domain changes, applied in the reference's order:
+
+    1. ``excludeTags`` — multi-select faceting (the `{!tag=X}` / `{!ex=X}`
+       idiom, facet/FacetRequest.java parseDomain + QueryContext tagMap):
+       the caller passes the UNFILTERED base df plus ``tagged_filters``
+       ({tag: predicate}); every tagged filter is applied EXCEPT the
+       excluded tags, so a facet on field X can count over the domain that
+       ignores X's own filter while keeping all the others.
+    2. ``blockChildren`` / ``blockParent`` — block-join domain switches
+       (search/join/BlockJoinChildQParserPlugin + FacetRequest's
+       toChildren/toParent). On the two-table model the "bitset walk to
+       the enclosing block" is an equi-semi-join on the block key:
+       ``(other_df, domain_key, other_key)`` maps the surviving domain
+       rows to the other table. The distinct key set is limit-unbounded
+       but key-cardinality-sized — at 100 TB this stays a plain shuffled
+       semi-join (no collect).
+    3. ``filter`` — an extra predicate on the (possibly switched) domain.
+    """
+    excluded = set(domain.get("excludeTags") or [])
+    for tag, pred in (tagged_filters or {}).items():
+        if tag not in excluded:
+            df = df.where(pred)
+    for key in ("blockChildren", "blockParent"):
+        block = domain.get(key)
+        if block is not None:
+            other_df, domain_key, other_key = block
+            keys = df.select(F.col(domain_key).alias(other_key)).distinct()
+            df = other_df.join(keys, other_key, "left_semi")
+    if domain.get("filter") is not None:
+        df = _domain_filter(df, domain["filter"])
+    return df
+
+
+def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
+               tagged_filters: dict[str, Column] | None = None
                ) -> dict[str, DataFrame]:
     """JSON Facet API terms facet with nested sub-facets and stat sorting.
 
@@ -333,8 +432,8 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None
     sort = spec.get("sort", "count desc")
 
     domain = spec.get("domain") or {}
-    if domain.get("filter") is not None:
-        df = _domain_filter(df, domain["filter"])
+    if domain or tagged_filters:
+        df = _apply_domain(df, domain, tagged_filters)
 
     sub_spec = spec.get("facet", {}) or {}
     stats = {n: s for n, s in sub_spec.items() if isinstance(s, str)}

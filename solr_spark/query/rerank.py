@@ -127,6 +127,25 @@ def ord_func(
     return docs.join(F.broadcast(dict_df), field, "left")
 
 
+def ms_func(a: Column | str, b: Column | str) -> Column:
+    """``ms(a, b)`` — milliseconds between two instants (ValueSourceParser
+    "ms", DualFloatFunction over date fields). ``a`` is commonly a resolved
+    ``NOW``-anchored date-math literal (the reference resolves NOW once per
+    request — see functions/datemath.py); pass it as an ISO string so it
+    stays a pushable constant."""
+    ca = F.lit(a).cast("timestamp") if isinstance(a, str) else a.cast("timestamp")
+    cb = F.lit(b).cast("timestamp") if isinstance(b, str) else b.cast("timestamp")
+    return F.unix_millis(ca) - F.unix_millis(cb)
+
+
+def recip_func(x: Column, m: float, a: float, b: float) -> Column:
+    """``recip(x, m, a, b)`` = a/(m·x+b) (Lucene ReciprocalFloatFunction via
+    ValueSourceParser "recip") — the standard date-freshness boost shape
+    ``recip(ms(NOW, date), 3.16e-11, 1, 1)``: 1.0 for "now", ~0.5 at one
+    year old. Pure JVM arithmetic, whole-stage codegen."""
+    return F.lit(float(a)) / (F.lit(float(m)) * x.cast("double") + F.lit(float(b)))
+
+
 def strdist(a: Column, b: Column, measure: str = "edit") -> Column:
     """``strdist(s1, s2, measure)`` — string similarity in [0,1]
     (ValueSourceParser "strdist"; measure 'edit' = Lucene

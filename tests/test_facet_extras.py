@@ -183,3 +183,111 @@ def test_switch_query_routing():
     assert switch_query(None, cases, default="d") == "d"
     with pytest.raises(ValueError):
         switch_query("night", cases)
+
+
+def test_multiselect_exclude_tags(spark, docs, pdocs):
+    from solr_spark.operators.facets import json_facet
+
+    tagged = {"LANG": F.col("lang") == "en", "NCH": F.col("n_chars") >= 300}
+    # excluding LANG: counts per lang among n_chars>=300 docs
+    out = json_facet(
+        docs, {"type": "terms", "field": "lang", "limit": 100,
+               "domain": {"excludeTags": ["LANG"]}},
+        tagged_filters=tagged,
+    )["buckets"].toPandas()
+    exp = (pdocs[pdocs.n_chars >= 300].groupby("lang").size())
+    assert dict(zip(out["lang"], out["count"])) == exp.to_dict()
+
+    # no exclusion: ALL tagged filters apply
+    out2 = json_facet(
+        docs, {"type": "terms", "field": "lang", "limit": 100},
+        tagged_filters=tagged,
+    )["buckets"].toPandas()
+    n_en = int(((pdocs.lang == "en") & (pdocs.n_chars >= 300)).sum())
+    assert dict(zip(out2["lang"], out2["count"])) == {"en": n_en}
+
+    # excluding BOTH tags: the unfiltered facet
+    out3 = json_facet(
+        docs, {"type": "terms", "field": "lang", "limit": 100,
+               "domain": {"excludeTags": ["LANG", "NCH"]}},
+        tagged_filters=tagged,
+    )["buckets"].toPandas()
+    assert dict(zip(out3["lang"], out3["count"])) == pdocs.groupby("lang").size().to_dict()
+
+
+def test_block_facet_domains(spark):
+    from solr_spark.operators.facets import json_facet
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    po = orders.select("o_orderkey", "o_orderstatus").toPandas()
+    pl = li.select("l_orderkey", "l_returnflag").toPandas()
+
+    # parents -> children
+    out = json_facet(
+        orders.where(F.col("o_orderstatus") == "F"),
+        {"type": "terms", "field": "l_returnflag", "limit": 10,
+         "domain": {"blockChildren": (li, "o_orderkey", "l_orderkey")}},
+    )["buckets"].toPandas()
+    keys = set(po[po.o_orderstatus == "F"].o_orderkey)
+    exp = pl[pl.l_orderkey.isin(keys)].groupby("l_returnflag").size().to_dict()
+    assert dict(zip(out["l_returnflag"], out["count"])) == exp
+
+    # children -> parents (blockParent)
+    out2 = json_facet(
+        li.where(F.col("l_returnflag") == "R"),
+        {"type": "terms", "field": "o_orderstatus", "limit": 10,
+         "domain": {"blockParent": (orders, "l_orderkey", "o_orderkey")}},
+    )["buckets"].toPandas()
+    pkeys = set(pl[pl.l_returnflag == "R"].l_orderkey)
+    exp2 = po[po.o_orderkey.isin(pkeys)].groupby("o_orderstatus").size().to_dict()
+    assert dict(zip(out2["o_orderstatus"], out2["count"])) == exp2
+
+
+def test_date_range_facet_calendar_gap_and_empties(spark):
+    from solr_spark.operators.facets import date_range_facet
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    pdf = orders.select("o_orderdate").toPandas()
+
+    out = date_range_facet(
+        orders, "o_orderdate", "1995-01-01T00:00:00Z",
+        "1996-01-01T00:00:00Z", "+1MONTH",
+    ).toPandas()
+    assert list(out["bucket"]) == [f"1995-{m:02d}-01" for m in range(1, 13)]
+    months = pdf["o_orderdate"].dt.to_period("M").astype(str)
+    exp = months[months.str.startswith("1995")].value_counts()
+    got = dict(zip(out["bucket"], out["count"]))
+    for m in range(1, 13):
+        assert got[f"1995-{m:02d}-01"] == int(exp.get(f"1995-{m:02d}", 0))
+
+    # a range before the data: all-empty buckets still emitted
+    empty = date_range_facet(
+        orders, "o_orderdate", "1990-01-01T00:00:00Z",
+        "1990-04-01T00:00:00Z", "+1MONTH",
+    ).toPandas()
+    assert list(empty["count"]) == [0, 0, 0]
+    # mincount prunes them
+    pruned = date_range_facet(
+        orders, "o_orderdate", "1990-01-01T00:00:00Z",
+        "1990-04-01T00:00:00Z", "+1MONTH", mincount=1,
+    ).toPandas()
+    assert len(pruned) == 0
+
+
+def test_recip_ms_freshness(spark):
+    from solr_spark.query.rerank import ms_func, recip_func
+
+    df = spark.createDataFrame(
+        [("2001-08-31 00:00:00",), ("2000-09-01 00:00:00",)], ["d"]
+    ).select(F.col("d").cast("timestamp").alias("d"))
+    out = df.select(
+        ms_func("2001-09-01", F.col("d")).alias("ms"),
+        recip_func(ms_func("2001-09-01", F.col("d")), 3.16e-11, 1.0, 1.0).alias("r"),
+    ).collect()
+    assert out[0]["ms"] == 86400000
+    assert abs(out[0]["r"] - 1.0 / (3.16e-11 * 86400000 + 1.0)) < 1e-12
+    # one-year-old doc decays to ~0.5 with the canonical 3.16e-11 slope
+    assert 0.45 < out[1]["r"] < 0.55
