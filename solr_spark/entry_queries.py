@@ -4589,6 +4589,112 @@ def freshness_boost_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "score_nodes_parts",
+    f"""
+WITH seeds AS (SELECT o_orderkey FROM orders WHERE o_custkey = 7),
+walk AS (SELECT l_partkey AS node, count(*) AS cnt FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM seeds) GROUP BY l_partkey),
+stats AS (SELECT l_partkey AS node, count(*) AS doc_freq FROM lineitem
+          GROUP BY l_partkey),
+nd AS (SELECT count(*) AS num_docs FROM lineitem)
+SELECT walk.node, walk.cnt, stats.doc_freq,
+       {_sql_scaled(
+           "(ln(walk.cnt) + 1.0) * "
+           "(ln((nd.num_docs + 1) / (stats.doc_freq + 1.0)) + 1.0)"
+       )} AS score_x10k
+FROM walk JOIN stats USING (node), nd
+ORDER BY score_x10k DESC, node ASC LIMIT 10
+""",
+)
+def score_nodes_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`scoreNodes` over a 1-hop gather (solrj io/stream/
+    ScoreNodesStream.java:241): parts reached from customer 7's orders,
+    scored (ln(tf)+1)·(ln((N+1)/(df+1))+1) — rare parts outrank common
+    ones. The df table is one reusable aggregate over the edges; the walk
+    counts ride the same groupBy that gathers the frontier."""
+    from solr_spark.operators.graph import score_nodes
+
+    li = _t(spark, sf_dir, "lineitem")
+    seeds = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") == 7)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    walk = (
+        li.join(F.broadcast(seeds), "l_orderkey", "left_semi")
+        .groupBy(F.col("l_partkey").alias("node"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("node")).agg(
+        F.count("*").alias("docFreq")
+    )
+    n = li.count()
+    out = score_nodes(walk, stats, n, count_col="cnt")
+    return (
+        out.select(
+            "node", "cnt", F.col("docFreq").alias("doc_freq"),
+            scaled("nodeScore").alias("score_x10k"),
+        )
+        .orderBy(F.col("score_x10k").desc(), F.col("node").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "graph_nodes_maxdf",
+    """
+WITH e AS (
+  SELECT 'o:' || l_orderkey::VARCHAR AS src, 'p:' || l_partkey::VARCHAR AS dst
+  FROM lineitem WHERE l_quantity >= 25
+  UNION ALL
+  SELECT 'p:' || l_partkey::VARCHAR, 'o:' || l_orderkey::VARCHAR
+  FROM lineitem WHERE l_quantity >= 25),
+hot AS (SELECT src AS node FROM e GROUP BY src HAVING count(*) > 12),
+seeds AS (SELECT 'o:' || o_orderkey::VARCHAR AS node FROM orders WHERE o_custkey = 7),
+f0 AS (SELECT node FROM seeds WHERE node NOT IN (SELECT node FROM hot)),
+hop1 AS (SELECT DISTINCT e.dst AS node FROM f0 JOIN e ON f0.node = e.src
+         WHERE e.dst NOT IN (SELECT node FROM seeds)),
+f1 AS (SELECT node FROM hop1 WHERE node NOT IN (SELECT node FROM hot)),
+hop2 AS (SELECT DISTINCT e.dst AS node FROM f1 JOIN e ON f1.node = e.src
+         WHERE e.dst NOT IN (SELECT node FROM seeds)
+           AND e.dst NOT IN (SELECT node FROM hop1))
+SELECT node, 1 AS hop FROM hop1
+UNION ALL
+SELECT node, 2 AS hop FROM hop2
+ORDER BY hop, node
+""",
+)
+def graph_nodes_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gatherNodes with the traversalFilter fq AND the maxDocFreq hot-node
+    cap (GatherNodesStream.java:531-532 `{!graphTerms maxDocFreq=N}`,
+    search/GraphTermsQParserPlugin.java): 2-hop walk over the order—part
+    graph restricted to qty>=25 edges, where frontier nodes touching more
+    than 12 edges are NOT expanded — the reference's celebrity-node skew
+    guard, here a df-aggregate + per-hop anti-join."""
+    from solr_spark.operators.graph import gather_nodes
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        "l_quantity",
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "l_quantity")
+    )
+    seeds = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") == 7)
+        .select(F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("node"))
+    )
+    return gather_nodes(
+        edges, seeds, hops=2,
+        traversal_filter=F.col("l_quantity") >= 25,
+        max_doc_freq=12,
+    ).orderBy("hop", "node")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

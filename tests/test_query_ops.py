@@ -301,3 +301,52 @@ def test_collapse_null_policies(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         collapse(df, "grp", order, null_policy="bogus")
+
+
+def test_gather_nodes_traversal_filter_and_maxdf(spark):
+    import math
+
+    from solr_spark.operators.graph import gather_nodes, score_nodes
+
+    # a -> {b, c, hub}; hub -> {d, e, f}; b -> {d}; edge a->c is "light"
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 1), ("a", "hub", 10),
+         ("hub", "d", 10), ("hub", "e", 10), ("hub", "f", 10),
+         ("b", "d", 10)],
+        "src string, dst string, w int",
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+
+    plain = {(r.node, r.hop) for r in gather_nodes(edges, seeds, hops=2).collect()}
+    assert plain == {("b", 1), ("c", 1), ("hub", 1),
+                     ("d", 2), ("e", 2), ("f", 2)}
+
+    # traversal filter drops the light a->c edge at every hop
+    filt = {(r.node, r.hop) for r in gather_nodes(
+        edges, seeds, hops=2, traversal_filter=F.col("w") >= 5).collect()}
+    assert ("c", 1) not in filt and ("b", 1) in filt
+
+    # maxDocFreq applies to EVERY frontier (seeds included — the reference
+    # wraps each hop's join in {!graphTerms maxDocFreq=N}): seed a has df 3,
+    # so with cap 2 nothing expands at all
+    assert gather_nodes(edges, seeds, hops=2, max_doc_freq=2).count() == 0
+
+    # with a 2-edge seed: hub (3 outgoing edges) is gathered but NOT expanded
+    edges2 = spark.createDataFrame(
+        [("a", "b", 10), ("a", "hub", 10),
+         ("hub", "d", 10), ("hub", "e", 10), ("hub", "f", 10),
+         ("b", "d", 10)],
+        "src string, dst string, w int",
+    )
+    capped = {(r.node, r.hop) for r in gather_nodes(
+        edges2, seeds, hops=2, max_doc_freq=2).collect()}
+    assert ("hub", 1) in capped
+    assert capped == {("b", 1), ("hub", 1), ("d", 2)}
+
+    # scoreNodes: (ln(tf)+1) * (ln((N+1)/(df+1))+1), ScoreNodesStream.java:241
+    nodes = spark.createDataFrame([("x", 4), ("y", 1)], ["node", "count"])
+    stats = spark.createDataFrame([("x", 9)], ["node", "docFreq"])
+    got = {r.node: r.nodeScore for r in score_nodes(nodes, stats, 99).collect()}
+    assert abs(got["x"] - (math.log(4) + 1) * (math.log(100 / 10) + 1)) < 1e-9
+    # absent from stats -> docFreq 0
+    assert abs(got["y"] - (math.log(1) + 1) * (math.log(100 / 1) + 1)) < 1e-9
