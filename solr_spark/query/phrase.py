@@ -131,10 +131,24 @@ def phrase_match_df(
     if slop > 0 and sloppy:
         import numpy as np
 
-        from solr_spark.query.sloppy import sloppy_freq
+        from solr_spark.query.sloppy import sloppy2_tf_expr, sloppy_freq
 
         offs = offsets if offsets is not None else list(range(len(terms)))
         idents = [t if isinstance(t, str) else tuple(sorted(set(t))) for t in terms]
+        if (
+            len(terms) == 2
+            and isinstance(terms[0], str)
+            and isinstance(terms[1], str)
+            and terms[0] != terms[1]
+        ):
+            # The dominant sloppy shape runs PURE JVM (whole-stage codegen,
+            # no Python workers / Arrow) — see sloppy2_tf_expr.
+            tf_p = F.expr(sloppy2_tf_expr("pos_0", "pos_1", offs[0], offs[1], slop))
+            return (
+                joined.withColumn("tf_p", tf_p)
+                .where(F.col("tf_p") > 0)
+                .select("docid", "tf_p")
+            )
 
         @F.pandas_udf("double")
         def _freq(col: pd.Series) -> pd.Series:

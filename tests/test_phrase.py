@@ -179,3 +179,54 @@ def test_span_near_unordered(idx):
     tight = {r.docid for r in
              span_near_df(idx, ["fox", "quick"], slop=0, ordered=False).collect()}
     assert tight == {2}
+
+
+def test_sloppy2_jvm_fold_parity(spark):
+    """The pure-JVM 2-term sloppy fold (sloppy2_tf_expr) must agree with
+    the Python reference matcher bit-for-bit, including position ties
+    after offset adjustment (where consumption order is NOT a sorted
+    merge — the matcher stays on the current iterator)."""
+    import random
+    from collections import defaultdict
+
+    import numpy as np
+
+    from solr_spark.query.sloppy import sloppy2_tf_expr, sloppy_freq
+
+    random.seed(11)
+    rows = [([5, 9], [6, 7], 0, 1, 2), ([1, 3], [3, 8], 0, 1, 0),
+            ([10, 20], [2, 20], 0, 1, 8), ([0, 100], [1, 2, 3], 0, 1, 2),
+            ([5], [5], 0, 1, 0), ([0], [0, 1, 2, 7], 0, 1, 1),
+            ([5], [0, 6, 7], 0, 1, 1)]
+    for _ in range(400):
+        a = sorted(random.sample(range(25), random.randint(1, 10)))
+        b = sorted(random.sample(range(25), random.randint(1, 10)))
+        o0 = random.randint(0, 2)
+        rows.append((a, b, o0, o0 + random.randint(1, 3), random.randint(0, 5)))
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b, _, _, _) in enumerate(rows)],
+        "id long, pos_0 array<long>, pos_1 array<long>",
+    ).cache()
+    groups = defaultdict(list)
+    for i, (_, _, o0, o1, slop) in enumerate(rows):
+        groups[(o0, o1, slop)].append(i)
+    for (o0, o1, slop), ids in groups.items():
+        got = {r.id: r.tf for r in df.where(F.col("id").isin(ids)).select(
+            "id", F.expr(sloppy2_tf_expr("pos_0", "pos_1", o0, o1, slop)).alias("tf")
+        ).collect()}
+        for i in ids:
+            a, b, _, _, _ = rows[i]
+            want = sloppy_freq([np.array(a), np.array(b)], [o0, o1], slop,
+                               ["t0", "t1"])
+            assert abs(got[i] - want) < 1e-9, (rows[i], got[i], want)
+    df.unpersist()
+
+
+def test_sloppy2_plan_is_jvm_only(idx):
+    """The 2-term sloppy path must not contain a Python/Arrow eval node."""
+    from solr_spark.query.phrase import phrase_match_df
+
+    plan = phrase_match_df(idx, ["fast", "merge"], slop=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
