@@ -56,7 +56,11 @@ def _round_down(t: datetime, unit: str) -> datetime:
 
 def _add(t: datetime, n: int, unit: str) -> datetime:
     if unit == "YEAR":
-        return t.replace(year=t.year + n)
+        # clamp Feb 29 -> Feb 28 like java.time plusYears
+        try:
+            return t.replace(year=t.year + n)
+        except ValueError:
+            return t.replace(year=t.year + n, day=28)
     if unit == "MONTH":
         # calendar month math, clamping the day like java.time plusMonths
         total = (t.year * 12 + t.month - 1) + n

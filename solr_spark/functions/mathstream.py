@@ -62,11 +62,8 @@ def moving_avg(
     Row-frame window function — one shuffle on the partition key (or a
     global sort when partition_by is None, matching Solr's sorted-stream
     contract)."""
-    w = Window.orderBy(order_by).rowsBetween(-(window - 1), 0)
-    if partition_by:
-        w = Window.partitionBy(partition_by).orderBy(order_by).rowsBetween(
-            -(window - 1), 0
-        )
+    base = Window.partitionBy(partition_by) if partition_by else Window
+    w = base.orderBy(order_by).rowsBetween(-(window - 1), 0)
     return df.withColumn("moving_avg", F.avg(F.col(value)).over(w))
 
 
@@ -183,6 +180,10 @@ def polyfit(df: DataFrame, x: str, y: str, degree: int = 2) -> DataFrame:
 
     xc = F.col(x).cast("double")
     yc = F.col(y).cast("double")
+    # the fit is over COMPLETE (x, y) pairs — a row with x but null y must
+    # not leak into the Σx^k moments or A and b describe different
+    # populations and the solve is silently wrong
+    df = df.where(xc.isNotNull() & yc.isNotNull())
     aggs = [F.sum(F.pow(xc, k)).alias(f"sx{k}") for k in range(2 * degree + 1)]
     aggs += [F.sum(F.pow(xc, k) * yc).alias(f"sxy{k}") for k in range(degree + 1)]
     m = df.agg(*aggs).collect()[0]
@@ -418,11 +419,8 @@ def moving_median(
     trailing-window median. The window frame collects at most ``window``
     values per row; median is an exact sort of that tiny array (JVM
     expressions, no UDF)."""
-    w = Window.orderBy(order_by).rowsBetween(-(window - 1), 0)
-    if partition_by:
-        w = Window.partitionBy(partition_by).orderBy(order_by).rowsBetween(
-            -(window - 1), 0
-        )
+    base = Window.partitionBy(partition_by) if partition_by else Window
+    w = base.orderBy(order_by).rowsBetween(-(window - 1), 0)
     vals = F.array_sort(F.collect_list(F.col(value)).over(w))
     n = F.size(vals)
     mid = (n / 2).cast("int")

@@ -182,11 +182,14 @@ def delete_by_query(index: IndexTables, predicate) -> IndexTables:
     until segments merge; this models the steady state, which is also
     what a columnar rebuild would produce).
     """
-    keep = index.docs.where(~predicate).select("docid")
+    # NULL predicate values mean "did not match the delete query" (Solr
+    # keeps such docs) — coalesce so ~NULL doesn't silently drop them.
+    survives = ~F.coalesce(predicate, F.lit(False))
+    keep = index.docs.where(survives).select("docid")
     return IndexTables(
         postings=index.postings.join(keep, "docid", "left_semi"),
         doclens=index.doclens.join(keep, "docid", "left_semi"),
-        docs=index.docs.where(~predicate),
+        docs=index.docs.where(survives),
         analyzer=index.analyzer,
         has_positions=index.has_positions,
     )

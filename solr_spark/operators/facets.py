@@ -158,9 +158,20 @@ def date_range_facet(
     hi = parse_date_math(end)
     edges = [lo]
     while edges[-1] < hi:
-        edges.append(parse_date_math(edges[-1].strftime("%Y-%m-%dT%H:%M:%S") + "Z" + gap))
-    if len(edges) > 10_000:
-        raise ValueError("date range facet with >10k buckets — widen the gap")
+        nxt = parse_date_math(edges[-1].strftime("%Y-%m-%dT%H:%M:%S") + "Z" + gap)
+        if nxt <= edges[-1]:
+            raise ValueError(f"date range gap {gap!r} does not advance")
+        if len(edges) >= 10_000:
+            raise ValueError("date range facet with >10k buckets — widen the gap")
+        edges.append(nxt)
+
+    # midnight-aligned edges label as dates (the common facet.range shape);
+    # sub-day gaps need the full instant or labels collide
+    day_aligned = all(
+        e.hour == 0 and e.minute == 0 and e.second == 0 and e.microsecond == 0
+        for e in edges
+    )
+    label_fmt = "%Y-%m-%d" if day_aligned else "%Y-%m-%dT%H:%M:%SZ"
 
     x = F.col(field).cast("timestamp")
     aggs = []
@@ -178,7 +189,7 @@ def date_range_facet(
         )
     row = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{edges[i].strftime('%Y-%m-%d')}', _b{i}" for i in range(len(edges) - 1)
+        f"'{edges[i].strftime(label_fmt)}', _b{i}" for i in range(len(edges) - 1)
     )
     out = row.select(
         F.expr(f"stack({len(edges) - 1}, {stack_args})").alias("bucket", "count")

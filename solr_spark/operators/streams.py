@@ -237,11 +237,13 @@ def timeseries_stream(
     out = df.groupBy(bucket).agg(*[c.alias(n) for n, c in aggs.items()])
     if start is not None and end is not None:
         spark = df.sparkSession
+        # interval literals have no QUARTER unit — express it as 3 months
+        step = "3 month" if unit.lower() == "quarter" else f"1 {unit}"
         spine = spark.range(1).select(
             F.explode(
                 F.expr(
                     f"sequence(timestamp'{start}', timestamp'{end}',"
-                    f" interval 1 {unit})"
+                    f" interval {step})"
                 )
             ).alias("bucket")
         )

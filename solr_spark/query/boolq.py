@@ -55,13 +55,13 @@ def bool_query(
     # each sub-query stream is docid-unique, so a doc matching all of the
     # len(must) required streams contributes exactly len(must) `_m` — no
     # re-execution of the must streams as separate semi-join sets.
-    parts = [sub(q).withColumn("_m", F.lit(1)) for q in must] + [
-        sub(q).withColumn("_m", F.lit(0)) for q in should
-    ]
     filter_sets = [sub(q).select("docid") for q in filter]
     not_sets = [sub(q).select("docid") for q in must_not]
 
-    if parts:
+    if must:
+        parts = [sub(q).withColumn("_m", F.lit(1)) for q in must] + [
+            sub(q).withColumn("_m", F.lit(0)) for q in should
+        ]
         allc = parts[0]
         for p in parts[1:]:
             allc = allc.unionByName(p)
@@ -72,9 +72,33 @@ def bool_query(
             .drop("_m")
         )
     elif filter_sets:
-        # filter-only bool: matches score 0 (FilterQuery)
-        scored = filter_sets[0].select("docid", F.lit(0.0).alias("score"))
-        filter_sets = filter_sets[1:]
+        # Required clauses exist (FILTER counts as required in Lucene's
+        # BooleanQuery), so SHOULD becomes purely optional: every doc in
+        # the filter intersection matches, scoring the sum of whichever
+        # should clauses it also matches (0 when none — ReqOptSumScorer).
+        domain = filter_sets[0]
+        for s in filter_sets[1:]:
+            domain = domain.join(s, "docid", "left_semi")
+        filter_sets = []
+        if should:
+            su = [sub(q) for q in should]
+            allc = su[0]
+            for p in su[1:]:
+                allc = allc.unionByName(p)
+            opt = allc.groupBy("docid").agg(F.sum("score").alias("_opt"))
+            scored = domain.join(opt, "docid", "left").select(
+                "docid", F.coalesce(F.col("_opt"), F.lit(0.0)).alias("score")
+            )
+        else:
+            # filter-only bool: matches score 0 (FilterQuery)
+            scored = domain.select("docid", F.lit(0.0).alias("score"))
+    elif should:
+        # no required clause: at least one SHOULD must match
+        su = [sub(q) for q in should]
+        allc = su[0]
+        for p in su[1:]:
+            allc = allc.unionByName(p)
+        scored = allc.groupBy("docid").agg(F.sum("score").alias("score"))
     else:
         raise ValueError("bool query with only must_not clauses matches nothing")
 

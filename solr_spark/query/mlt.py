@@ -94,7 +94,16 @@ def term_vectors(
         (F.col("tf") / F.col("df")).alias("tfidf"),
     )
     if top_n is not None:
-        out = out.orderBy(
-            F.col("tfidf").desc(), F.col("term").asc(), F.col("docid").asc()
-        ).limit(top_n)
+        # top terms of EACH requested doc's vector (the reference returns a
+        # vector per doc), not one global cut across docs
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("docid").orderBy(
+            F.col("tfidf").desc(), F.col("term").asc()
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= top_n)
+            .drop("_rn")
+        )
     return out

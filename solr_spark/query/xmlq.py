@@ -197,7 +197,9 @@ class _Compiler:
                 not_sets.append(sub.select("docid"))
             else:
                 raise ValueError(f"unknown occurs={occurs!r}")
-        if parts:
+        if parts and (n_must > 0 or not filter_sets):
+            # either MUST clauses anchor the required set, or there is no
+            # required clause at all (pure SHOULD: at least one must match)
             scored = parts[0]
             for p in parts[1:]:
                 scored = scored.unionByName(p)
@@ -208,10 +210,23 @@ class _Compiler:
                 .drop("_m")
             )
         elif filter_sets:
-            scored = filter_sets[0].distinct().select(
-                "docid", F.lit(0.0).alias("score")
-            )
-            filter_sets = filter_sets[1:]
+            # FILTER is a required clause (Lucene BooleanQuery), so SHOULD
+            # becomes optional: every filter-intersection doc matches,
+            # scoring its matching should clauses (0 when none).
+            domain = filter_sets[0].distinct()
+            for s in filter_sets[1:]:
+                domain = domain.join(s.distinct(), "docid", "left_semi")
+            filter_sets = []
+            if parts:
+                opt = parts[0]
+                for p in parts[1:]:
+                    opt = opt.unionByName(p)
+                opt = opt.groupBy("docid").agg(F.sum("score").alias("_opt"))
+                scored = domain.join(opt, "docid", "left").select(
+                    "docid", F.coalesce(F.col("_opt"), F.lit(0.0)).alias("score")
+                )
+            else:
+                scored = domain.select("docid", F.lit(0.0).alias("score"))
         else:
             return self._empty()
         for s in filter_sets:

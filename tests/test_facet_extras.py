@@ -291,3 +291,88 @@ def test_recip_ms_freshness(spark):
     assert abs(out[0]["r"] - 1.0 / (3.16e-11 * 86400000 + 1.0)) < 1e-12
     # one-year-old doc decays to ~0.5 with the canonical 3.16e-11 slope
     assert 0.45 < out[1]["r"] < 0.55
+
+
+def test_delete_by_query_keeps_null_predicate_docs(spark):
+    """deleteByQuery('lang:de') must KEEP docs whose lang is NULL —
+    ~(NULL == 'de') is NULL, which where() would silently drop."""
+    from solr_spark.index.build import build_index, delete_by_query
+
+    df = spark.createDataFrame(
+        [("1", "aa bb", "de"), ("2", "bb cc", "en"), ("3", "cc dd", None)],
+        "docid string, text string, lang string",
+    )
+    idx = build_index(df, text_col="text", analyzer="simple")
+    live = delete_by_query(idx, F.col("lang") == "de")
+    assert {r.docid for r in live.docs.collect()} == {"2", "3"}
+    assert {r.docid for r in live.doclens.collect()} == {"2", "3"}
+
+
+def test_datemath_leap_year_clamp():
+    from solr_spark.functions.datemath import parse_date_math
+
+    assert parse_date_math("2024-02-29T00:00:00Z+1YEAR").isoformat() \
+        == "2025-02-28T00:00:00+00:00"
+    assert parse_date_math("2024-02-29T00:00:00Z-1YEAR").isoformat() \
+        == "2023-02-28T00:00:00+00:00"
+    assert parse_date_math("2024-02-29T00:00:00Z+4YEARS").isoformat() \
+        == "2028-02-29T00:00:00+00:00"
+
+
+def test_polyfit_ignores_incomplete_pairs(spark):
+    from solr_spark.functions.mathstream import polyfit
+
+    rows = [(float(i), 2.0 * i + 1.0) for i in range(10)]
+    rows += [(99.0, None), (100.0, None)]  # x present, y null
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = polyfit(df, "x", "y", degree=1).collect()[0]
+    assert out.coef_0 == pytest.approx(1.0, abs=1e-9)
+    assert out.coef_1 == pytest.approx(2.0, abs=1e-9)
+
+
+def test_date_range_facet_subday_labels_and_bad_gap(spark):
+    from solr_spark.operators.facets import date_range_facet
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    out = date_range_facet(
+        events, "ts", "2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z", "+6HOURS"
+    ).toPandas()
+    assert list(out["bucket"]) == [
+        "2024-01-01T00:00:00Z", "2024-01-01T06:00:00Z",
+        "2024-01-01T12:00:00Z", "2024-01-01T18:00:00Z",
+    ]
+    assert int(out["count"].sum()) > 0
+    with pytest.raises(ValueError, match="does not advance"):
+        date_range_facet(events, "ts", "2024-01-01T00:00:00Z",
+                         "2024-01-02T00:00:00Z", "/DAY")
+
+
+def test_term_vectors_topn_is_per_doc(spark, docs):
+    from solr_spark.index.build import build_index
+    from solr_spark.query.mlt import term_vectors
+
+    idx = build_index(
+        docs.withColumn("docid", F.col("doc_id").cast("string")),
+        text_col="text", analyzer="simple",
+    )
+    ids = ["0", "1", "2"]
+    out = term_vectors(idx, ids, top_n=5).toPandas()
+    per_doc = out.groupby("docid").size().to_dict()
+    assert set(per_doc) == set(ids)          # every requested doc present
+    assert all(v <= 5 for v in per_doc.values())
+    assert all(v >= 1 for v in per_doc.values())
+
+
+def test_timeseries_quarter_gapfill(spark):
+    from solr_spark.operators.streams import timeseries_stream
+
+    df = spark.createDataFrame(
+        [("2024-01-15",), ("2024-07-01",)], ["d"]
+    ).select(F.col("d").cast("timestamp").alias("ts"))
+    out = timeseries_stream(
+        df, "ts", "quarter", {"count": F.count("*")},
+        start="2024-01-01", end="2024-12-31",
+    ).toPandas()
+    assert len(out) == 4                      # full quarter spine
+    assert list(out["count"]) == [1, 0, 1, 0]

@@ -362,3 +362,25 @@ def test_single_term_sloppy_phrase_is_termfreq(spark, idx):
 
     out = search(idx, '"spark"~2', k=5).collect()
     assert len(out) == 5
+
+
+def test_bool_query_should_optional_under_filter(spark, idx, term_docs):
+    """FILTER is a required clause, so SHOULD must be optional: lang:en docs
+    without the should term still match, scoring 0 (ReqOptSumScorer)."""
+    from solr_spark.query.boolq import bool_query
+    from solr_spark.query.parser import search
+
+    en = {r.docid for r in idx.docs.where(F.col("lang") == "en")
+          .select("docid").collect()}
+    out = {r.docid: r.score
+           for r in bool_query(idx, should=["spark"], filter=["lang:en"],
+                               k=10**6).collect()}
+    assert set(out) == en  # every filter doc matches, should or not
+    sp = term_docs("spark")
+    base = {r.docid: r.score
+            for r in search(idx, "spark", k=10**6, _scores_only=True).collect()}
+    for d, s in out.items():
+        if d in sp:
+            assert s == pytest.approx(base[d])
+        else:
+            assert s == 0.0

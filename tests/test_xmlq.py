@@ -117,3 +117,18 @@ def test_span_near_ordered_matches_phrase(idx):
 def test_unknown_element_raises(idx):
     with pytest.raises(ValueError, match="unsupported"):
         xml_query(idx, "<FuzzyLikeThisQuery>x</FuzzyLikeThisQuery>")
+
+
+def test_boolean_should_optional_under_filter(idx):
+    """A SHOULD clause beside a FILTER clause is optional (Lucene
+    BooleanQuery: FILTER is required): every lang:en doc matches, scoring
+    the should term's bm25 when it matches and 0 otherwise."""
+    q = ('<BooleanQuery>'
+         '<Clause occurs="filter"><TermsQuery fieldName="lang">en</TermsQuery></Clause>'
+         '<Clause occurs="should"><TermQuery>spark</TermQuery></Clause>'
+         '</BooleanQuery>')
+    rows = {r.docid: r.score for r in xml_query(idx, q, k=10**6).collect()}
+    en = {r.docid for r in idx.docs.where(F.col("lang") == "en")
+          .select("docid").collect()}
+    assert set(rows) == en
+    assert any(s > 0 for s in rows.values()) and any(s == 0.0 for s in rows.values())
