@@ -306,88 +306,6 @@ def _clause_ords(
     return m
 
 
-def _boolean_partition(
-    postings: pd.DataFrame,
-    weights: dict[str, float],  # term -> summed BM25 weight
-    prefix_groups: list[tuple[str, float]],  # (prefix, const boost per doc)
-    musts: list[tuple[str, object]],  # ("terms", [..]) | ("prefix", pref)
-    negs: list[tuple[str, object]],
-    k: int,
-    k1: float,
-    b: float,
-    avgdl: float,
-    index_dir: str,
-    p: int,
-) -> pd.DataFrame:
-    """Per-partition boolean scoring. Segments partition by docid, so
-    must/must_not ordinal-set operations are globally correct locally.
-
-    Prefix clauses are matched HERE, against the term strings of the
-    already prefix-filtered scan rows — the driver never expands a prefix
-    into a term list (Lucene CONSTANT_SCORE_REWRITE bitset shape); each
-    prefix group contributes its boost once per matching doc (parity with
-    the logical parser's match-set stream)."""
-    out_docids: list[np.ndarray] = []
-    out_scores: list[np.ndarray] = []
-
-    def _present(rows: dict, clause: tuple[str, object]) -> bool:
-        kind, val = clause
-        if kind == "terms":
-            return any(t in rows for t in val)
-        return any(t.startswith(val) for t in rows)
-
-    for gen, pg in postings.groupby("gen", sort=True):
-        rows = {r["term"]: r for _, r in pg.iterrows()}
-        if any(not _present(rows, m) for m in musts):
-            continue  # a required clause matches nothing in this segment
-        size = 0
-        decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        for t, r in rows.items():
-            o, tf = decode_postings(r["gaps"], r["tfs"])
-            nrm = np.frombuffer(r["norms"], dtype=np.uint8)
-            decoded[t] = (o, tf, nrm)
-            size = max(size, int(o[-1]) + 1 if o.size else 0)
-        if size == 0:
-            continue
-        acc = np.zeros(size, dtype=np.float64)
-        seen = np.zeros(size, dtype=bool)
-        for t, w_bm in weights.items():
-            if t not in decoded:
-                continue
-            o, tf, nrm = decoded[t]
-            contrib = w_bm * _contrib(
-                tf.astype(np.float64),
-                DECODE_TABLE[nrm].astype(np.float64), k1, b, avgdl,
-            )
-            np.add.at(acc, o, contrib)
-            seen[o] = True
-        for pref, boost in prefix_groups:
-            m = _clause_ords(decoded, ("prefix", pref), size)
-            acc[m] += boost
-            seen |= m
-        keep = seen.copy()
-        for clause in musts:
-            keep &= _clause_ords(decoded, clause, size)
-        for clause in negs:
-            keep &= ~_clause_ords(decoded, clause, size)
-        cand = np.flatnonzero(keep)
-        if cand.size == 0:
-            continue
-        scores = acc[cand]
-        if cand.size > k:
-            kth = np.partition(scores, -k)[-k]
-            sel = scores >= kth  # keep boundary ties (rank-identity)
-            cand, scores = cand[sel], scores[sel]
-        out_docids.append(_lookup_docids(index_dir, p, int(gen), cand))
-        out_scores.append(scores)
-    if not out_docids:
-        return pd.DataFrame({"docid": pd.Series(dtype="int64"),
-                             "score": pd.Series(dtype="float64")})
-    return pd.DataFrame(
-        {"docid": np.concatenate(out_docids), "score": np.concatenate(out_scores)}
-    )
-
-
 def _eval_node(
     node: dict,
     decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
@@ -852,127 +770,19 @@ class PhysicalIndex:
         (MUST), ``-``/``NOT`` (MUST_NOT), ``term^boost``, ``prefix*``
         (constant score per matching doc, no expansion), ``term~N``
         (bounded capped fuzzy), and parenthesized groups with boosts
-        nesting arbitrarily (compiled to per-segment ordinal-set algebra —
-        _search_grouped). Stored-field filters and quoted phrases are not
-        in this path (segments store no stored fields; use phrase_topk for
-        phrases).
+        nesting arbitrarily. Stored-field filters and quoted phrases are
+        not in this path (segments store no stored fields; use phrase_topk
+        for phrases).
 
-        Per-partition: decode only the query terms' postings, accumulate
-        BM25 into a dense ordinal array, enforce musts by ordinal-set
-        intersection and must_nots by set subtraction — work is O(query
-        term postings), exactly like topk, plus the set ops.
+        One engine for flat AND grouped queries: the query compiles to a
+        boolean tree (a flat query is a root node with no children) and
+        each segment evaluates it with ordinal-set algebra (_eval_node) —
+        decode only the query terms' postings, accumulate BM25 into a
+        dense ordinal array, enforce musts by intersection and must_nots
+        by subtraction; work is O(query term postings), like topk, plus
+        the set ops.
         """
-        from solr_spark.query.parser import parse_query
-
-        if "(" in query:
-            return self._search_grouped(query, k)
-        stats = self.stats
-        k1, b, avgdl, n = stats["k1"], stats["b"], stats["avgdl"], stats["n_docs"]
-        empty = self.spark.createDataFrame([], "docid long, score double")
-        if n == 0:
-            return empty
-        from solr_spark.analysis.chain import analyze
-
-        parsed = parse_query(query)
-        scoring: list[tuple[str, float]] = []  # (term, boost) BM25 rows
-        prefix_groups: list[tuple[str, float]] = []  # (prefix, const boost)
-        musts: list[tuple[str, object]] = []  # ("terms", [..]) | ("prefix", p)
-        negs: list[tuple[str, object]] = []
-        neg_terms: list[str] = []
-        for c in parsed.clauses:
-            if c.kind in ("filter_eq", "filter_range"):
-                raise ValueError(
-                    "stored-field filters are not available on the physical "
-                    "path (segments keep no stored fields)"
-                )
-            if c.kind == "phrase":
-                raise ValueError("use phrase_topk for quoted phrases")
-            if c.kind == "prefix":
-                # No dictionary expansion: the startswith predicate pushes
-                # into the postings scan and matching happens against the
-                # scan rows per partition; the clause scores its boost once
-                # per matching doc (query/expand.py rationale).
-                pref = analyze(c.text, stats["analyzer"])
-                pref_txt = pref[0] if pref else c.text.lower()
-                if c.occur == "must_not":
-                    negs.append(("prefix", pref_txt))
-                    continue
-                prefix_groups.append((pref_txt, c.boost))
-                if c.occur == "must":
-                    musts.append(("prefix", pref_txt))
-                continue
-            if c.kind == "fuzzy":
-                # Bounded probe + maxExpansions cap, same as the logical
-                # parser; each expansion BM25-scored (documented divergence
-                # from Lucene's blended-freq rewrite).
-                from solr_spark.query.expand import fuzzy_candidates
-
-                base = analyze(c.text, stats["analyzer"])
-                base_t = base[0] if base else c.text.lower()
-                matched = sorted(
-                    fuzzy_candidates(self._term_stats, base_t, int(c.lo))
-                )
-                if c.occur == "must_not":
-                    neg_terms.extend(matched)
-                    continue
-                if not matched:
-                    if c.occur == "must":
-                        return empty
-                    continue
-                for t in matched:
-                    scoring.append((t, c.boost))
-                if c.occur == "must":
-                    musts.append(("terms", matched))
-                continue
-            terms = analyze(c.text, stats["analyzer"])
-            if not terms:
-                continue
-            if c.occur == "must_not":
-                neg_terms.extend(terms)
-                continue
-            for t in terms:
-                scoring.append((t, c.boost))
-                if c.occur == "must":
-                    musts.append(("terms", [t]))
-
-        uniq = sorted({t for t, _ in scoring})
-        dfs = self._df_for_terms(sorted(set(uniq) | set(neg_terms)))
-        # term -> summed BM25 weight (a term in several clauses accumulates
-        # one weight per clause — parity with the logical parser's
-        # one-row-per-clause aggregation).
-        weights: dict[str, float] = {}
-        for t, boost in scoring:
-            if t not in dfs:
-                continue
-            weights[t] = weights.get(t, 0.0) + boost * idf(n, dfs[t])
-        for kind, val in musts:
-            if kind == "terms" and not any(t in dfs for t in val):
-                return empty  # a required term clause can never match
-        neg_present = [t for t in neg_terms if t in dfs]
-        if neg_present:
-            negs.append(("terms", neg_present))
-        if not weights and not prefix_groups:
-            return empty
-
-        term_set = set(weights) | set(neg_present)
-        cond = (
-            F.col("term").isin(sorted(term_set)) if term_set else F.lit(False)
-        )
-        for pref in {p for p, _ in prefix_groups} | {
-            v for kind, v in (musts + negs) if kind == "prefix"
-        }:
-            cond = cond | F.col("term").startswith(pref)
-        postings = self._postings.where(cond)
-        index_dir = self.index_dir
-
-        def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            return _boolean_partition(
-                pdf, weights, prefix_groups, musts, negs, k, k1, b, avgdl,
-                index_dir, int(key[0]),
-            )
-
-        scored = postings.groupBy("p").applyInPandas(score, "docid long, score double")
-        return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+        return self._search_grouped(query, k)
 
     def phrase_topk(self, phrase: str, k: int = 10, slop: int = 0) -> DataFrame:
         """Top-k phrase matches over the compressed segments (PhraseQuery on
