@@ -4695,6 +4695,34 @@ def graph_nodes_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hop", "node")
 
 
+@register(
+    "ltr_feature_log",
+    _LTR_MAIN_SQL + f"""
+SELECT doc_id,
+       {_sql_scaled('orig')} AS orig_x10k,
+       {_sql_scaled('ncharsk')} AS ncharsk_x10k,
+       CAST(is_en AS BIGINT) AS is_en
+FROM feats ORDER BY doc_id ASC
+""",
+)
+def ltr_feature_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `[features]` transformer (contrib/ltr
+    LTRFeatureLoggerTransformerFactory.java): log every feature's value
+    for the rerank-window docs of q=data — the training-data extraction
+    half of the LTR loop, same Catalyst feature expressions the models
+    score with."""
+    from solr_spark.query.ltr import ltr_feature_log
+
+    main, doc_feats = _ltr_main(spark, sf_dir)
+    out = ltr_feature_log(main, doc_feats, _ltr_features(), rerank_docs=50)
+    return out.select(
+        F.col("docid").alias("doc_id"),
+        scaled("score").alias("orig_x10k"),
+        scaled("ncharsK").alias("ncharsk_x10k"),
+        F.col("isEn").cast("long").alias("is_en"),
+    ).orderBy(F.col("doc_id").asc())
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

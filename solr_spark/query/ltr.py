@@ -191,6 +191,35 @@ def from_solr_json(model: dict) -> LinearModel | TreesModel:
 # --------------------------------------------------------------------------
 
 
+def ltr_feature_log(
+    main_scored: DataFrame,
+    doc_features: DataFrame | None,
+    features: dict[str, Column],
+    rerank_docs: int = 200,
+    norms: dict | None = None,
+) -> DataFrame:
+    """The `[features]` doc transformer (contrib/ltr
+    response/transform/LTRFeatureLoggerTransformerFactory.java): extract
+    and return every feature's (normalized) value for the rerank-window
+    docs — the feature-logging side of an LTR training loop. Returns
+    (docid, score, <one DOUBLE column per feature>); the same Catalyst
+    feature expressions the models compile against, so logged values match
+    what a model would consume exactly. Missing/null features log 0.0
+    (Feature defaultValue)."""
+    window = main_scored.orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    ).limit(rerank_docs)
+    if doc_features is not None:
+        window = window.join(doc_features, "docid", "left")
+    nf = _normed(features, norms)
+    return window.select(
+        "docid",
+        "score",
+        *[F.coalesce(c.cast("double"), F.lit(0.0)).alias(n)
+          for n, c in nf.items()],
+    )
+
+
 def ltr_rerank(
     main_scored: DataFrame,
     doc_features: DataFrame | None,
