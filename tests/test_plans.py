@@ -206,3 +206,50 @@ def test_geofilt_bbox_pushdown(spark, tmp_path_factory):
                (i * 7919 % 36000) / 100.0 - 180.0) <= 500.0
     )
     assert ids == want
+
+
+def test_multiselect_facet_pushes_tagged_filters(spark):
+    """excludeTags faceting: the NON-excluded tagged filter must reach the
+    parquet scan as a pushed filter, and the facet is one hash aggregate."""
+    from solr_spark.operators.facets import json_facet
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tagged = {"LANG": F.col("lang") == "en", "NCH": F.col("n_chars") >= 300}
+    out = json_facet(
+        docs, {"type": "terms", "field": "lang", "limit": 10,
+               "domain": {"excludeTags": ["LANG"]}},
+        tagged_filters=tagged,
+    )["buckets"]
+    plan = _formatted(out)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(n_chars,300)" in plan
+    # the excluded filter must NOT appear anywhere in the plan
+    assert "lang,en" not in plan.replace(" ", "")
+    assert plan.count("HashAggregate") >= 2  # partial + final of ONE groupBy
+
+
+def test_freshness_boost_single_scan_takeordered(spark):
+    from solr_spark.query.rerank import ms_func, recip_func
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    age = ms_func("2001-09-01", F.col("o_orderdate"))
+    score = F.col("o_totalprice") * recip_func(age, 3.16e-11, 1.0, 1.0)
+    top = orders.select("o_orderkey", score.alias("s")).orderBy(
+        F.col("s").desc()).limit(10)
+    plan = _plan(top)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # column pruning: only the two referenced columns read
+    fmt = _formatted(top)
+    assert "o_comment" not in fmt
+
+
+def test_date_range_facet_one_scan_no_python(spark):
+    from solr_spark.operators.facets import date_range_facet
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = date_range_facet(orders, "o_orderdate", "1995-01-01T00:00:00Z",
+                           "1996-01-01T00:00:00Z", "+1MONTH")
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
