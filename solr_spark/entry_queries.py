@@ -4723,6 +4723,41 @@ def ltr_feature_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("doc_id").asc())
 
 
+@register(
+    "facet_range_nested_langs",
+    """
+WITH dom AS (
+  SELECT floor(n_chars / 100.0) * 100.0 AS bucket, lang
+  FROM documents WHERE n_chars >= 0 AND n_chars < 600),
+ranked AS (
+  SELECT bucket, lang, count(*) AS count,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY count(*) DESC, lang ASC) AS rn
+  FROM dom WHERE lang IS NOT NULL GROUP BY bucket, lang)
+SELECT bucket, lang, count FROM ranked WHERE rn <= 2
+ORDER BY bucket ASC, count DESC, lang ASC
+""",
+)
+def facet_range_nested_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON facet `type:range` with a NESTED terms sub-facet
+    (facet/FacetRange.java + FacetField.java nesting): n_chars buckets of
+    width 100, top-2 langs per bucket. The range bucket is a synthetic
+    column feeding the same one-groupBy-per-level machinery as terms
+    facets; per-bucket top-N is a window over the child aggregate, not a
+    per-bucket job."""
+    from solr_spark.operators.facets import json_facet
+
+    docs = _t(spark, sf_dir, "documents")
+    res = json_facet(docs, {
+        "type": "range", "field": "n_chars",
+        "start": 0, "end": 600, "gap": 100, "key": "bucket",
+        "facet": {"langs": {"type": "terms", "field": "lang", "limit": 2}},
+    })
+    return res["langs"].select("bucket", "lang", "count").orderBy(
+        F.col("bucket").asc(), F.col("count").desc(), F.col("lang").asc()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

@@ -436,11 +436,7 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
     a per-bucket job.
     """
     parents = _parents or []
-    field = spec["field"]
-    limit = spec.get("limit", 10)
-    offset = spec.get("offset", 0)
-    mincount = spec.get("mincount", 1)
-    sort = spec.get("sort", "count desc")
+    ftype = spec.get("type", "terms")
 
     domain = spec.get("domain") or {}
     if domain or tagged_filters:
@@ -453,6 +449,42 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
     aggs = [F.count("*").alias("count")] + [
         _stat_col(e).alias(n) for n, e in stats.items()
     ]
+
+    if ftype == "query":
+        # {"type":"query","q":...} — one bucket of the docs matching q
+        # (facet/FacetQuery.java); sub-facets recurse on the matching rows.
+        qdf = _domain_filter(df, spec["q"])
+        buckets = qdf.groupBy(*parents).agg(*aggs) if parents else qdf.agg(*aggs)
+        if parents:
+            buckets = buckets.orderBy(*[F.col(p).asc() for p in parents])
+        out = {"buckets": buckets}
+        for name, s in subs.items():
+            child = json_facet(qdf, s, _parents=parents)
+            for ck, cv in child.items():
+                out[name if ck == "buckets" else f"{name}.{ck}"] = cv
+        return out
+
+    if ftype == "range":
+        # {"type":"range","field":...,"start","end","gap"} — numeric range
+        # buckets as a synthetic bucket column, then the shared terms logic
+        # (one groupBy; stats/sub-facets/sort all apply per range bucket).
+        x = F.col(spec["field"])
+        start, end, gap = (float(spec[k]) for k in ("start", "end", "gap"))
+        bname = spec.get("key", f"{spec['field']}_bucket")
+        bucket = (
+            F.floor((x - F.lit(start)) / F.lit(gap)) * F.lit(gap) + F.lit(start)
+        ).cast("double")
+        df = df.where((x >= start) & (x < end)).withColumn(bname, bucket)
+        field = bname
+        limit = spec.get("limit", 10_000)  # ranges are not limited by default
+        mincount = spec.get("mincount", 1)  # observed buckets (no spine)
+        sort = spec.get("sort", "index asc")
+    else:
+        field = spec["field"]
+        limit = spec.get("limit", 10)
+        mincount = spec.get("mincount", 1)
+        sort = spec.get("sort", "count desc")
+    offset = spec.get("offset", 0)
 
     extras: dict[str, DataFrame] = {}
     if spec.get("missing"):

@@ -176,3 +176,37 @@ def test_extended_stat_aggs(nully):
     assert rows["en"].cv == 3 and rows["en"].ms == 1
     import statistics
     assert rows["en"].sd == pytest.approx(statistics.stdev([10, 20, 5, 40]))
+
+
+def test_range_subfacet_and_query_type(spark, docs, pdocs):
+    from solr_spark.operators.facets import json_facet
+
+    # range facet with a stat
+    res = json_facet(docs, {
+        "type": "range", "field": "n_chars", "start": 0, "end": 600,
+        "gap": 200, "key": "b",
+        "facet": {"avg_nc": "avg(n_chars)"},
+    })
+    got = res["buckets"].toPandas().set_index("b")
+    n = pdocs["n_chars"]
+    for lo in (0.0, 200.0, 400.0):
+        sel = pdocs[(n >= lo) & (n < lo + 200) & (n >= 0) & (n < 600)]
+        if len(sel):
+            assert got.loc[lo, "count"] == len(sel)
+            assert abs(got.loc[lo, "avg_nc"] - sel.n_chars.mean()) < 1e-9
+
+    # query facet with a nested terms sub-facet
+    res2 = json_facet(docs, {
+        "type": "query", "q": "n_chars >= 300",
+        "facet": {"cnt_big": "count",
+                  "langs": {"type": "terms", "field": "lang", "limit": 3}},
+    })
+    bucket = res2["buckets"].collect()[0]
+    big = pdocs[pdocs.n_chars >= 300]
+    assert bucket["count"] == len(big)
+    langs = res2["langs"].toPandas()
+    exp = big.groupby("lang").size().sort_values(ascending=False)
+    assert len(langs) == min(3, len(exp))
+    assert dict(zip(langs["lang"], langs["count"])) == {
+        k: int(exp[k]) for k in langs["lang"]
+    }
