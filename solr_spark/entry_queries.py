@@ -4758,6 +4758,32 @@ def facet_range_nested_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stratified_sample_langs",
+    """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('42' || doc_id::VARCHAR) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents)
+SELECT doc_id, lang FROM ranked WHERE rn <= 3
+ORDER BY lang ASC, doc_id ASC
+""",
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — 3 docs per language via the
+    seeded md5 permutation (training-data balancing; composes the
+    reference's per-collection `random` streams into one windowed op)."""
+    from solr_spark.operators.streams import stratified_sample_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample_stream(docs, "lang", 3, seed="42", id_col="doc_id")
+    return out.select("doc_id", "lang").orderBy(
+        F.col("lang").asc(), F.col("doc_id").asc()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

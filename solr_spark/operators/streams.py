@@ -188,6 +188,31 @@ def random_stream(
     )
 
 
+def stratified_sample_stream(
+    df: DataFrame, strata: str, n_per_stratum: int,
+    seed: str = "0", id_col: str = "id",
+) -> DataFrame:
+    """Deterministic stratified sampling: up to ``n_per_stratum`` rows per
+    ``strata`` value, chosen by the same seeded md5 permutation as
+    random_stream so samples are reproducible and oracle-checkable.
+
+    A training-data pipeline staple (balance languages/sources before
+    mixing) the reference has no single operator for — it composes
+    `random` per collection query. Scale shape: one window ranked within
+    each stratum (shuffle keyed by the strata column; AQE splits skewed
+    strata), never a driver loop over strata values.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
 def hash_partition_filter(
     df: DataFrame, keys: Sequence[str], workers: int, worker: int
 ) -> DataFrame:

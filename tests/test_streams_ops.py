@@ -65,3 +65,23 @@ def test_random_stream_deterministic_and_seed_sensitive(spark):
     assert sorted(a) == sorted(b)
     assert sorted(a) != sorted(c)
     assert len(set(a)) == 10
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    from solr_spark.operators.streams import stratified_sample_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = stratified_sample_stream(docs, "lang", 2, seed="7", id_col="doc_id")
+    pa = a.select("doc_id", "lang").toPandas()
+    assert (pa.groupby("lang").size() == 2).all()
+    # deterministic: same seed -> same rows; different seed -> (almost
+    # surely) different rows
+    pb = stratified_sample_stream(docs, "lang", 2, seed="7", id_col="doc_id") \
+        .select("doc_id", "lang").toPandas()
+    assert sorted(pa.doc_id) == sorted(pb.doc_id)
+    pc = stratified_sample_stream(docs, "lang", 2, seed="8", id_col="doc_id") \
+        .select("doc_id", "lang").toPandas()
+    assert sorted(pa.doc_id) != sorted(pc.doc_id)
+    # quota larger than a stratum: returns the whole stratum, no error
+    small = docs.limit(3)
+    assert stratified_sample_stream(small, "lang", 99, id_col="doc_id").count() == 3
