@@ -4784,6 +4784,47 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mlt_interesting_terms",
+    f"""
+WITH {TOKS}, {TF},
+alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cand AS (
+  SELECT tf.term, alldf.df,
+         tf.tf * ln(1 + ({NDOCS} - alldf.df + 0.5) / (alldf.df + 0.5)) AS ti
+  FROM tf JOIN alldf USING (term)
+  WHERE tf.doc_id = 0 AND tf.tf >= 1 AND alldf.df >= 5
+        AND alldf.df <= 0.9 * {NDOCS})
+SELECT term, df, {_sql_scaled('ti')} AS tfidf_x10k FROM cand
+ORDER BY tfidf_x10k DESC, term ASC LIMIT 10
+""",
+)
+def mlt_interesting_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLT interestingTerms=details (MoreLikeThisHandler.java
+    InterestingTerm; mlt.interestingTerms param): the ranked tf·idf terms
+    of doc 0 that the MLT query would be built from, with the min-tf /
+    min-df / max-df gates — DataFrame-native (one docid-pruned postings
+    slice joined to broadcast term stats), no driver collect."""
+    from solr_spark.query.bm25 import idf_col
+
+    idx, n_docs, _ = documents_index(spark, sf_dir)
+    out = (
+        idx.postings.where(F.col("docid") == 0)
+        .where(F.col("tf") >= 1)
+        .join(F.broadcast(idx.term_stats().select("term", "df")), "term")
+        .where((F.col("df") >= 5) & (F.col("df") <= 0.9 * n_docs))
+        .select(
+            "term", "df",
+            scaled(F.col("tf") * idf_col(n_docs, F.col("df"))).alias(
+                "tfidf_x10k"
+            ),
+        )
+        .orderBy(F.col("tfidf_x10k").desc(), F.col("term").asc())
+        .limit(10)
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

@@ -49,6 +49,15 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def idf_col(n_docs: int, df_col) -> "F.Column":
+    """The same BM25 idf as a Column over a df column (for paths that keep
+    term stats distributed instead of collecting them)."""
+    df_col = F.col(df_col) if isinstance(df_col, str) else df_col
+    return F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
 def tf_saturation(tf_col, dl_col, k1: float, b: float, avgdl: float):
     """The BM25 tf-saturation factor tf / (tf + k1·(1−b+b·dl/avgdl)) as a
     Column — the ONE shared definition every scoring path (term, phrase,
