@@ -4825,6 +4825,79 @@ def mlt_interesting_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "dismax_bq_bf",
+    f"""
+WITH {TOKS}, {TF}, {DL}, {_SRC_TOKS},
+stf AS (SELECT doc_id, term, count(*) AS tf FROM stoks GROUP BY doc_id, term),
+sdl AS (SELECT doc_id, count(*) AS dl FROM stoks GROUP BY doc_id),
+qt(term) AS (VALUES ('spark'), ('src3')),
+tdf AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+sdf AS (SELECT term, count(*) AS df FROM stf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+tscore AS (
+  SELECT tf.term, tf.doc_id,
+         1.0 * ln(1 + ({NDOCS} - tdf.df + 0.5) / (tdf.df + 0.5)) * tf.tf /
+           (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS fscore
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id)),
+sscore AS (
+  SELECT stf.term, stf.doc_id,
+         2.0 * ln(1 + ({NDOCS} - sdf.df + 0.5) / (sdf.df + 0.5)) * stf.tf /
+           (stf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * sdl.dl /
+             (SELECT sum(dl) * 1.0 / {NDOCS} FROM sdl))) AS fscore
+  FROM stf JOIN sdf USING (term) JOIN sdl USING (doc_id)),
+unioned AS (SELECT * FROM tscore UNION ALL SELECT * FROM sscore),
+per_term AS (
+  SELECT term, doc_id, max(fscore) + 0.3 * (sum(fscore) - max(fscore)) AS tscore
+  FROM unioned GROUP BY term, doc_id),
+main AS (SELECT doc_id, sum(tscore) AS s FROM per_term GROUP BY doc_id),
+bqdf AS (SELECT term, count(*) AS df FROM tf WHERE term = 'join' GROUP BY term),
+bqs AS (
+  SELECT tf.doc_id,
+         0.5 * ln(1 + ({NDOCS} - bqdf.df + 0.5) / (bqdf.df + 0.5)) * tf.tf /
+           (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS bscore
+  FROM tf JOIN bqdf USING (term) JOIN dl USING (doc_id)),
+bfs AS (SELECT doc_id, n_chars / 100000.0 AS fscore FROM documents)
+SELECT m.doc_id,
+       {_sql_scaled('m.s + coalesce(b.bscore, 0) + coalesce(f.fscore, 0)')} AS score_x10k
+FROM main m LEFT JOIN bqs b USING (doc_id) LEFT JOIN bfs f USING (doc_id)
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def dismax_bq_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DisMax with ``bq``/``bf`` additive boosts (DisMaxQParser.java
+    addBoostQuery/addBoostFunctions): main = (text, source^2) tie=0.3,
+    bq = text:join^0.5, bf = n_chars/100000 — boosts add onto main-query
+    matches only (the main query is the required clause)."""
+    from solr_spark.query.bm25 import bm25_score_df
+    from solr_spark.query.dismax import build_multi_index, dismax_search
+
+    key = (id(spark), sf_dir, "dismax")
+    if key not in _MISC_CACHE:
+        d = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "docid")
+        idxs = build_multi_index(
+            d, {"text": "text", "source": "source"}, analyzer="simple"
+        )
+        for ix in idxs.values():
+            ix.postings = ix.postings.persist()
+            ix.doclens = ix.doclens.persist()
+        _MISC_CACHE[key] = idxs
+    idxs = _MISC_CACHE[key]
+    bq = bm25_score_df(idxs["text"], ["join"], quantize_norms=False).select(
+        "docid", (F.col("score") * 0.5).alias("score")
+    )
+    bf = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("docid"),
+        (F.col("n_chars") / F.lit(100000.0)).alias("score"),
+    )
+    out = dismax_search(
+        idxs, "spark src3", qf={"text": 1.0, "source": 2.0},
+        tie=0.3, k=10, boosts=[bq, bf],
+    )
+    return out.select(
+        F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k")
+    ).orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

@@ -115,6 +115,9 @@ def dismax_score_df(
     return scored.select("docid", "score")
 
 
+from collections.abc import Sequence
+
+
 def dismax_search(
     indexes: dict[str, IndexTables],
     query: str,
@@ -124,7 +127,28 @@ def dismax_search(
     k: int = 10,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    boosts: Sequence[DataFrame] = (),
 ) -> DataFrame:
-    """Top-k (docid, score) under DisMax combination."""
+    """Top-k (docid, score) under DisMax combination.
+
+    ``boosts`` — the ``bq``/``bf`` params (DisMaxQParser.java
+    addBoostQuery/addBoostFunctions): each is a (docid, score) stream whose
+    score ADDS to main-query matches (the main DisjunctionMaxQuery is the
+    required clause, bq/bf are SHOULD siblings — a doc matching only a
+    boost does not enter the result). A bq is any scored query stream; a bf
+    is a function column over the docs table projected to (docid, score).
+    Left joins against the already-matching set, so each boost costs one
+    keyed join of the match set, never a rescan of the corpus."""
     scored = dismax_score_df(indexes, query, qf=qf, tie=tie, mm=mm, k1=k1, b=b)
+    for i, bdf in enumerate(boosts):
+        bcol = f"_boost{i}"
+        scored = (
+            scored.join(
+                bdf.select("docid", F.col("score").alias(bcol)), "docid", "left"
+            )
+            .withColumn(
+                "score", F.col("score") + F.coalesce(F.col(bcol), F.lit(0.0))
+            )
+            .drop(bcol)
+        )
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
