@@ -1512,6 +1512,23 @@ def mlt_doc0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dismax_indexes(spark: SparkSession, sf_dir: str) -> dict:
+    """The shared (text, source) multi-field index, persisted per session."""
+    from solr_spark.query.dismax import build_multi_index
+
+    key = (id(spark), sf_dir, "dismax")
+    if key not in _MISC_CACHE:
+        d = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "docid")
+        idxs = build_multi_index(
+            d, {"text": "text", "source": "source"}, analyzer="simple"
+        )
+        for ix in idxs.values():
+            ix.postings = ix.postings.persist()
+            ix.doclens = ix.doclens.persist()
+        _MISC_CACHE[key] = idxs
+    return _MISC_CACHE[key]
+
+
 _SRC_TOKS = (
     "stoks AS (SELECT doc_id, unnest(list_filter("
     "regexp_split_to_array(lower(source), '[^a-z0-9]+'), t -> t <> '')) AS term "
@@ -1550,21 +1567,11 @@ ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
 )
 def dismax_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DisMax over (text, source^2) with tie=0.3 (DisMaxQParser semantics)."""
-    from solr_spark.query.dismax import build_multi_index, dismax_search
+    from solr_spark.query.dismax import dismax_search
 
-    key = (id(spark), sf_dir, "dismax")
-    if key not in _MISC_CACHE:
-        d = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "docid")
-        idxs = build_multi_index(
-            d, {"text": "text", "source": "source"}, analyzer="simple"
-        )
-        for ix in idxs.values():
-            ix.postings = ix.postings.persist()
-            ix.doclens = ix.doclens.persist()
-        _MISC_CACHE[key] = idxs
     out = dismax_search(
-        _MISC_CACHE[key], "spark src3", qf={"text": 1.0, "source": 2.0},
-        tie=0.3, k=10,
+        _dismax_indexes(spark, sf_dir), "spark src3",
+        qf={"text": 1.0, "source": 2.0}, tie=0.3, k=10,
     )
     return (
         out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
@@ -4052,7 +4059,7 @@ def index_stat_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function queries termfreq/docfreq/totaltermfreq/numdocs/norm/idf
     (ValueSourceParser registry, SURVEY §2.8) as joins against the index
     tables — per-doc index statistics exposed as columns."""
-    import math
+    from solr_spark.query.bm25 import idf_col
 
     idx, n, _ = documents_index(spark, sf_dir)
     stats = idx.term_stats().where(F.col("term") == "spark")
@@ -4068,9 +4075,7 @@ def index_stat_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ttf").alias("totaltermfreq"),
         F.lit(n).cast("long").alias("numdocs"),
         F.col("dl").cast("long").alias("norm_len"),
-        scaled(
-            F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        ).alias("idf_x10k"),
+        scaled(idf_col(n, F.col("df"))).alias("idf_x10k"),
     ).orderBy("doc_id")
 
 
@@ -4869,19 +4874,9 @@ def dismax_bq_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bq = text:join^0.5, bf = n_chars/100000 — boosts add onto main-query
     matches only (the main query is the required clause)."""
     from solr_spark.query.bm25 import bm25_score_df
-    from solr_spark.query.dismax import build_multi_index, dismax_search
+    from solr_spark.query.dismax import dismax_search
 
-    key = (id(spark), sf_dir, "dismax")
-    if key not in _MISC_CACHE:
-        d = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "docid")
-        idxs = build_multi_index(
-            d, {"text": "text", "source": "source"}, analyzer="simple"
-        )
-        for ix in idxs.values():
-            ix.postings = ix.postings.persist()
-            ix.doclens = ix.doclens.persist()
-        _MISC_CACHE[key] = idxs
-    idxs = _MISC_CACHE[key]
+    idxs = _dismax_indexes(spark, sf_dir)
     bq = bm25_score_df(idxs["text"], ["join"], quantize_norms=False).select(
         "docid", (F.col("score") * 0.5).alias("score")
     )

@@ -437,6 +437,7 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
     """
     parents = _parents or []
     ftype = spec.get("type", "terms")
+    base = df  # the pre-domain frame — children with excludeTags rebuild from it
 
     domain = spec.get("domain") or {}
     if domain or tagged_filters:
@@ -445,6 +446,27 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
     sub_spec = spec.get("facet", {}) or {}
     stats = {n: s for n, s in sub_spec.items() if isinstance(s, str)}
     subs = {n: s for n, s in sub_spec.items() if isinstance(s, dict)}
+
+    def _child_base(s: dict, default: DataFrame, restrict) -> DataFrame:
+        """Child facet domain. Normally the parent's surviving rows; a
+        child ``domain:{excludeTags}`` REBUILDS from the pre-filter base
+        (Solr regenerates the domain from the request minus the excluded
+        tags, then re-applies the bucket constraint) — that needs the
+        ``tagged_filters`` dict at this level."""
+        cdom = s.get("domain") or {}
+        if not cdom.get("excludeTags"):
+            return default
+        if not tagged_filters:
+            raise ValueError(
+                "a nested facet's domain.excludeTags needs tagged_filters "
+                "passed to the json_facet level that applied them"
+            )
+        rebuilt = _apply_domain(base, cdom, tagged_filters)
+        return restrict(rebuilt)
+
+    def _strip_domain(s: dict) -> dict:
+        return {k: v for k, v in s.items() if k != "domain"} \
+            if (s.get("domain") or {}).get("excludeTags") else s
 
     aggs = [F.count("*").alias("count")] + [
         _stat_col(e).alias(n) for n, e in stats.items()
@@ -459,12 +481,18 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
             buckets = buckets.orderBy(*[F.col(p).asc() for p in parents])
         out = {"buckets": buckets}
         for name, s in subs.items():
-            child = json_facet(qdf, s, _parents=parents)
+            cb = _child_base(s, qdf, lambda re: _domain_filter(re, spec["q"]))
+            child = json_facet(cb, _strip_domain(s), _parents=parents)
             for ck, cv in child.items():
                 out[name if ck == "buckets" else f"{name}.{ck}"] = cv
         return out
 
     if ftype == "range":
+        if spec.get("missing"):
+            raise ValueError(
+                "range facets have no missing bucket (use range_facet_other "
+                "for before/after/between siblings)"
+            )
         # {"type":"range","field":...,"start","end","gap"} — numeric range
         # buckets as a synthetic bucket column, then the shared terms logic
         # (one groupBy; stats/sub-facets/sort all apply per range bucket).
@@ -475,6 +503,9 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
             F.floor((x - F.lit(start)) / F.lit(gap)) * F.lit(gap) + F.lit(start)
         ).cast("double")
         df = df.where((x >= start) & (x < end)).withColumn(bname, bucket)
+        # children rebuilding their domain (excludeTags) semi-join on the
+        # bucket column — give the pre-filter base the same synthetic col
+        base = base.withColumn(bname, bucket)
         field = bname
         limit = spec.get("limit", 10_000)  # ranges are not limited by default
         mincount = spec.get("mincount", 1)  # observed buckets (no spine)
@@ -540,7 +571,13 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
         surviving = buckets.select(*parents, field)
         child_base = df.join(F.broadcast(surviving), [*parents, field], "left_semi")
         for name, s in subs.items():
-            child = json_facet(child_base, s, _parents=[*parents, field])
+            cb = _child_base(
+                s, child_base,
+                lambda re: re.join(
+                    F.broadcast(surviving), [*parents, field], "left_semi"
+                ),
+            )
+            child = json_facet(cb, _strip_domain(s), _parents=[*parents, field])
             for ck, cv in child.items():
                 out[name if ck == "buckets" else f"{name}.{ck}"] = cv
     return out

@@ -30,6 +30,25 @@ from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT
 from solr_spark.query.parser import search
 
 
+def optional_under_required(
+    domain: DataFrame, should_parts: Sequence[DataFrame]
+) -> DataFrame:
+    """Lucene BooleanQuery combination when required clauses exist
+    (ReqOptSumScorer): every ``domain`` doc matches; its score is the sum
+    of whichever optional (SHOULD) streams it also matches, 0 when none.
+    Shared by `{!bool}` and the XML BooleanQuery so the semantics cannot
+    drift between the two grammars."""
+    if not should_parts:
+        return domain.select("docid", F.lit(0.0).alias("score"))
+    allc = should_parts[0].select("docid", "score")
+    for p in should_parts[1:]:
+        allc = allc.unionByName(p.select("docid", "score"))
+    opt = allc.groupBy("docid").agg(F.sum("score").alias("_opt"))
+    return domain.join(opt, "docid", "left").select(
+        "docid", F.coalesce(F.col("_opt"), F.lit(0.0)).alias("score")
+    )
+
+
 def bool_query(
     index: IndexTables,
     must: Sequence[str] = (),
@@ -73,25 +92,13 @@ def bool_query(
         )
     elif filter_sets:
         # Required clauses exist (FILTER counts as required in Lucene's
-        # BooleanQuery), so SHOULD becomes purely optional: every doc in
-        # the filter intersection matches, scoring the sum of whichever
-        # should clauses it also matches (0 when none — ReqOptSumScorer).
+        # BooleanQuery), so SHOULD becomes purely optional (filter-only
+        # bool: matches score 0 — FilterQuery).
         domain = filter_sets[0]
         for s in filter_sets[1:]:
             domain = domain.join(s, "docid", "left_semi")
         filter_sets = []
-        if should:
-            su = [sub(q) for q in should]
-            allc = su[0]
-            for p in su[1:]:
-                allc = allc.unionByName(p)
-            opt = allc.groupBy("docid").agg(F.sum("score").alias("_opt"))
-            scored = domain.join(opt, "docid", "left").select(
-                "docid", F.coalesce(F.col("_opt"), F.lit(0.0)).alias("score")
-            )
-        else:
-            # filter-only bool: matches score 0 (FilterQuery)
-            scored = domain.select("docid", F.lit(0.0).alias("score"))
+        scored = optional_under_required(domain, [sub(q) for q in should])
     elif should:
         # no required clause: at least one SHOULD must match
         su = [sub(q) for q in should]

@@ -17,6 +17,8 @@ docid-dominated keys; the weight table is broadcast.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -113,9 +115,6 @@ def dismax_score_df(
     if mm > 1:
         scored = scored.where(F.col("n_matched") >= mm)
     return scored.select("docid", "score")
-
-
-from collections.abc import Sequence
 
 
 def dismax_search(

@@ -211,13 +211,8 @@ def ltr_feature_log(
     ).limit(rerank_docs)
     if doc_features is not None:
         window = window.join(doc_features, "docid", "left")
-    nf = _normed(features, norms)
-    return window.select(
-        "docid",
-        "score",
-        *[F.coalesce(c.cast("double"), F.lit(0.0)).alias(n)
-          for n, c in nf.items()],
-    )
+    nf = _normed(features, norms)  # _normed already applies the 0.0 default
+    return window.select("docid", "score", *[c.alias(n) for n, c in nf.items()])
 
 
 def ltr_rerank(

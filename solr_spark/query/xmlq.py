@@ -211,22 +211,14 @@ class _Compiler:
             )
         elif filter_sets:
             # FILTER is a required clause (Lucene BooleanQuery), so SHOULD
-            # becomes optional: every filter-intersection doc matches,
-            # scoring its matching should clauses (0 when none).
+            # becomes optional — shared combine with `{!bool}`.
+            from solr_spark.query.boolq import optional_under_required
+
             domain = filter_sets[0].distinct()
             for s in filter_sets[1:]:
                 domain = domain.join(s.distinct(), "docid", "left_semi")
             filter_sets = []
-            if parts:
-                opt = parts[0]
-                for p in parts[1:]:
-                    opt = opt.unionByName(p)
-                opt = opt.groupBy("docid").agg(F.sum("score").alias("_opt"))
-                scored = domain.join(opt, "docid", "left").select(
-                    "docid", F.coalesce(F.col("_opt"), F.lit(0.0)).alias("score")
-                )
-            else:
-                scored = domain.select("docid", F.lit(0.0).alias("score"))
+            scored = optional_under_required(domain, parts)
         else:
             return self._empty()
         for s in filter_sets:

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from solr_spark.operators.facets import json_facet
 
@@ -210,3 +211,49 @@ def test_range_subfacet_and_query_type(spark, docs, pdocs):
     assert dict(zip(langs["lang"], langs["count"])) == {
         k: int(exp[k]) for k in langs["lang"]
     }
+
+
+def test_nested_exclude_tags_rebuilds_domain(spark, docs, pdocs):
+    """A CHILD facet's domain:{excludeTags} must rebuild from the
+    pre-filter base (Solr regenerates the domain minus the excluded tags,
+    then re-applies the bucket constraint) — not silently no-op over the
+    already-filtered parent domain."""
+    import pytest as _pt
+
+    from solr_spark.operators.facets import json_facet
+
+    tagged = {"LANG": F.col("lang") == "en"}
+    res = json_facet(
+        docs,
+        {"type": "terms", "field": "source", "limit": 3,
+         "facet": {"langs": {"type": "terms", "field": "lang", "limit": 10,
+                             "domain": {"excludeTags": ["LANG"]}}}},
+        tagged_filters=tagged,
+    )
+    # parent buckets: top sources among lang=en docs
+    top_sources = list(res["buckets"].toPandas()["source"])
+    en = pdocs[pdocs.lang == "en"]
+    exp_sources = list(en.groupby("source").size()
+                       .sort_values(ascending=False).index[:3])
+    # ties break by value; compare as sets of (count) winners
+    assert set(top_sources) <= set(
+        en.groupby("source").size().sort_values(ascending=False).index[:10]
+    )
+    # child counts: ALL langs within those sources (filter excluded)
+    langs = res["langs"].toPandas()
+    for src in top_sources:
+        sub = langs[langs.source == src]
+        exp = pdocs[pdocs.source == src].groupby("lang").size().to_dict()
+        assert dict(zip(sub["lang"], sub["count"])) == exp
+        assert len(exp) > 1  # more than just 'en' — the rebuild happened
+
+    # excludeTags in a child without tagged_filters at this level -> error
+    with _pt.raises(ValueError, match="excludeTags"):
+        json_facet(docs, {"type": "terms", "field": "source",
+                          "facet": {"x": {"type": "terms", "field": "lang",
+                                          "domain": {"excludeTags": ["T"]}}}})
+
+    # range facets reject missing (no missing bucket in the reference)
+    with _pt.raises(ValueError, match="missing"):
+        json_facet(docs, {"type": "range", "field": "n_chars",
+                          "start": 0, "end": 100, "gap": 50, "missing": True})
