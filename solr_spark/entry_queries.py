@@ -782,6 +782,31 @@ def pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_facet(_t(spark, sf_dir, "documents"), ["lang", "source"])
 
 
+@register(
+    "facet2d_lang_source",
+    """
+WITH base AS (SELECT lang, source, count(*) AS count FROM documents GROUP BY 1, 2),
+xtop AS (SELECT lang FROM (SELECT lang, sum(count) AS xm FROM base GROUP BY 1)
+         ORDER BY xm DESC, lang ASC LIMIT 3),
+ranked AS (SELECT b.lang, b.source, b.count,
+           row_number() OVER (PARTITION BY b.lang
+                              ORDER BY b.count DESC, b.source ASC) AS r
+           FROM base b JOIN xtop USING (lang))
+SELECT lang, source, count FROM ranked WHERE r <= 2
+ORDER BY lang, count DESC, source
+""",
+)
+def facet2d_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet2D stream: top-3 langs by count, top-2 sources within each —
+    both levels metric-sorted and limited (Facet2DStream.java:55), unlike
+    the exhaustive value-ordered pivot above."""
+    from solr_spark.operators.facets import facet2d
+
+    return facet2d(
+        _t(spark, sf_dir, "documents"), "lang", "source", dim_x=3, dim_y=2
+    )
+
+
 # --- collapse / expand / grouping (SURVEY §2.5) -----------------------------
 
 
@@ -2568,6 +2593,40 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, "text", "doc_id", k=32)
     return minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+
+
+@register(
+    "incremental_minhash_dedup",
+    f"""
+WITH {_SH},
+params(i, a, b) AS (VALUES {_minhash_params_sql()}),
+mh AS (
+  SELECT doc_id, i, min((a * h + b) % 2305843009213693951::HUGEINT)::BIGINT AS mh
+  FROM sh, params GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 4 AS band, string_agg(mh, '-' ORDER BY i) AS sig
+  FROM mh GROUP BY doc_id, i // 4)
+SELECT n.doc_id AS doc_id, count(DISTINCT c.doc_id) AS n_dup_of
+FROM bands n JOIN bands c ON n.band = c.band AND n.sig = c.sig
+WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+GROUP BY 1 ORDER BY 1
+""",
+)
+def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the new batch (doc_id % 10 == 0) deduped
+    against the existing corpus (the rest) via stored MinHash band
+    signatures — per new doc, how many DISTINCT corpus docs collide."""
+    from solr_spark.functions.dedup import incremental_lsh_dedup, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "text", "doc_id", k=32)
+    out = incremental_lsh_dedup(
+        sigs.where(F.col("id") % 10 == 0),
+        sigs.where(F.col("id") % 10 != 0),
+        bands=8,
+        rows_per_band=4,
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_dup_of").orderBy("doc_id")
 
 
 @register(

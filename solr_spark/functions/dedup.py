@@ -155,16 +155,9 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
-) -> DataFrame:
-    """Candidate near-dup pairs from LSH banding over signatures.
-
-    Docs sharing the full r-row signature of ANY band collide. Returns
-    distinct (id_a < id_b, n_bands) — n_bands = number of colliding bands
-    (a cheap confidence proxy). Verify candidates with ngram_jaccard_pairs
-    or the minhash Jaccard estimate."""
-    banded = sigs.select(
+def _band_sigs(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, sig) — one row per (doc, band); the banded LSH key."""
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -184,6 +177,49 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", "bs.band", "bs.sig")
+
+
+def incremental_lsh_dedup(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST an existing corpus (the incremental
+    crawl-ingest shape: the corpus signatures are precomputed and stored;
+    only the new batch is shingled+hashed this run).
+
+    Returns one row per new doc: (id, n_dup_of) — n_dup_of = number of
+    DISTINCT corpus docs sharing at least one full band signature; 0 rows
+    are docs with no candidate (keep), n_dup_of >= 1 are candidates to
+    verify/drop. New-vs-new duplicates are minhash_lsh_pairs on the batch.
+
+    Shape at scale: the join key is (band, sig) — corpus side shuffles
+    once per ingest on that key (or is bucket-stored on it between
+    ingests); never an all-pairs comparison, and the small new batch
+    never forces a corpus re-scan of text.
+    """
+    nb = _band_sigs(new_sigs, bands, rows_per_band)
+    cb = _band_sigs(corpus_sigs, bands, rows_per_band).select(
+        F.col("id").alias("corpus_id"), "band", "sig"
+    )
+    return (
+        nb.join(cb, ["band", "sig"])
+        .groupBy("id")
+        .agg(F.countDistinct("corpus_id").alias("n_dup_of"))
+    )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs from LSH banding over signatures.
+
+    Docs sharing the full r-row signature of ANY band collide. Returns
+    distinct (id_a < id_b, n_bands) — n_bands = number of colliding bands
+    (a cheap confidence proxy). Verify candidates with ngram_jaccard_pairs
+    or the minhash Jaccard estimate."""
+    banded = _band_sigs(sigs, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -270,6 +270,44 @@ def pivot_facet(
     """
     out = df.groupBy(*fields).agg(F.count("*").alias("count"))
     return out.orderBy(*[F.col(f).asc() for f in fields])
+
+
+def facet2d(
+    df: DataFrame,
+    x: str,
+    y: str,
+    dim_x: int = 10,
+    dim_y: int = 10,
+    metric: Column | None = None,
+    metric_name: str = "count",
+) -> DataFrame:
+    """Facet2DStream: top ``dim_x`` x-buckets by the metric, then within
+    each the top ``dim_y`` y-buckets (solrj io/stream/Facet2DStream.java:55
+    — it issues a JSON terms facet on x, limit dimensionX, sorted metric
+    desc, with a nested terms facet on y, limit dimensionY).
+
+    Differs from ``pivot_facet``: both levels are METRIC-sorted and
+    -limited, not value-ordered and exhaustive.
+
+    Shape at scale: ONE (x, y) groupBy shuffle; the x-level totals are a
+    re-aggregation of those (tiny) buckets; the surviving x set is
+    broadcast back as a semi-join; the per-x window ranks at most
+    dim_x * |y| bucket rows, never raw rows.
+    """
+    m = metric if metric is not None else F.count("*")
+    base = df.groupBy(x, y).agg(m.alias(metric_name))
+    xtot = base.groupBy(x).agg(F.sum(metric_name).alias("_xm"))
+    topx = xtot.orderBy(F.col("_xm").desc(), F.col(x).asc()).limit(dim_x)
+    pruned = base.join(F.broadcast(topx.select(x)), x, "left_semi")
+    w = Window.partitionBy(x).orderBy(
+        F.col(metric_name).desc(), F.col(y).asc()
+    )
+    return (
+        pruned.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= dim_y)
+        .drop("_r")
+        .orderBy(x, F.col(metric_name).desc(), y)
+    )
 
 
 def field_stats(

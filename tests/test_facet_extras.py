@@ -376,3 +376,56 @@ def test_timeseries_quarter_gapfill(spark):
     ).toPandas()
     assert len(out) == 4                      # full quarter spine
     assert list(out["count"]) == [1, 0, 1, 0]
+
+
+def test_facet2d_metric_sorted_both_levels(docs, pdocs):
+    from solr_spark.operators.facets import facet2d
+
+    out = facet2d(docs, "lang", "source", dim_x=3, dim_y=2).toPandas()
+    xtop = list(
+        pdocs.groupby("lang").size()
+        .reset_index(name="n")
+        .sort_values(["n", "lang"], ascending=[False, True])["lang"][:3]
+    )
+    assert sorted(out["lang"].unique()) == sorted(xtop)
+    for lang in xtop:
+        sub = out[out["lang"] == lang]
+        assert len(sub) <= 2
+        exp = (
+            pdocs[pdocs.lang == lang].groupby("source").size()
+            .reset_index(name="n")
+            .sort_values(["n", "source"], ascending=[False, True])[:2]
+        )
+        assert list(sub["source"]) == list(exp["source"])
+        assert list(sub["count"]) == list(exp["n"])
+
+
+def test_incremental_dedup_matches_pairwise_lsh(docs):
+    from solr_spark.functions.dedup import (
+        incremental_lsh_dedup,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, "text", "doc_id", k=32).cache()
+    new = sigs.where(F.col("id") % 10 == 0)
+    corpus = sigs.where(F.col("id") % 10 != 0)
+    inc = incremental_lsh_dedup(new, corpus).toPandas()
+
+    # oracle: the full pairwise LSH restricted to (new, corpus) pairs
+    pairs = minhash_lsh_pairs(sigs).toPandas()
+    cross = {}
+    for _, r in pairs.iterrows():
+        for a, b in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            if a % 10 == 0 and b % 10 != 0:
+                cross[a] = cross.get(a, 0) + 1
+    got = dict(zip(inc["id"], inc["n_dup_of"]))
+    assert got == cross
+
+    # a brand-new unique doc collides with nothing
+    solo = docs.sparkSession.createDataFrame(
+        [(999983, "zxq wvut unique never seen shingle text qqq zz yy xx ww vv")],
+        ["doc_id", "text"],
+    )
+    s2 = minhash_signatures(solo, "text", "doc_id", k=32)
+    assert incremental_lsh_dedup(s2, corpus).count() == 0
