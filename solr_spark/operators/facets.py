@@ -295,8 +295,16 @@ def facet2d(
     dim_x * |y| bucket rows, never raw rows.
     """
     m = metric if metric is not None else F.count("*")
-    base = df.groupBy(x, y).agg(m.alias(metric_name))
-    xtot = base.groupBy(x).agg(F.sum(metric_name).alias("_xm"))
+    # Facets never emit null buckets: a frequent NULL must neither win a
+    # dim_x slot (it would then vanish in the semi-join, silently returning
+    # fewer buckets) nor appear as a y bucket.
+    dom = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    base = dom.groupBy(x, y).agg(m.alias(metric_name))
+    # The x-level sort metric is the metric over the WHOLE x bucket (the
+    # reference's outer JSON terms facet) — NOT a sum of per-(x,y) values,
+    # which diverges for non-additive metrics (avg/min/max/unique). Two
+    # aggregations over the same scan; both are bucket-sized.
+    xtot = dom.groupBy(x).agg(m.alias("_xm"))
     topx = xtot.orderBy(F.col("_xm").desc(), F.col(x).asc()).limit(dim_x)
     pruned = base.join(F.broadcast(topx.select(x)), x, "left_semi")
     w = Window.partitionBy(x).orderBy(
@@ -542,11 +550,14 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
         ).cast("double")
         df = df.where((x >= start) & (x < end)).withColumn(bname, bucket)
         # children rebuilding their domain (excludeTags) semi-join on the
-        # bucket column — give the pre-filter base the same synthetic col
-        base = base.withColumn(bname, bucket)
+        # bucket column — give the pre-filter base the same synthetic col,
+        # AND the same [start, end) restriction (otherwise rows beyond end
+        # that share the trailing partial bucket's floor value would leak
+        # into rebuilt child domains).
+        base = base.where((x >= start) & (x < end)).withColumn(bname, bucket)
         field = bname
-        limit = spec.get("limit", 10_000)  # ranges are not limited by default
-        mincount = spec.get("mincount", 1)  # observed buckets (no spine)
+        limit = spec.get("limit")  # None — Solr ranges have no limit
+        mincount = spec.get("mincount", 0)  # FacetRange default: full spine
         sort = spec.get("sort", "index asc")
     else:
         field = spec["field"]
@@ -554,6 +565,8 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
         mincount = spec.get("mincount", 1)
         sort = spec.get("sort", "count desc")
     offset = spec.get("offset", 0)
+    if limit is not None and limit < 0:
+        limit = None  # Solr: limit:-1 = unlimited
 
     extras: dict[str, DataFrame] = {}
     if spec.get("missing"):
@@ -576,7 +589,23 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
         )
 
     buckets = df.where(F.col(field).isNotNull()).groupBy(*parents, field).agg(*aggs)
-    if mincount > 0:
+    if ftype == "range" and mincount == 0:
+        # FacetRange emits the FULL bucket spine between start and end —
+        # empty buckets appear with count 0 (stats stay null). The spine is
+        # a tiny driver-free sequence; nested facets cross it with the
+        # observed parent combinations.
+        import math
+
+        n_spine = int(math.ceil((end - start) / gap))
+        spine = df.sparkSession.range(n_spine).select(
+            (F.lit(start) + F.col("id") * F.lit(gap)).cast("double").alias(field)
+        )
+        if parents:
+            spine = df.select(*parents).distinct().crossJoin(F.broadcast(spine))
+        buckets = spine.join(buckets, [*parents, field], "left").na.fill(
+            {"count": 0}
+        )
+    elif mincount > 0:
         buckets = buckets.where(F.col("count") >= mincount)
 
     sort_name, _, sort_dir = sort.partition(" ")
@@ -589,12 +618,13 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
 
     if parents:
         # per-parent top-N: rank within each parent bucket
-        from pyspark.sql import Window
-
         w = Window.partitionBy(*parents).orderBy(*order)
+        keep = F.col("_rn") > offset
+        if limit is not None:
+            keep = keep & (F.col("_rn") <= offset + limit)
         buckets = (
             buckets.withColumn("_rn", F.row_number().over(w))
-            .where((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+            .where(keep)
             .drop("_rn")
             .orderBy(*[F.col(p).asc() for p in parents], *order)
         )
@@ -602,7 +632,8 @@ def json_facet(df: DataFrame, spec: dict, _parents: list[str] | None = None,
         buckets = buckets.orderBy(*order)
         if offset:
             buckets = buckets.offset(offset)
-        buckets = buckets.limit(limit)
+        if limit is not None:
+            buckets = buckets.limit(limit)
 
     out: dict[str, DataFrame] = {"buckets": buckets, **extras}
     if subs:

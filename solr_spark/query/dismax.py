@@ -141,10 +141,12 @@ def dismax_search(
     scored = dismax_score_df(indexes, query, qf=qf, tie=tie, mm=mm, k1=k1, b=b)
     for i, bdf in enumerate(boosts):
         bcol = f"_boost{i}"
+        # A boost stream may carry several rows per docid (e.g. a union of
+        # boost queries); Lucene's SHOULD siblings SUM — pre-aggregate so
+        # the left join can't fan out the match set.
+        bagg = bdf.groupBy("docid").agg(F.sum("score").alias(bcol))
         scored = (
-            scored.join(
-                bdf.select("docid", F.col("score").alias(bcol)), "docid", "left"
-            )
+            scored.join(bagg, "docid", "left")
             .withColumn(
                 "score", F.col("score") + F.coalesce(F.col(bcol), F.lit(0.0))
             )

@@ -257,3 +257,66 @@ def test_nested_exclude_tags_rebuilds_domain(spark, docs, pdocs):
     with _pt.raises(ValueError, match="missing"):
         json_facet(docs, {"type": "range", "field": "n_chars",
                           "start": 0, "end": 100, "gap": 50, "missing": True})
+
+
+def test_range_spine_default_and_exclude_leak(spark):
+    """FacetRange defaults: full bucket spine (empty buckets, count 0) and
+    a rebuilt (excludeTags) child domain that must NOT leak rows beyond
+    `end` that share the trailing partial bucket's floor value."""
+    from solr_spark.operators.facets import json_facet
+
+    rows = [
+        (10, "en"), (110, "en"),           # buckets 0 and 100
+        (210, "en"), (220, "en"),          # bucket 200 (partial: end=250)
+        (260, "fr"), (270, "fr"),          # BEYOND end — same floor bucket
+    ]
+    df = spark.createDataFrame(rows, ["n_chars", "lang"])
+
+    res = json_facet(
+        df,
+        {"type": "range", "field": "n_chars", "start": 0, "end": 250,
+         "gap": 100, "key": "bucket",
+         "facet": {"langs": {"type": "terms", "field": "lang",
+                             "domain": {"excludeTags": ["LANG"]}}}},
+        tagged_filters={"LANG": F.col("lang") == "en"},
+    )
+    b = res["buckets"].toPandas().sort_values("bucket")
+    # spine: ceil(250/100) = 3 buckets, all emitted
+    assert list(b["bucket"]) == [0.0, 100.0, 200.0]
+    assert list(b["count"]) == [1, 1, 2]
+    langs = res["langs"].toPandas()
+    # the rebuilt child domain must not contain the fr rows at 260/270
+    assert "fr" not in set(langs["lang"])
+    assert langs[langs.bucket == 200.0]["count"].sum() == 2
+
+    # explicit mincount>0 suppresses the spine (observed buckets only)
+    df2 = spark.createDataFrame([(10, "en"), (510, "en")], ["n_chars", "lang"])
+    res2 = json_facet(df2, {"type": "range", "field": "n_chars",
+                            "start": 0, "end": 600, "gap": 100,
+                            "key": "bucket", "mincount": 1})
+    assert len(res2["buckets"].toPandas()) == 2
+    # default: the full 6-bucket spine
+    res3 = json_facet(df2, {"type": "range", "field": "n_chars",
+                            "start": 0, "end": 600, "gap": 100,
+                            "key": "bucket"})
+    p3 = res3["buckets"].toPandas()
+    assert len(p3) == 6 and int(p3["count"].sum()) == 2
+
+
+def test_facet2d_nonadditive_metric_and_nulls(spark):
+    from solr_spark.operators.facets import facet2d
+
+    # x=a: three y-buckets each avg 10 (sum of per-y avgs 30); x=b: one
+    # y-bucket avg 20. Metric-sorted x must pick b (whole-bucket avg).
+    rows = [("a", "y1", 10.0), ("a", "y2", 10.0), ("a", "y3", 10.0),
+            ("b", "z1", 20.0)]
+    df = spark.createDataFrame(rows, ["x", "y", "price"])
+    out = facet2d(df, "x", "y", dim_x=1, dim_y=5,
+                  metric=F.avg("price"), metric_name="avg_price").toPandas()
+    assert set(out["x"]) == {"b"}
+
+    # a frequent NULL x must not consume a dim_x slot
+    rows2 = [(None, "s", 1)] * 3 + [("en", "s", 1)] * 2 + [("de", "s", 1)]
+    df2 = spark.createDataFrame(rows2, ["lang", "source", "v"])
+    out2 = facet2d(df2, "lang", "source", dim_x=2, dim_y=2).toPandas()
+    assert set(out2["lang"]) == {"en", "de"}

@@ -350,3 +350,18 @@ def test_gather_nodes_traversal_filter_and_maxdf(spark):
     assert abs(got["x"] - (math.log(4) + 1) * (math.log(100 / 10) + 1)) < 1e-9
     # absent from stats -> docFreq 0
     assert abs(got["y"] - (math.log(1) + 1) * (math.log(100 / 1) + 1)) < 1e-9
+
+
+def test_dismax_boost_with_duplicate_docids_sums(multi, spark):
+    """A boost stream carrying several rows per docid must SUM into the
+    match (Lucene SHOULD siblings), not fan out the joined row."""
+    base = dismax_search({"text": multi["text"]}, "spark join", k=10)
+    b = [(r.docid, 1.5) for r in base.collect()[:2]]
+    dup_boost = spark.createDataFrame(b + b, ["docid", "score"])  # 2x each
+    out = dismax_search({"text": multi["text"]}, "spark join", k=10,
+                        boosts=[dup_boost]).toPandas()
+    assert out["docid"].is_unique
+    got = dict(zip(out["docid"], out["score"]))
+    want = {r.docid: r.score for r in base.collect()}
+    for d, _ in b:
+        assert abs(got[d] - (want[d] + 3.0)) < 1e-9  # 1.5 summed twice
