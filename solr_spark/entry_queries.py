@@ -2444,6 +2444,81 @@ def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bq_ann_top10",
+    f"""
+WITH bits AS (
+  SELECT vec_id, embedding,
+         sum(CASE WHEN embedding[j + 1] > 0 THEN (1::BIGINT << j) ELSE 0 END) AS lo,
+         sum(CASE WHEN embedding[j + 33] > 0 THEN (1::BIGINT << j) ELSE 0 END) AS hi
+  FROM embeddings, unnest(range(0, 32)) AS t(j)
+  GROUP BY vec_id, embedding),
+qb AS (SELECT lo, hi, embedding FROM bits WHERE vec_id = 0),
+coarse AS (
+  SELECT b.vec_id,
+         (bit_count(xor(b.lo, q.lo)) + bit_count(xor(b.hi, q.hi)))::INT AS hamming
+  FROM bits b, qb q WHERE b.vec_id <> 0
+  ORDER BY hamming ASC, b.vec_id ASC LIMIT 100)
+SELECT c.vec_id, c.hamming, {_sql_scaled(_COS)} AS sim_x10k
+FROM coarse c JOIN embeddings e USING (vec_id), qb q
+ORDER BY sim_x10k DESC, vec_id ASC LIMIT 10
+""",
+)
+def bq_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: 64-dim floats packed to two 32-bit sign words
+    (32x smaller scan), coarse top-100 by Hamming, exact cosine rerank to
+    top-10. The coarse phase reads only the packed words at scale."""
+    from solr_spark.functions.ann import bq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(v)
+        for v in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    out = bq_topk(e.where(F.col("vec_id") != 0), qv, k=10, rerank=100)
+    return out.select(
+        "vec_id", F.col("hamming").cast("int").alias("hamming"),
+        scaled("sim").alias("sim_x10k"),
+    ).orderBy(F.col("sim_x10k").desc(), F.col("vec_id").asc())
+
+
+@register(
+    "chunk_documents",
+    """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+p AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         1 + greatest(0, cast(ceil((len(toks) - 64) / 48.0) AS INT)) AS n_chunks
+  FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, j AS chunk_id,
+         cast(least(j * 48, greatest(n - 64, 0)) AS INT) AS s, n, toks
+  FROM p, unnest(range(0, n_chunks)) AS u(j))
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       least(n - s, 64)::INT AS n_tokens,
+       array_to_string(toks[s + 1 : s + 64], ' ') AS chunk
+FROM c ORDER BY doc_id, chunk_id
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 64-token chunks, 16-token overlap — the
+    long-document -> model-sized-pieces training-data prep step; one
+    explode, zero shuffles."""
+    from solr_spark.functions.textstats import chunk_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_tokens(d, "text", "doc_id", size=64, overlap=16)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "chunk",
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
     "knn_label_vote",
     f"""
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),

@@ -128,3 +128,56 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, n: int = 3,
             "fingerprint"
         ),
     )
+
+
+def chunk_tokens(
+    df: DataFrame, text_col: str, id_col: str,
+    size: int = 256, overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking — the training-data prep step that
+    turns long documents into model-sized pieces: chunks of ``size``
+    whitespace-ish tokens with ``overlap`` tokens shared between
+    consecutive chunks (stride = size - overlap). The last chunk is pulled
+    back so every token is covered exactly once by some chunk and no chunk
+    exceeds ``size``.
+
+    Returns (id, chunk_id, n_tokens, chunk) — one row per chunk; docs with
+    zero tokens emit no rows.
+
+    Shape at scale: one narrow projection per doc (tokenize + arithmetic,
+    all JVM expressions), then ONE explode of the per-doc chunk array — no
+    shuffle at all; output partitioning follows the input, so a downstream
+    repartition only happens if the caller asks for it.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ..., last = ceil((n-size)/stride)
+    # (clamped to >= 0) so the tail never spills past the token list
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0), F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int")
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.least(i * F.lit(stride), F.greatest(n - F.lit(size), F.lit(0))),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s + 1, size), " ").alias("chunk"),
+            F.least(n - s, F.lit(size)).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.where(n > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(chunks).alias("chunk_id", "c"),
+        )
+        .select("id", "chunk_id", F.col("c.n_tokens").alias("n_tokens"),
+                F.col("c.chunk").alias("chunk"))
+    )

@@ -476,3 +476,63 @@ def test_hyperplane_band_sigs_shape(spark):
     # recompute band 0 with numpy signs
     want = sum((1 << p) for p in range(4) if float(np.ones(8) @ planes[p]) >= 0)
     assert sigs[0] == want
+
+
+def test_sign_bits_and_bq_recall(spark, embeddings):
+    import numpy as np
+
+    from solr_spark.functions.ann import (
+        WORD_BITS, _query_sign_words, bq_topk, cosine_topk, sign_bits,
+    )
+
+    rows = embeddings.limit(3).collect()
+    for r in rows:
+        v = list(r.embedding)
+        got = (
+            embeddings.where(F.col("vec_id") == r.vec_id)
+            .select(sign_bits(F.col("embedding"), len(v)).alias("b"))
+            .first()["b"]
+        )
+        want = _query_sign_words([float(x) for x in v])
+        assert list(got) == want
+        assert len(got) == (len(v) + WORD_BITS - 1) // WORD_BITS
+
+    qv = [float(x) for x in rows[0].embedding]
+    others = embeddings.where(F.col("vec_id") != rows[0].vec_id)
+    # an identical copy of the query vector is Hamming-0 and cosine-1: the
+    # quantized path must agree with brute force on the top hit
+    bq = bq_topk(others, qv, k=5, rerank=50).toPandas()
+    bf = cosine_topk(others, qv, k=5).toPandas()
+    assert bq.iloc[0]["vec_id"] == bf.iloc[0]["vec_id"]
+    # coarse recall: most of the exact top-5 survive the hamming gate
+    assert len(set(bq["vec_id"]) & set(bf["vec_id"])) >= 3
+
+
+def test_chunk_tokens_coverage_and_overlap(spark):
+    import pytest as _pt
+
+    from solr_spark.functions.textstats import chunk_tokens
+
+    words = " ".join(f"w{i}" for i in range(110))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, ""), (4, "!!! ...")],
+        ["doc_id", "text"],
+    )
+    out = chunk_tokens(df, "text", "doc_id", size=64, overlap=16).toPandas()
+
+    d1 = out[out.id == 1].sort_values("chunk_id")
+    assert len(d1) == 2                       # ceil((110-64)/48)=1 extra
+    toks0 = d1.iloc[0]["chunk"].split()
+    toks1 = d1.iloc[1]["chunk"].split()
+    assert len(toks0) == 64 and d1.iloc[0]["n_tokens"] == 64
+    assert toks1[-1] == "w109"                # tail covered
+    assert len(toks1) == 64                   # pulled-back full window
+    assert set(toks0) | set(toks1) == {f"w{i}" for i in range(110)}
+
+    d2 = out[out.id == 2]
+    assert len(d2) == 1 and d2.iloc[0]["chunk"] == "a b c"
+    assert d2.iloc[0]["n_tokens"] == 3
+    assert set(out["id"]) == {1, 2}           # empty/no-token docs: no rows
+
+    with _pt.raises(ValueError):
+        chunk_tokens(df, "text", "doc_id", size=10, overlap=10)
