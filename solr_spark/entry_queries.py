@@ -2355,6 +2355,41 @@ def grouped_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simple_query_parser",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES ('spark'), ('data')),
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+hits AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT tf.term) = 2),
+filtered AS (
+  SELECT h.doc_id, h.s FROM hits h
+  WHERE h.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'python'))
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM filtered
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def simple_query_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!simple}` (SimpleQParserPlugin -> Lucene SimpleQueryParser):
+    `spark + data -python` — the search-box grammar (`+` infix AND, `-`
+    negation, total leniency) lowered onto the shared grammar engine."""
+    from solr_spark.query.simpleq import simple_query
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = simple_query(idx, "spark + data -python", k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+    )
+
+
+
+@register(
     "wand_boolean_query",
     f"""
 WITH {TOKS}, {TF}, {DL},
@@ -4447,6 +4482,44 @@ def payload_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@register(
+    "payload_check_phrase",
+    f"""
+WITH {TOKP},
+t0 AS (SELECT doc_id, pos FROM tokp WHERE term = 'spark'),
+t1 AS (SELECT doc_id, pos FROM tokp WHERE term = 'data')
+SELECT t0.doc_id, count(*)::INT AS matches
+FROM t0 JOIN t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+WHERE (t0.pos % 5) >= 2 AND (t1.pos % 5) >= 2
+GROUP BY 1 ORDER BY 1
+""",
+)
+def payload_check_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!payload_check}` (SpanPayloadCheckQuery): docs with an adjacent
+    "spark data" occurrence whose payloads (position mod 5, as in
+    payload_score above) are BOTH >= 2 (op=gte payloads='2 2')."""
+    from solr_spark.functions.dedup import tokens_col
+    from solr_spark.query.payload import delimited_payload_postings, payload_check
+
+    docs = _t(spark, sf_dir, "documents")
+    ptext = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                tokens_col(F.col("text")),
+                lambda t, i: F.concat(t, F.lit("|"), (i % 5).cast("string")),
+            ),
+        ).alias("ptext"),
+    )
+    pp = delimited_payload_postings(ptext, id_col="doc_id", text_col="ptext")
+    out = payload_check(pp, ["spark", "data"], [2.0, 2.0], op="gte")
+    return out.select(
+        F.col("docid").alias("doc_id"),
+        F.col("matches").cast("int").alias("matches"),
+    ).orderBy("doc_id")
 
 
 @register(

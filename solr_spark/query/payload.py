@@ -123,3 +123,70 @@ def payload_score(
     for name, fn in (extra_funcs or {}).items():
         cols.append(_payload_fn(fn)(F.col("payloads")).alias(name))
     return base.select(*cols)
+
+
+_CHECK_OPS = {
+    "eq": lambda a, b: a == b,
+    "gt": lambda a, b: a > b,
+    "gte": lambda a, b: a >= b,
+    "lt": lambda a, b: a < b,
+    "lte": lambda a, b: a <= b,
+}
+
+
+def payload_check(
+    payload_postings: DataFrame,
+    terms: list[str],
+    payloads: list[float],
+    op: str = "eq",
+) -> DataFrame:
+    """`{!payload_check f=... v='t0 t1 ...' payloads='p0 p1 ...' op=eq}`
+    (PayloadCheckQParserPlugin.java:45 -> Lucene SpanPayloadCheckQuery):
+    docs containing an ADJACENT occurrence of the term sequence whose
+    payload at every position i satisfies ``payload_i <op> payloads[i]``.
+    Returns (docid, matches) — matches = number of qualifying occurrences
+    (the reference scores the underlying span; the match set is what the
+    check adds and what this returns).
+
+    Plan: one docid-keyed join per extra term over term-pruned postings
+    rows (positions+payloads ride inside each row as arrays — the same
+    packed shape the phrase path uses), then the occurrence check is a
+    single JVM filter over the first term's position array. Per-query IO
+    is O(postings of the query terms); no explode, no shuffle beyond the
+    k-way join.
+    """
+    if len(terms) != len(payloads):
+        raise ValueError("need one payload per term")
+    if op not in _CHECK_OPS:
+        raise ValueError(f"unknown op {op!r}; one of {sorted(_CHECK_OPS)}")
+    cmp = _CHECK_OPS[op]
+
+    base = payload_postings.where(
+        F.col("term") == terms[0].lower()
+    ).select(
+        "docid",
+        F.col("positions").alias("pos0"),
+        F.col("payloads").alias("pay0"),
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        ti = payload_postings.where(F.col("term") == t.lower()).select(
+            "docid",
+            F.col("positions").alias(f"pos{i}"),
+            F.col("payloads").alias(f"pay{i}"),
+        )
+        base = base.join(ti, "docid")
+
+    def occ_ok(p: Column) -> Column:
+        cond = F.lit(True)
+        for i in range(len(terms)):
+            idx = F.array_position(F.col(f"pos{i}"), p + i)
+            pay_i = F.element_at(F.col(f"pay{i}"), idx.cast("int"))
+            ok = cmp(pay_i, F.lit(float(payloads[i])))
+            cond = cond & (idx > 0) & ok
+        return cond
+
+    matches = F.size(F.filter(F.col("pos0"), occ_ok))
+    return (
+        base.select("docid", matches.alias("matches"))
+        .where(F.col("matches") > 0)
+    )

@@ -365,3 +365,35 @@ def test_dismax_boost_with_duplicate_docids_sums(multi, spark):
     want = {r.docid: r.score for r in base.collect()}
     for d, _ in b:
         assert abs(got[d] - (want[d] + 3.0)) < 1e-9  # 1.5 summed twice
+
+
+def test_payload_check_phrase_ops(spark):
+    """SpanPayloadCheckQuery: adjacency + per-position payload predicate."""
+    import pytest as _pt
+
+    from solr_spark.query.payload import delimited_payload_postings, payload_check
+
+    rows = [
+        (1, "alpha|3 beta|4 gamma|1"),     # alpha beta adjacent, pays 3,4
+        (2, "alpha|1 beta|4"),             # pay0=1 fails gte 2
+        (3, "alpha|3 zzz|9 beta|4"),       # not adjacent
+        (4, "alpha|5 beta|1 alpha|3 beta|3"),  # occ1: beta 1 fails; occ2 ok
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ptext"])
+    pp = delimited_payload_postings(df, id_col="doc_id", text_col="ptext")
+
+    out = payload_check(pp, ["alpha", "beta"], [2.0, 2.0], op="gte").toPandas()
+    got = dict(zip(out["docid"], out["matches"]))
+    assert got == {1: 1, 4: 1}
+
+    eq = payload_check(pp, ["alpha", "beta"], [3.0, 4.0], op="eq").toPandas()
+    assert dict(zip(eq["docid"], eq["matches"])) == {1: 1}
+
+    lt = payload_check(pp, ["alpha"], [4.0], op="lt").toPandas()
+    # single term: count of alpha occurrences with payload < 4
+    assert dict(zip(lt["docid"], lt["matches"])) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    with _pt.raises(ValueError):
+        payload_check(pp, ["a", "b"], [1.0], op="eq")
+    with _pt.raises(ValueError):
+        payload_check(pp, ["a"], [1.0], op="between")
