@@ -2115,6 +2115,48 @@ CATALOG["phrase_adjacency"] = Entry(
     fn=_mk_phrase("part filter scan", 0),
     sql=_phrase_sql(analyze("part filter scan", "simple"), 0),
 )
+
+
+@register("field_query_phrase", _phrase_sql(analyze("Fast, MERGE!", "simple"), 0))
+def field_query_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!field f=text}Fast, MERGE!` (FieldQParserPlugin.java): the value
+    is ANALYZED (punctuation stripped, lowercased) and, being multi-token,
+    becomes an exact adjacent PhraseQuery — closing the thin-parser
+    registry tail with {!raw}/{!query}/{!filters}
+    (query/thinparsers.py)."""
+    from solr_spark.query.thinparsers import field_query
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = field_query(idx, "Fast, MERGE!", analyzer="simple", k=10)
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+    )
+
+
+@register(
+    "filters_tagged_fq",
+    """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+ORDER BY doc_id LIMIT 20
+""",
+)
+def filters_tagged_fq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{!filters param=$fqs excludeTags=SRC}` (FiltersQParserPlugin.java):
+    AND of the tagged fq list minus the excluded tag; conjunctive column
+    predicates Catalyst pushes into one scan."""
+    from solr_spark.query.thinparsers import filters_query
+
+    d = _t(spark, sf_dir, "documents")
+    out = filters_query(
+        d,
+        {"LANG": F.col("lang") == "en",
+         "LEN": F.col("n_chars") >= 200,
+         "SRC": F.col("source").startswith("src1")},
+        exclude_tags=("SRC",),
+    )
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id").limit(20)
 # Sloppy PhraseQuery entries (Lucene SloppyPhraseMatcher semantics): the
 # in-order case plus the TRANSPOSED case — "join spark"~2 must match docs
 # whose text reads "spark join" (matchLength 2, weight 1/3).

@@ -66,3 +66,40 @@ def test_simple_query_matches_lucene_engine(idx):
 def test_simple_query_never_raises(idx):
     for junk in ['"((', "+++", "a + (b | -", ")(", '-"', ""]:
         simple_query(idx, junk, k=5).collect()  # must not raise
+
+
+def test_thin_parsers(spark, idx):
+    """{!field}/{!raw}/{!query}/{!filters} — the registry tail."""
+    from solr_spark.query.parser import search
+    from solr_spark.query.thinparsers import (
+        field_eq, field_query, filters_query, nested_query, raw_eq,
+    )
+
+    # field on the text field: multi-token value -> phrase; 1 token -> term
+    a = [(r.docid, round(r.score, 9))
+         for r in field_query(idx, "Fast, MERGE!", "simple", k=5).collect()]
+    b = [(r.docid, round(r.score, 9))
+         for r in search(idx, '"fast merge"', k=5).collect()]
+    assert a == b and a
+    one = field_query(idx, "SPARK?", "simple", k=5).collect()
+    assert [r.docid for r in one] == [r.docid for r in search(idx, "spark", k=5).collect()]
+    assert field_query(idx, "???", "simple", k=5).count() == 0
+
+    # nested = delegation
+    n = nested_query(idx, "spark AND data", k=5).collect()
+    m = search(idx, "spark AND data", k=5).collect()
+    assert [r.docid for r in n] == [r.docid for r in m]
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # raw: byte equality, no lowercasing — 'EN' matches nothing
+    assert docs.where(raw_eq(docs, "lang", "EN")).count() == 0
+    assert docs.where(field_eq(docs, "lang", "en")).count() > 0
+
+    got = filters_query(
+        docs,
+        {"A": F.col("lang") == "en", "B": F.col("n_chars") >= 200,
+         "C": F.col("source") == "nope"},
+        exclude_tags=("C",),
+    ).count()
+    want = docs.where((F.col("lang") == "en") & (F.col("n_chars") >= 200)).count()
+    assert got == want > 0
