@@ -253,3 +253,47 @@ def test_date_range_facet_one_scan_no_python(spark):
     plan = _plan(out)
     assert plan.count("Scan parquet") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunking_plan_no_shuffle(spark):
+    """chunk_tokens must be a narrow map + one Generate — NO Exchange."""
+    from solr_spark.functions.textstats import chunk_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = chunk_tokens(docs, "text", "doc_id", size=64, overlap=16)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert plan.count("Generate") == 1          # the single posexplode
+
+
+def test_bq_coarse_scan_prunes_float_column(spark, tmp_path_factory):
+    """With precomputed sign words stored alongside the floats, the coarse
+    Hamming phase's parquet scan must NOT read the embedding column (the
+    32x IO saving is the point of binary quantization)."""
+    from solr_spark.functions.ann import hamming_words, sign_bits
+
+    d = str(tmp_path_factory.mktemp("bq") / "vecs")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.withColumn("bits", sign_bits(F.col("embedding"), 64)).write.parquet(d)
+    stored = spark.read.parquet(d)
+
+    qwords = F.array(F.lit(123).cast("long"), F.lit(456).cast("long"))
+    coarse = (
+        stored.select("vec_id", hamming_words(F.col("bits"), qwords).alias("h"))
+        .orderBy("h", "vec_id").limit(100)
+    )
+    plan = _formatted(coarse)
+    assert "ReadSchema" in plan
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schema and all("embedding" not in l for l in scan_schema)
+    assert "TakeOrderedAndProject" in _plan(coarse)
+
+
+def test_facet2d_broadcast_semijoin(spark):
+    from solr_spark.operators.facets import facet2d
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = facet2d(docs, "lang", "source", dim_x=3, dim_y=2)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
