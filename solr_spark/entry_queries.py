@@ -1337,6 +1337,40 @@ def terms_regex_browse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_events",
+    """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS news
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+         sum(news) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM o)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::INT AS n_events,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (30 min) — the batch twin of the
+    applyInPandasWithState streaming sessionizer (streaming/sessions.py);
+    one user_id shuffle, window functions inside the partition."""
+    from solr_spark.streaming.sessions import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    out = sessionize(e, gap_minutes=30)
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    ).orderBy("user_id", "session_start")
+
+
+@register(
     "timeseries_gapfill_daily",
     f"""
 WITH f AS (SELECT * FROM events WHERE event_type = 'purchase' AND value > 200),

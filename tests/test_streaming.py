@@ -110,3 +110,74 @@ def test_windowed_event_counts_batch_semantics(spark):
     # a refinement of the global count).
     assert sum(r.n for r in out) == events.count()
     assert all(r.window_start is not None for r in out)
+
+
+def test_sessionize_batch_oracle(spark):
+    """Batch sessionization vs an independent pandas recomputation."""
+    from solr_spark.streaming.sessions import sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = sessionize(events, gap_minutes=30).toPandas()
+
+    pe = events.select("user_id", "ts", "value").toPandas() \
+        .sort_values(["user_id", "ts"])
+    import pandas as pd
+    exp_rows = []
+    for uid, g in pe.groupby("user_id"):
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gaps.cumsum()
+        for _, s in g.groupby(sid):
+            exp_rows.append((uid, s["ts"].iloc[0], s["ts"].iloc[-1],
+                             len(s), s["value"].sum()))
+    exp = pd.DataFrame(exp_rows, columns=["user_id", "session_start",
+                                          "session_end", "n_events",
+                                          "total_value"])
+    got = out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    exp = exp.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["n_events"].values == exp["n_events"].values).all()
+    assert abs(got["total_value"].values - exp["total_value"].values).max() < 1e-9
+
+
+def test_sessionize_stream_stitches_across_batches(spark, tmp_path_factory):
+    """applyInPandasWithState: sessions spanning micro-batch boundaries
+    must merge via the state store; emitted (closed) sessions must equal
+    the batch sessionizer's closed set."""
+    from solr_spark.streaming.sessions import SESSION_SCHEMA, sessionize, sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("user_id", "ts", "value")
+    # two time-ordered files => sessions at the cut span batches
+    cut = events.selectExpr("percentile_approx(ts, 0.5) p").first()["p"]
+    d = str(tmp_path_factory.mktemp("sess") / "feed")
+    os.makedirs(d, exist_ok=True)
+    events.where(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(d)
+    time.sleep(2)  # distinct mtimes: FileStreamSource feeds oldest first
+    events.where(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = sessionize_stream(stream, gap_minutes=1440)
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessions").toPandas() \
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+    full = sessionize(events, gap_minutes=1440).toPandas()
+    # closed sessions = all but each user's LAST session (still open in state)
+    last_start = full.groupby("user_id")["session_start"].transform("max")
+    exp = full[full["session_start"] != last_start] \
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+    assert len(got) == len(exp) and len(got) > 0
+    assert (got["user_id"].values == exp["user_id"].values).all()
+    assert (got["n_events"].values == exp["n_events"].values).all()
+    assert abs(got["total_value"].values - exp["total_value"].values).max() < 1e-9
+    # the cross-batch evidence: at least one emitted session spans the cut
+    spanning = got[(got["session_start"] <= cut) & (got["session_end"] > cut)]
+    assert len(spanning) > 0
