@@ -2585,11 +2585,18 @@ def bq_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(v)
         for v in e.where(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    out = bq_topk(e.where(F.col("vec_id") != 0), qv, k=10, rerank=100)
-    return out.select(
-        "vec_id", F.col("hamming").cast("int").alias("hamming"),
-        scaled("sim").alias("sim_x10k"),
-    ).orderBy(F.col("sim_x10k").desc(), F.col("vec_id").asc())
+    # k=rerank keeps all 100 coarse survivors so the FINAL cut happens on
+    # the scaled value below — the oracle cuts on sim_x10k, and a raw-sim
+    # cut inside bq_topk could disagree at a 1e-4 rounding tie
+    out = bq_topk(e.where(F.col("vec_id") != 0), qv, k=100, rerank=100)
+    return (
+        out.select(
+            "vec_id", F.col("hamming").cast("int").alias("hamming"),
+            scaled("sim").alias("sim_x10k"),
+        )
+        .orderBy(F.col("sim_x10k").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
 
 
 @register(

@@ -333,11 +333,15 @@ def bq_topk(
         .limit(rerank)
     )
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    exact = vectors.select(
-        F.col(id_col).alias("vec_id"), cosine(F.col(vec_col), q).alias("sim")
+    floats = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     )
+    # cosine is projected ABOVE the join so only the `rerank` survivors'
+    # float vectors are dotted — pushing it below would re-scan and score
+    # the whole table, defeating the coarse phase
     return (
-        coarse.join(exact, "vec_id")
+        coarse.join(floats, "vec_id")
+        .select("vec_id", "hamming", cosine(F.col("_v"), q).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )

@@ -152,9 +152,7 @@ def chunk_tokens(
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
     stride = size - overlap
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
-    )
+    toks = tokens_col(F.col(text_col))  # the shared 'simple' tokenization
     n = F.size(toks)
     # chunk starts: 0, stride, 2*stride, ..., last = ceil((n-size)/stride)
     # (clamped to >= 0) so the tail never spills past the token list

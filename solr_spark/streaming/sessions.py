@@ -105,10 +105,16 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             n, tot = 0, 0.0
         for s in sorted(sid.unique()):
             m = sid == s
-            c_start = ts[m].iloc[0] if s > 0 or s_start is None else s_start
+            if s == 0 and s_start is not None:
+                # a LATE event (older than the carried state) joins the open
+                # session: take min/max so session bounds never run backwards
+                c_start = min(s_start, ts[m].iloc[0])
+                c_end = max(last_ts, ts[m].iloc[-1])
+            else:
+                c_start = ts[m].iloc[0]
+                c_end = ts[m].iloc[-1]
             c_n = int(m.sum()) + (n if s == 0 else 0)
             c_tot = float(val[m].sum()) + (tot if s == 0 else 0.0)
-            c_end = ts[m].iloc[-1]
             if s < sid.max():
                 closed.append((key[0], c_start, c_end, c_n, c_tot))
             else:

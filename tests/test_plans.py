@@ -297,3 +297,17 @@ def test_facet2d_broadcast_semijoin(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bq_rerank_cosine_above_join(spark):
+    """The exact-cosine projection must sit ABOVE the rerank join — only
+    the coarse survivors' float vectors get dotted, never the full table."""
+    from solr_spark.functions.ann import bq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = bq_topk(emb.where(F.col("vec_id") != 0), qv, k=10, rerank=100)
+    plan = _plan(out)
+    ix_join = plan.find("BroadcastHashJoin")
+    ix_cos = plan.find("aggregate(zip_with")
+    assert 0 <= ix_cos < ix_join

@@ -181,3 +181,45 @@ def test_sessionize_stream_stitches_across_batches(spark, tmp_path_factory):
     # the cross-batch evidence: at least one emitted session spans the cut
     spanning = got[(got["session_start"] <= cut) & (got["session_end"] > cut)]
     assert len(spanning) > 0
+
+
+def test_sessionize_stream_late_event_clamps_bounds(spark, tmp_path_factory):
+    """A late (out-of-order across batches) event inside the gap must JOIN
+    the open session without running its bounds backwards."""
+    import pandas as pd
+
+    from solr_spark.streaming.sessions import sessionize_stream
+
+    d = str(tmp_path_factory.mktemp("late") / "feed")
+    os.makedirs(d, exist_ok=True)
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    batches = [
+        [(1, t0, 1.0)],                                          # open @10:00
+        [(1, t0 - pd.Timedelta(minutes=20), 2.0)],               # late 09:40
+        [(1, t0 + pd.Timedelta(minutes=20), 4.0)],               # 10:20 joins
+        [(1, t0 + pd.Timedelta(hours=3), 8.0)],                  # closes it
+    ]
+    for i, rows in enumerate(batches):
+        pdf = spark.createDataFrame(
+            [(u, t.to_pydatetime(), v) for u, t, v in rows],
+            "user_id long, ts timestamp, value double",
+        )
+        pdf.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.2)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = sessionize_stream(stream, gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("late_sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from late_sessions").toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    # one session covering 09:40..10:20 with all 3 events, bounds ordered
+    assert r["session_start"] == t0 - pd.Timedelta(minutes=20)
+    assert r["session_end"] == t0 + pd.Timedelta(minutes=20)
+    assert r["n_events"] == 3 and abs(r["total_value"] - 7.0) < 1e-9
+    assert r["session_start"] <= r["session_end"]
