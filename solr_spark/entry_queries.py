@@ -2823,6 +2823,39 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benchmark_contamination",
+    f"""
+WITH {_SH},
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 20 <> 0)
+SELECT tr.doc_id,
+       count(*)::INT AS n_shingles,
+       sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END)::INT AS n_hit,
+       {_sql_scaled("sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*)")} AS contamination_x10k
+FROM tr LEFT JOIN bench ON tr.h = bench.h
+GROUP BY tr.doc_id ORDER BY tr.doc_id
+""",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: benchmark = doc_id % 20 == 0; for every
+    other doc, the fraction of its distinct 3-gram shingles found anywhere
+    in the benchmark — membership against one broadcast hash set, never a
+    pairwise comparison."""
+    from solr_spark.functions.dedup import contamination_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = contamination_scores(
+        d.where(F.col("doc_id") % 20 != 0),
+        d.where(F.col("doc_id") % 20 == 0),
+        "text", "doc_id", n=3,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_shingles", "n_hit",
+        scaled("contamination").alias("contamination_x10k"),
+    ).orderBy("doc_id")
+
+
+@register(
     "simhash_near_pairs",
     """
 WITH toksd AS (

@@ -538,3 +538,51 @@ def dup_clusters(
         F.col("label").alias("cluster"),
         (F.col("node") == F.col("label")).alias("is_canonical"),
     )
+
+
+# --- decontamination ----------------------------------------------------------
+
+
+def contamination_scores(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Train/test decontamination: per training doc, the fraction of its
+    distinct token ``n``-gram shingles that appear ANYWHERE in the
+    benchmark set — the standard eval-leakage screen a training-data
+    pipeline runs before a corpus ships.
+
+    Returns (id, n_shingles, n_hit, contamination) for every training doc
+    with at least one shingle; ``contamination`` in [0, 1].
+
+    Shape at scale: benchmark shingles become one DISTINCT hash set
+    (shuffled once, or broadcast when the benchmark is small — benchmarks
+    are); training docs explode to (id, shingle-hash) rows, a left semi-ish
+    join marks hits, ONE groupBy re-packs per doc. No pairwise comparison
+    with benchmark docs ever happens — membership, not similarity.
+    """
+    bh = (
+        benchmark.select(
+            F.explode(shingle_hashes(F.col(text_col), n)).alias("h")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    th = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("h"),
+    )
+    return (
+        th.join(F.broadcast(bh), "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("int").alias("n_hit"),
+        )
+        .withColumn(
+            "contamination", F.col("n_hit") / F.col("n_shingles")
+        )
+    )

@@ -536,3 +536,27 @@ def test_chunk_tokens_coverage_and_overlap(spark):
 
     with _pt.raises(ValueError):
         chunk_tokens(df, "text", "doc_id", size=10, overlap=10)
+
+
+def test_contamination_scores_plants(spark):
+    from solr_spark.functions.dedup import contamination_scores
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # full copy
+            (2, "quick brown fox sat still"),                    # partial
+            (3, "completely unrelated text about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = contamination_scores(train, bench, "text", "doc_id", n=3).toPandas()
+    got = dict(zip(out["id"], out["contamination"]))
+    assert got[1] == 1.0                      # verbatim copy: fully hit
+    assert 0.0 < got[2] < 1.0                 # shares 'quick brown fox'
+    assert got[3] == 0.0
+    d2 = out[out.id == 2].iloc[0]
+    assert d2["n_hit"] == 1 and d2["n_shingles"] == 3
