@@ -3013,6 +3013,60 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "curation_pipeline",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+types AS (SELECT doc_id, count(*) AS n_types FROM tf GROUP BY doc_id),
+keep AS (
+  SELECT d.doc_id FROM documents d JOIN dl USING (doc_id) JOIN types USING (doc_id)
+  WHERE d.lang = 'en' AND dl.dl >= 50 AND types.n_types * 1.0 / dl.dl >= 0.4),
+canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT k.doc_id, md5(d.text) AS h
+        FROM keep k JOIN documents d USING (doc_id))
+  GROUP BY h)
+SELECT doc_id, dl.dl::INT AS n_tokens,
+       (1 + greatest(0, cast(ceil((dl.dl - 64) / 48.0) AS INT)))::INT AS n_chunks
+FROM canon JOIN dl USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation, one declarative plan: language
+    filter -> quality gate (length + type-token ratio) -> exact dedup
+    (canonical = min id per content hash) -> chunk accounting. Every stage
+    is the same operator the standalone entries use; Catalyst fuses the
+    filters into one scan and the whole flow shuffles only for the dedup
+    groupBy and the final ordering."""
+    from solr_spark.functions.dedup import tokens_col
+    from solr_spark.functions.textstats import chunk_tokens, quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en")
+    q = quality_features(en, "text", "doc_id")
+    keep = q.where(
+        (F.col("n_tokens") >= 50) & (F.col("ttr") >= 0.4)
+    ).select(F.col("id").alias("doc_id"))
+    survivors = en.join(keep, "doc_id", "left_semi")
+    canon = (
+        survivors.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    final = survivors.join(canon, "doc_id", "left_semi")
+    n_chunks = (
+        chunk_tokens(final, "text", "doc_id", size=64, overlap=16)
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").cast("int").alias("n_chunks"))
+    )
+    ntok = final.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("int").alias("n_tokens")
+    )
+    return ntok.join(n_chunks, "doc_id").orderBy("doc_id")
+
+
 # --- ANN variants + text curation ops ---------------------------------------
 
 
