@@ -5,4 +5,8 @@ from solr_spark.query.dismax import build_multi_index, dismax_search  # noqa: F4
 from solr_spark.query.mlt import interesting_terms, more_like_this  # noqa: F401
 from solr_spark.query.parser import parse_query, search  # noqa: F401
 from solr_spark.query.rerank import boost_by, frange, rerank  # noqa: F401
+from solr_spark.query.simpleq import simple_query  # noqa: F401
+from solr_spark.query.thinparsers import (  # noqa: F401
+    field_query, filters_query, nested_query,
+)
 from solr_spark.query.wand import open_index, wand_topk  # noqa: F401
