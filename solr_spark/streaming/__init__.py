@@ -6,3 +6,7 @@ from solr_spark.streaming.topics import (  # noqa: F401
     topic_stream,
     windowed_event_counts,
 )
+from solr_spark.streaming.sessions import (  # noqa: F401
+    sessionize,
+    sessionize_stream,
+)
