@@ -103,3 +103,30 @@ def test_thin_parsers(spark, idx):
     ).count()
     want = docs.where((F.col("lang") == "en") & (F.col("n_chars") >= 200)).count()
     assert got == want > 0
+
+
+def test_simple_lowering_never_raises_fuzz():
+    """SimpleQueryParser's defining property is total leniency: ANY input
+    must lower to a string the lucene grammar can parse without raising."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from solr_spark.query.parser import parse_query
+
+    alphabet = st.sampled_from(list('ab01 +|-"()\\~*^:[]{}!&'))
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def run(q):
+        lowered = simple_to_lucene(q)
+        # balanced quotes and parens by construction
+        assert lowered.count('"') % 2 == 0
+        depth = 0
+        for ch in lowered:
+            depth += ch == "("
+            depth -= ch == ")"
+            assert depth >= 0
+        assert depth == 0
+        parse_query(lowered)  # the flat level must never raise
+
+    run()
