@@ -2757,7 +2757,7 @@ def _minhash_params_sql(k: int = 32, seed: int = 1337) -> str:
     from solr_spark.functions.dedup import minhash_params
 
     return ", ".join(
-        f"({i}, {a}::HUGEINT, {b}::HUGEINT)"
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
         for i, (a, b) in enumerate(minhash_params(k, seed))
     )
 
@@ -2768,7 +2768,7 @@ def _minhash_params_sql(k: int = 32, seed: int = 1337) -> str:
 WITH {_SH},
 params(i, a, b) AS (VALUES {_minhash_params_sql()}),
 mh AS (
-  SELECT doc_id, i, min((a * h + b) % 2305843009213693951::HUGEINT)::BIGINT AS mh
+  SELECT doc_id, i, min((a * (h % 2147483647) + b) % 2147483647)::BIGINT AS mh
   FROM sh, params GROUP BY doc_id, i),
 bands AS (
   SELECT doc_id, i // 4 AS band, string_agg(mh, '-' ORDER BY i) AS sig
@@ -2794,7 +2794,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_SH},
 params(i, a, b) AS (VALUES {_minhash_params_sql()}),
 mh AS (
-  SELECT doc_id, i, min((a * h + b) % 2305843009213693951::HUGEINT)::BIGINT AS mh
+  SELECT doc_id, i, min((a * (h % 2147483647) + b) % 2147483647)::BIGINT AS mh
   FROM sh, params GROUP BY doc_id, i),
 bands AS (
   SELECT doc_id, i // 4 AS band, string_agg(mh, '-' ORDER BY i) AS sig
