@@ -560,3 +560,25 @@ def test_contamination_scores_plants(spark):
     assert got[3] == 0.0
     d2 = out[out.id == 2].iloc[0]
     assert d2["n_hit"] == 1 and d2["n_shingles"] == 3
+
+
+def test_minhash_xxhash_fast_path(spark, docs):
+    """The xxhash64 production hash gives valid signatures and similar
+    LSH candidates (different hash family — same docs, similar pairs)."""
+    import pytest as _pt
+
+    from solr_spark.functions.dedup import minhash_lsh_pairs, minhash_signatures, shingle_hashes
+
+    s_md5 = minhash_signatures(docs, "text", "doc_id", k=32, hash="md5")
+    s_xx = minhash_signatures(docs, "text", "doc_id", k=32, hash="xxhash64")
+    assert s_md5.count() == s_xx.count()
+    # signatures are all in [0, 2^31): the pmod guard holds for signed xxhash
+    mins = s_xx.select(F.array_min("minhash").alias("m")).agg(F.min("m")).first()[0]
+    assert mins >= 0
+    p_md5 = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(s_md5).collect()}
+    p_xx = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(s_xx).collect()}
+    # near-dup pairs are hash-family-robust: strong overlap
+    assert len(p_md5 & p_xx) >= int(0.8 * max(len(p_md5), 1))
+
+    with _pt.raises(ValueError):
+        shingle_hashes(F.col("text"), 3, hash="sha1")
