@@ -2823,6 +2823,42 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_profile_signature",
+    """
+WITH tpf AS (
+  SELECT doc_id, term, count(*)::INT AS cnt
+  FROM (SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          t -> len(t) > 2)) AS term FROM documents)
+  GROUP BY doc_id, term),
+qn AS (
+  SELECT doc_id,
+         CASE WHEN round(max(cnt) * 0.01)::INT >= 2 THEN round(max(cnt) * 0.01)::INT
+              WHEN max(cnt) > 1 THEN 2 ELSE 1 END AS q
+  FROM tpf GROUP BY doc_id),
+kept AS (
+  SELECT tpf.doc_id, term, (cnt // q) * q AS qcnt
+  FROM tpf JOIN qn USING (doc_id)
+  WHERE (cnt // q) * q >= q)
+SELECT doc_id,
+       md5(string_agg(term || ' ' || qcnt, chr(10)
+                      ORDER BY qcnt DESC, term ASC)) AS signature
+FROM kept GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_profile_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr's TextProfileSignature fuzzy dedup signature (quantized term
+    profile -> md5), deterministic tie order (see the function docstring
+    for the one documented divergence from the reference's unspecified
+    HashMap tie order)."""
+    from solr_spark.functions.dedup import text_profile_signature
+
+    d = _t(spark, sf_dir, "documents")
+    out = text_profile_signature(d, "text", "doc_id")
+    return out.select(F.col("id").alias("doc_id"), "signature").orderBy("doc_id")
+
+
+@register(
     "benchmark_contamination",
     f"""
 WITH {_SH},

@@ -613,3 +613,73 @@ def contamination_scores(
             "contamination", F.col("n_hit") / F.col("n_shingles")
         )
     )
+
+
+# --- TextProfileSignature (reference parity) ---------------------------------
+
+
+def text_profile_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quant_rate: float = 0.01,
+    min_token_len: int = 2,
+) -> DataFrame:
+    """Solr's fuzzy dedup signature (update/processor/
+    TextProfileSignature.java:49, copied there from Apache Nutch): lowercase
+    alnum tokens LONGER than ``min_token_len``; quant = round(maxFreq *
+    quant_rate) clamped to 2 when maxFreq > 1 (else 1); each token's count
+    floored to a quant multiple, tokens below quant discarded; the profile
+    "token count" lines joined by newline in count-descending order; md5 of
+    the profile is the signature. Docs whose boilerplate-heavy texts differ
+    only in rare tokens hash identically.
+
+    One divergence, deliberate: the reference sorts ties in HashMap
+    iteration order (unspecified, JVM-dependent); here ties break by token
+    ascending so the signature is deterministic and oracle-checkable.
+
+    Returns (id, signature). Shape: explode + two keyed aggregations, both
+    on the (id[, term]) keys — partial aggregation combines map-side; no
+    driver involvement, no pairwise anything.
+    """
+    toks = F.filter(
+        tokens_col(F.col(text_col)),
+        lambda t: F.length(t) > min_token_len,
+    )
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("int").alias("cnt"))
+    )
+    quant = F.when(
+        F.round(F.col("_maxf") * F.lit(float(quant_rate))).cast("int") >= 2,
+        F.round(F.col("_maxf") * F.lit(float(quant_rate))).cast("int"),
+    ).otherwise(F.when(F.col("_maxf") > 1, F.lit(2)).otherwise(F.lit(1)))
+    maxf = tf.groupBy("id").agg(F.max("cnt").alias("_maxf"))
+    q = tf.join(maxf, "id").withColumn("_q", quant)
+    kept = q.withColumn(
+        "_qcnt", (F.col("cnt") / F.col("_q")).cast("int") * F.col("_q")
+    ).where(F.col("_qcnt") >= F.col("_q"))
+    profile = (
+        kept.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("_qcnt")).alias("nc"), "term"))
+            ).alias("_p")
+        )
+        .select(
+            "id",
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.col("_p"),
+                        lambda s: F.concat_ws(
+                            " ", s["term"], (-s["nc"]).cast("string")
+                        ),
+                    ),
+                    "\n",
+                )
+            ).alias("signature"),
+        )
+    )
+    return profile

@@ -582,3 +582,31 @@ def test_minhash_xxhash_fast_path(spark, docs):
 
     with _pt.raises(ValueError):
         shingle_hashes(F.col("text"), 3, hash="sha1")
+
+
+def test_text_profile_signature_reference_semantics(spark):
+    """TextProfileSignature.java semantics: rare tokens vanish after
+    quantization, so boilerplate-equal docs hash identically even when
+    their rare tokens differ; short tokens (len <= 2) never count."""
+    import hashlib
+
+    from solr_spark.functions.dedup import text_profile_signature
+
+    boiler = ("common " * 150).strip()
+    rows = [
+        (1, boiler + " uniqueword"),        # rare token -> discarded
+        (2, boiler + " differentrare"),     # other rare token -> same sig
+        (3, boiler + " " + ("other " * 150).strip()),  # new frequent token
+        (4, "ab cd ef"),                    # all tokens len<=2 -> no profile
+        (5, "hello"),                       # maxFreq 1 -> quant 1, kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text_profile_signature(df, "text", "doc_id").toPandas()
+    sig = dict(zip(out["id"], out["signature"]))
+    assert sig[1] == sig[2]                 # fuzzy: rare diffs ignored
+    assert sig[3] != sig[1]
+    assert 4 not in sig                     # nothing survives -> no row
+    # doc 5: maxFreq=1 -> quant=1, profile "hello 1"
+    assert sig[5] == hashlib.md5(b"hello 1").hexdigest()
+    # doc 1: common appears 150x, quant = round(1.5)=2, 150//2*2=150
+    assert sig[1] == hashlib.md5(b"common 150").hexdigest()
