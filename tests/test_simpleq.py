@@ -130,3 +130,33 @@ def test_simple_lowering_never_raises_fuzz():
         parse_query(lowered)  # the flat level must never raise
 
     run()
+
+
+def test_phrases_identification_planted_collocation(spark):
+    """A bigram that ALWAYS occurs adjacently must outscore one whose words
+    co-occur but never adjacently; unindexed words score -1."""
+    from solr_spark.index.build import build_index
+    from solr_spark.query.phrases_id import phrases_identification
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta delta gamma"),
+        (3, "gamma alpha beta epsilon"),
+        (4, "delta epsilon gamma"),
+    ]
+    docs = spark.createDataFrame(rows, ["docid", "text"]) \
+        .select(F.col("docid").cast("string").alias("docid"), "text")
+    ix = build_index(docs, text_col="text", analyzer="simple")
+
+    out = phrases_identification(ix, "alpha beta", max_query_len=2).toPandas()
+    strong = dict(zip(out["phrase"], out["score"]))
+    assert strong["alpha beta"] > 0          # always adjacent
+    assert strong["alpha"] == 0.0            # singles score 0
+
+    weak = phrases_identification(ix, "gamma delta", max_query_len=2).toPandas()
+    wk = dict(zip(weak["phrase"], weak["score"]))
+    assert wk["gamma delta"] < strong["alpha beta"]
+
+    miss = phrases_identification(ix, "alpha zzz", max_query_len=2).toPandas()
+    ms = dict(zip(miss["phrase"], miss["score"]))
+    assert ms["zzz"] == -1.0 and ms["alpha zzz"] == -1.0
