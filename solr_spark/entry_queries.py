@@ -3661,6 +3661,25 @@ def suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "suggest_infix",
+    f"""
+WITH {TOKS}, {TF},
+d AS (SELECT term, count(*) AS df FROM tf WHERE term LIKE '%er%' GROUP BY term)
+SELECT term, df,
+       CASE WHEN term LIKE 'er%' THEN 1 ELSE 0 END AS prefix_match
+FROM d ORDER BY prefix_match DESC, df DESC, term ASC LIMIT 10
+""",
+)
+def suggest_infix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingInfixSuggester: fragment 'er' anywhere in the term,
+    prefix matches ranked first, then df weight."""
+    from solr_spark.query.suggest import suggest_infix
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    return suggest_infix(idx, "er", count=10)
+
+
+@register(
     "highlight_snippets",
     r"""
 WITH hits AS (

@@ -35,6 +35,29 @@ def suggest(
     )
 
 
+def suggest_infix(
+    index: IndexTables, fragment: str, count: int = 10, min_df: int = 1
+) -> DataFrame:
+    """AnalyzingInfixSuggester semantics (spelling/suggest/fst ..
+    AnalyzingInfixSuggesterFactory wiring, SuggestComponent.java:68): match
+    the fragment ANYWHERE in the suggestion, weight-ordered, with prefix
+    matches ranked ahead of mid-string matches (the infix suggester's
+    prefix-boost). A contains() predicate still prunes to the dictionary
+    scan — the dictionary is df-sized, not corpus-sized."""
+    frag = fragment.lower()
+    hits = index.term_stats().where(
+        F.col("term").contains(frag) & (F.col("df") >= min_df)
+    )
+    is_prefix = F.col("term").startswith(frag).cast("int")
+    return (
+        hits.orderBy(
+            is_prefix.desc(), F.col("df").desc(), F.col("term").asc()
+        )
+        .limit(count)
+        .select("term", "df", is_prefix.alias("prefix_match"))
+    )
+
+
 def terms_browse(
     index: IndexTables,
     lower: str | None = None,
