@@ -2826,7 +2826,7 @@ def incremental_minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "phrases_identification",
     f"""
 WITH {TOKS}, {TF}, {TOKP},
-t AS (SELECT
+t0 AS (SELECT
   (SELECT sum(tf) FROM tf WHERE term='fast') AS ttf_f,
   (SELECT sum(tf) FROM tf WHERE term='merge') AS ttf_m,
   (SELECT sum(tf) FROM tf WHERE term='batch') AS ttf_b,
@@ -2835,39 +2835,49 @@ t AS (SELECT
   (SELECT count(*) FROM tokp a JOIN tokp b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
      WHERE a.term='merge' AND b.term='batch') AS bi_mb,
   (SELECT count(*) FROM (SELECT doc_id FROM tf WHERE term='fast'
-     INTERSECT SELECT doc_id FROM tf WHERE term='merge')) AS c_fm,
-  (SELECT count(*) FROM (SELECT doc_id FROM tf WHERE term='merge'
-     INTERSECT SELECT doc_id FROM tf WHERE term='batch')) AS c_mb,
-  (SELECT count(*) FROM (SELECT doc_id FROM tf WHERE term='fast'
      INTERSECT SELECT doc_id FROM tf WHERE term='merge'
-     INTERSECT SELECT doc_id FROM tf WHERE term='batch')) AS c_fmb)
+     INTERSECT SELECT doc_id FROM tf WHERE term='batch')) AS c_fmb),
+tri AS (
+  SELECT count(*) AS tri_ttf, count(DISTINCT a.doc_id) AS tri_df
+  FROM tokp a
+  JOIN tokp b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+  JOIN tokp c2 ON c2.doc_id=a.doc_id AND c2.pos=a.pos+2
+  WHERE a.term='fast' AND b.term='merge' AND c2.term='batch'),
+t AS (SELECT *,
+  CASE WHEN tri_ttf > 0 AND c_fmb > 0
+       THEN tri_df * 1.0 / c_fmb ELSE 0 END AS wrap
+  FROM t0, tri)
 SELECT phrase, pos_start, pos_end, score_x10k FROM (
   SELECT 'fast' AS phrase, 0 AS pos_start, 1 AS pos_end, 0::BIGINT AS score_x10k FROM t
   UNION ALL SELECT 'merge', 1, 2, 0::BIGINT FROM t
   UNION ALL SELECT 'batch', 2, 3, 0::BIGINT FROM t
-  UNION ALL SELECT 'fast merge', 0, 2,
-    round(10000 * 0.5 * bi_fm / least(ttf_f, ttf_m), 0)::BIGINT FROM t
-  UNION ALL SELECT 'merge batch', 1, 3,
-    round(10000 * 0.5 * bi_mb / least(ttf_m, ttf_b), 0)::BIGINT FROM t
-  UNION ALL SELECT 'fast merge batch', 0, 3,
-    round(10000 * 0.5 * (c_fmb * 1.0 / greatest(c_fm, c_mb, c_fmb)) * (
-      bi_fm / least(ttf_f, ttf_m) * (c_fmb * 1.0 / c_fm)
-      - bi_fm / greatest(ttf_f, ttf_m) * (1 - c_fmb * 1.0 / c_fm)
-      + bi_mb / least(ttf_m, ttf_b) * (c_fmb * 1.0 / c_mb)
-      - bi_mb / greatest(ttf_m, ttf_b) * (1 - c_fmb * 1.0 / c_mb)
-    ), 0)::BIGINT FROM t)
+  UNION ALL SELECT 'fast merge', 0, 2, CASE WHEN bi_fm > 0 THEN
+    round(10000 * (bi_fm / least(ttf_f, ttf_m) * (1 - wrap)
+                   - bi_fm / greatest(ttf_f, ttf_m) * wrap), 0)::BIGINT
+    ELSE 0::BIGINT END FROM t
+  UNION ALL SELECT 'merge batch', 1, 3, CASE WHEN bi_mb > 0 THEN
+    round(10000 * (bi_mb / least(ttf_m, ttf_b) * (1 - wrap)
+                   - bi_mb / greatest(ttf_m, ttf_b) * wrap), 0)::BIGINT
+    ELSE 0::BIGINT END FROM t
+  UNION ALL SELECT 'fast merge batch', 0, 3, CASE WHEN tri_ttf > 0 THEN
+    round(10000 * tri_ttf / least(ttf_f, ttf_m, ttf_b), 0)::BIGINT
+    ELSE 0::BIGINT END FROM t)
 ORDER BY score_x10k DESC, pos_start, pos_end
 """,
 )
 def phrases_identification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PhrasesIdentificationComponent: score every span of 'fast merge
     batch' as a corpus collocation (Bayesian shingle model,
-    PhrasesIdentificationComponent.java:1000-1086; max_indexed=2 — exact
-    math, the wrapper term is provably 0 at that config)."""
+    PhrasesIdentificationComponent.java:1000-1086; max_indexed=3 = the
+    shipped configset's shingle depth, wrapper bias-correction live: each
+    bigram's credit is reduced by the containing trigram's own
+    phrase-probability)."""
     from solr_spark.query.phrases_id import phrases_identification
 
     idx, _, _ = documents_index(spark, sf_dir)
-    out = phrases_identification(idx, "fast merge batch", max_query_len=3)
+    out = phrases_identification(
+        idx, "fast merge batch", max_query_len=3, max_indexed_len=3
+    )
     return out.select(
         "phrase", "pos_start", "pos_end", scaled("score").alias("score_x10k")
     ).orderBy(F.col("score_x10k").desc(), "pos_start", "pos_end")

@@ -5,26 +5,32 @@ Given a query string, every contiguous span (up to ``max_query_len``) is
 scored for "is this span a real phrase in this corpus?" with the
 reference's Bayesian model over indexed shingle statistics:
 
-  for each largest indexed sub-phrase w (here: bigrams) of the span:
-    P(w|phrase)      = ttf(w as adjacent bigram) / min(ttf of w's terms)
+  for each largest indexed sub-phrase w of the span (contiguous subspans of
+  length min(len, max_indexed_len) that occur ADJACENTLY somewhere):
+    P(w|phrase)      = ttf(w as adjacent shingle) / min(ttf of w's terms)
     P(w|not phrase)  = ttf(w) / max(ttf of w's terms)
     P(phrase)        = conj_count(span terms) / conj_count(w terms)
-    score_w = P(w|phrase)·(P(phrase) − wrapper) − P(w|not phrase)·(1 − (P(phrase) − wrapper))
+    wrapper          = max over INDEXED query spans T ⊃ w with
+                       len(T) <= max_indexed_len of df(T)/conj_count(T)
+    score_w = P(w|phrase)·(P(phrase) − wrapper)
+            − P(w|not phrase)·(1 − (P(phrase) − wrapper))
   field_score = Σ score_w · 1/(1 + max_query_len − max_indexed_len)
-                         · conj_count(span) / max(conj counts of subs)
+                          · conj_count(span)/max(conj counts of subs)
 
-Scope: ``max_indexed_len = 2`` (bigram shingles). That makes the wrapper
-term exactly 0 — a bigram has no INDEXED super-phrase — so the math above
-is the reference's formula verbatim, not an approximation. (The shipping
-configset's 3-shingle index adds wrapper statistics; extending means one
-more shingle-stats table, same shapes.) Single-word spans score 0 when the
-word is indexed, −1 when not (reference lines 960-975).
+The wrapper term is the reference's bias correction: a sub-phrase always
+co-occurs wherever its super-phrase does, so the super-phrase's own
+phrase-probability is subtracted before crediting the sub
+(PhrasesIdentificationComponent.java:1010-1014, 1035-1042). With the
+shipped configset (shingles up to 3) ``max_indexed_len=3`` is full parity.
+Single-word spans score 0 when indexed, −1 when not; a span whose terms
+never all share a document scores −1 (lines 960-975).
 
 Shapes at scale: every statistic is an aggregate over term-pruned postings
-scans — per-term ttf (broadcast-sized), per-bigram adjacent ttf (docid
-join of two pruned scans, adjacency counted inside the packed position
-arrays — no explode), and conjunction doc counts (semi-join chains).
-Query-side span set is O(query length²) — driver-trivial.
+scans — per-term ttf (broadcast-sized), per-shingle adjacent ttf/df (docid
+join of the pruned scans, adjacency counted inside the packed position
+arrays — no explode), and conjunction doc counts (semi-join chains). The
+query-side span set is O(query length²) — driver-trivial, like the term
+stats lookups every query parser already does.
 """
 
 from __future__ import annotations
@@ -36,20 +42,34 @@ from solr_spark.analysis.chain import analyze
 from solr_spark.index.build import IndexTables
 
 
-def _adjacent_tf(idx: IndexTables, t0: str, t1: str) -> DataFrame:
-    """(docid, tf) of exact-adjacent ``t0 t1`` occurrences, counted inside
-    the packed position arrays (same shape as the phrase query path)."""
-    p0 = idx.postings.where(F.col("term") == t0).select(
+def _adjacent_stats(idx: IndexTables, terms: tuple[str, ...]) -> tuple[int, int]:
+    """(ttf, df) of exact-adjacent ``terms`` occurrences: total occurrence
+    count and number of docs with at least one, counted inside the packed
+    position arrays (same shape as the phrase query path)."""
+    base = idx.postings.where(F.col("term") == terms[0]).select(
         "docid", F.col("positions").alias("_p0")
     )
-    p1 = idx.postings.where(F.col("term") == t1).select(
-        "docid", F.col("positions").alias("_p1")
+    for i, t in enumerate(terms[1:], start=1):
+        pi = idx.postings.where(F.col("term") == t).select(
+            "docid", F.col("positions").alias(f"_p{i}")
+        )
+        base = base.join(pi, "docid")
+    def _adj(i: int):
+        # unary closure: a default-arg lambda would be seen as the
+        # (element, index) binary form by F.filter's arity inspection
+        return lambda p: F.array_contains(F.col(f"_p{i}"), p + i)
+
+    occ = F.col("_p0")
+    for i in range(1, len(terms)):
+        occ = F.filter(occ, _adj(i))
+    tf = F.size(occ)
+    row = (
+        base.select(tf.alias("tf"))
+        .where(F.col("tf") > 0)
+        .agg(F.coalesce(F.sum("tf"), F.lit(0)), F.count("*"))
+        .first()
     )
-    both = p0.join(p1, "docid")
-    tf = F.size(
-        F.filter(F.col("_p0"), lambda p: F.array_contains(F.col("_p1"), p + 1))
-    )
-    return both.select("docid", tf.alias("tf")).where(F.col("tf") > 0)
+    return int(row[0]), int(row[1])
 
 
 def phrases_identification(
@@ -57,10 +77,15 @@ def phrases_identification(
     query: str,
     analyzer: str = "simple",
     max_query_len: int = 3,
+    max_indexed_len: int = 3,
 ) -> DataFrame:
     """Score every contiguous span of ``query`` (lengths 1..max_query_len)
     as a candidate phrase. Returns (phrase, pos_start, pos_end, score) in
     score-descending order; scores <= 0 mean "not a phrase"."""
+    # the effective indexed shingle depth can never exceed the query depth
+    # (reference: maxIndexedPositionLength is read from the INDEX analyzer,
+    # maxQueryPositionLength >= it by config validation)
+    max_indexed_len = min(max_indexed_len, max_query_len)
     spark = idx.postings.sparkSession
     toks = analyze(query, analyzer)
     if not toks:
@@ -77,77 +102,95 @@ def phrases_identification(
         .collect()
     }
 
-    # conjunction doc counts for every distinct term-set we need
-    def conj_count(ts: list[str]) -> int:
-        uniq = sorted(set(ts))
-        dfset = None
-        for t in uniq:
-            s = idx.postings.where(F.col("term") == t).select("docid")
-            dfset = s if dfset is None else dfset.join(s, "docid", "left_semi")
-        return dfset.count()
+    spans: list[tuple[int, int]] = [
+        (s, s + ln)
+        for ln in range(1, min(max_query_len, len(toks)) + 1)
+        for s in range(0, len(toks) - ln + 1)
+    ]
 
-    # bigram adjacent ttfs
-    bigrams = {
-        (toks[i], toks[i + 1]) for i in range(len(toks) - 1)
-        if all(t in stats for t in (toks[i], toks[i + 1]))
-    }
-    bigram_ttf = {
-        bg: int(
-            _adjacent_tf(idx, *bg).agg(F.coalesce(F.sum("tf"), F.lit(0))).first()[0]
-        )
-        for bg in bigrams
-    }
     conj_cache: dict[tuple[str, ...], int] = {}
 
-    def conj(ts: list[str]) -> int:
+    def conj(ts: tuple[str, ...]) -> int:
         key = tuple(sorted(set(ts)))
         if key not in conj_cache:
-            conj_cache[key] = conj_count(list(key)) if all(
-                t in stats for t in key
-            ) else 0
+            if not all(t in stats for t in key):
+                conj_cache[key] = 0
+            else:
+                dfset = None
+                for t in key:
+                    s = idx.postings.where(F.col("term") == t).select("docid")
+                    dfset = s if dfset is None else dfset.join(
+                        s, "docid", "left_semi"
+                    )
+                conj_cache[key] = dfset.count()
         return conj_cache[key]
 
-    max_indexed_len = 2
+    # adjacent (ttf, df) for every indexed-size subspan we will need
+    shingle: dict[tuple[str, ...], tuple[int, int]] = {}
+    for s, e in spans:
+        if 1 < e - s <= max_indexed_len:
+            key = tuple(toks[s:e])
+            if key not in shingle and all(t in stats for t in key):
+                shingle[key] = _adjacent_stats(idx, key)
+
+    def wrapper_prob(ws: int, we: int) -> float:
+        """max df(T)/conj(T) over indexed query spans T strictly containing
+        [ws, we) with len(T) <= max_indexed_len."""
+        best = 0.0
+        for s, e in spans:
+            if (s, e) == (ws, we) or s > ws or e < we:
+                continue
+            if e - s > max_indexed_len:
+                continue
+            key = tuple(toks[s:e])
+            st = shingle.get(key)
+            if not st or st[0] <= 0:
+                continue  # not indexed as an adjacent shingle
+            c = conj(key)
+            if c > 0:
+                best = max(best, st[1] / c)
+        return best
+
     rows = []
-    for length in range(1, min(max_query_len, len(toks)) + 1):
-        for start in range(0, len(toks) - length + 1):
-            span = toks[start : start + length]
-            phrase = " ".join(span)
-            if any(t not in stats for t in span):
-                rows.append((phrase, start, start + length, -1.0))
+    for s, e in spans:
+        span = tuple(toks[s:e])
+        phrase = " ".join(span)
+        length = e - s
+        if any(t not in stats for t in span):
+            rows.append((phrase, s, e, -1.0))
+            continue
+        if length == 1:
+            rows.append((phrase, s, e, 0.0))
+            continue
+        span_conj = conj(span)
+        if span_conj <= 0:
+            rows.append((phrase, s, e, -1.0))
+            continue
+        sub_len = min(length, max_indexed_len)
+        field_score = 0.0
+        max_sub_conj = span_conj
+        for i in range(length - sub_len + 1):
+            w = span[i : i + sub_len]
+            st = shingle.get(w)
+            if not st or st[0] <= 0:
+                continue  # sub-phrase not indexed: contributes nothing
+            ttf_w = st[0]
+            w_conj = conj(w)
+            if w_conj <= 0:
                 continue
-            if length == 1:
-                rows.append((phrase, start, start + length, 0.0))
-                continue
-            span_conj = conj(span)
-            if span_conj <= 0:
-                rows.append((phrase, start, start + length, -1.0))
-                continue
-            field_score = 0.0
-            max_sub_conj = span_conj
-            viable = True
-            for i in range(length - 1):
-                bg = (span[i], span[i + 1])
-                ttf_bi = bigram_ttf.get(bg, 0)
-                w_conj = conj(list(bg))
-                if w_conj <= 0:
-                    viable = False
-                    break
-                max_sub_conj = max(max_sub_conj, w_conj)
-                ttfs = [stats[bg[0]][0], stats[bg[1]][0]]
-                wpp = ttf_bi / min(ttfs)
-                wnp = ttf_bi / max(ttfs)
-                phrase_prob = span_conj / w_conj
-                # wrapper term = 0: no indexed super-phrase at max_indexed=2
-                field_score += wpp * phrase_prob - wnp * (1.0 - phrase_prob)
-            if not viable:
-                rows.append((phrase, start, start + length, -1.0))
-                continue
-            field_score *= 1.0 / (1 + max_query_len - max_indexed_len)
-            field_score *= span_conj / max_sub_conj
-            rows.append((phrase, start, start + length, field_score))
+            max_sub_conj = max(max_sub_conj, w_conj)
+            ttfs = [stats[t][0] for t in w]
+            wpp = ttf_w / min(ttfs)
+            wnp = ttf_w / max(ttfs)
+            pp = span_conj / w_conj
+            wrap = wrapper_prob(s + i, s + i + sub_len)
+            field_score += wpp * (pp - wrap) - wnp * (1.0 - (pp - wrap))
+        field_score *= 1.0 / (1 + max_query_len - max_indexed_len)
+        field_score *= span_conj / max_sub_conj
+        rows.append((phrase, s, e, field_score))
     out = spark.createDataFrame(
         rows, "phrase string, pos_start int, pos_end int, score double"
     )
-    return out.orderBy(F.col("score").desc(), F.col("pos_start").asc(),
-                       F.col("pos_end").asc())
+    return out.orderBy(
+        F.col("score").desc(), F.col("pos_start").asc(), F.col("pos_end").asc()
+    )
