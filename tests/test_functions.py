@@ -610,3 +610,35 @@ def test_text_profile_signature_reference_semantics(spark):
     assert sig[5] == hashlib.md5(b"hello 1").hexdigest()
     # doc 1: common appears 150x, quant = round(1.5)=2, 150//2*2=150
     assert sig[1] == hashlib.md5(b"common 150").hexdigest()
+
+
+def test_chunk_tokens_property_sweep(spark):
+    """Property sweep over (size, overlap, doc length): full coverage, no
+    overlong chunk, stride spacing, deterministic pullback tail."""
+    import random
+
+    from solr_spark.functions.textstats import chunk_tokens
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(rng.randint(0, 200))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for size, overlap in [(64, 16), (32, 0), (10, 9), (100, 50)]:
+        out = chunk_tokens(df, "text", "doc_id", size=size, overlap=overlap) \
+            .toPandas()
+        for i, text in rows:
+            toks = text.split()
+            sub = out[out.id == i].sort_values("chunk_id")
+            if not toks:
+                assert len(sub) == 0
+                continue
+            got_tokens = set()
+            for _, r in sub.iterrows():
+                ct = r["chunk"].split()
+                assert len(ct) <= size and len(ct) == r["n_tokens"]
+                got_tokens.update(ct)
+            assert got_tokens == set(toks)          # full coverage
+            if len(toks) <= size:
+                assert len(sub) == 1                # single window
