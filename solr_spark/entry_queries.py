@@ -2852,15 +2852,15 @@ SELECT phrase, pos_start, pos_end, score_x10k FROM (
   UNION ALL SELECT 'merge', 1, 2, 0::BIGINT FROM t
   UNION ALL SELECT 'batch', 2, 3, 0::BIGINT FROM t
   UNION ALL SELECT 'fast merge', 0, 2, CASE WHEN bi_fm > 0 THEN
-    round(10000 * (bi_fm / least(ttf_f, ttf_m) * (1 - wrap)
-                   - bi_fm / greatest(ttf_f, ttf_m) * wrap), 0)::BIGINT
+    {_sql_scaled("bi_fm / least(ttf_f, ttf_m) * (1 - wrap)"
+                 " - bi_fm / greatest(ttf_f, ttf_m) * wrap")}
     ELSE 0::BIGINT END FROM t
   UNION ALL SELECT 'merge batch', 1, 3, CASE WHEN bi_mb > 0 THEN
-    round(10000 * (bi_mb / least(ttf_m, ttf_b) * (1 - wrap)
-                   - bi_mb / greatest(ttf_m, ttf_b) * wrap), 0)::BIGINT
+    {_sql_scaled("bi_mb / least(ttf_m, ttf_b) * (1 - wrap)"
+                 " - bi_mb / greatest(ttf_m, ttf_b) * wrap")}
     ELSE 0::BIGINT END FROM t
   UNION ALL SELECT 'fast merge batch', 0, 3, CASE WHEN tri_ttf > 0 THEN
-    round(10000 * tri_ttf / least(ttf_f, ttf_m, ttf_b), 0)::BIGINT
+    {_sql_scaled("tri_ttf * 1.0 / least(ttf_f, ttf_m, ttf_b)")}
     ELSE 0::BIGINT END FROM t)
 ORDER BY score_x10k DESC, pos_start, pos_end
 """,
@@ -3136,16 +3136,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same operator the standalone entries use; Catalyst fuses the
     filters into one scan and the whole flow shuffles only for the dedup
     groupBy and the final ordering."""
-    from solr_spark.functions.dedup import tokens_col
     from solr_spark.functions.textstats import chunk_tokens, quality_features
 
     d = _t(spark, sf_dir, "documents")
     en = d.where(F.col("lang") == "en")
     q = quality_features(en, "text", "doc_id")
+    # carry n_tokens forward — quality_features already tokenized
     keep = q.where(
         (F.col("n_tokens") >= 50) & (F.col("ttr") >= 0.4)
-    ).select(F.col("id").alias("doc_id"))
-    survivors = en.join(keep, "doc_id", "left_semi")
+    ).select(F.col("id").alias("doc_id"), F.col("n_tokens").cast("int"))
+    survivors = en.join(keep, "doc_id")
     canon = (
         survivors.select("doc_id", F.md5("text").alias("h"))
         .groupBy("h")
@@ -3158,10 +3158,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("id").alias("doc_id"))
         .agg(F.count("*").cast("int").alias("n_chunks"))
     )
-    ntok = final.select(
-        "doc_id", F.size(tokens_col(F.col("text"))).cast("int").alias("n_tokens")
+    return (
+        final.select("doc_id", "n_tokens")
+        .join(n_chunks, "doc_id")
+        .orderBy("doc_id")
     )
-    return ntok.join(n_chunks, "doc_id").orderBy("doc_id")
 
 
 # --- ANN variants + text curation ops ---------------------------------------

@@ -602,8 +602,11 @@ def contamination_scores(
         F.col(id_col).alias("id"),
         F.explode(shingle_hashes(F.col(text_col), n, hash=hash)).alias("h"),
     )
+    # no broadcast hint: the planner auto-broadcasts a small benchmark and
+    # falls back to a shuffle join when the shingle set outgrows the
+    # threshold — forcing broadcast would OOM on a large benchmark suite
     return (
-        th.join(F.broadcast(bh), "h", "left")
+        th.join(bh, "h", "left")
         .groupBy("id")
         .agg(
             F.count("*").cast("int").alias("n_shingles"),

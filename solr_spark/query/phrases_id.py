@@ -25,12 +25,13 @@ shipped configset (shingles up to 3) ``max_indexed_len=3`` is full parity.
 Single-word spans score 0 when indexed, −1 when not; a span whose terms
 never all share a document scores −1 (lines 960-975).
 
-Shapes at scale: every statistic is an aggregate over term-pruned postings
-scans — per-term ttf (broadcast-sized), per-shingle adjacent ttf/df (docid
-join of the pruned scans, adjacency counted inside the packed position
-arrays — no explode), and conjunction doc counts (semi-join chains). The
-query-side span set is O(query length²) — driver-trivial, like the term
-stats lookups every query parser already does.
+Shapes at scale: ALL corpus statistics come from TWO jobs — the per-term
+ttf/df lookup, and one term-pruned scan whose per-doc term->positions map
+feeds a single global aggregate carrying every conjunction count and every
+shingle's adjacent (ttf, df) as columns (adjacency counted inside the
+packed position arrays — no explode, no per-span job). The query-side span
+set is O(query length²) — driver-trivial, like the term stats lookups
+every query parser already does.
 """
 
 from __future__ import annotations
@@ -40,36 +41,6 @@ from pyspark.sql import functions as F
 
 from solr_spark.analysis.chain import analyze
 from solr_spark.index.build import IndexTables
-
-
-def _adjacent_stats(idx: IndexTables, terms: tuple[str, ...]) -> tuple[int, int]:
-    """(ttf, df) of exact-adjacent ``terms`` occurrences: total occurrence
-    count and number of docs with at least one, counted inside the packed
-    position arrays (same shape as the phrase query path)."""
-    base = idx.postings.where(F.col("term") == terms[0]).select(
-        "docid", F.col("positions").alias("_p0")
-    )
-    for i, t in enumerate(terms[1:], start=1):
-        pi = idx.postings.where(F.col("term") == t).select(
-            "docid", F.col("positions").alias(f"_p{i}")
-        )
-        base = base.join(pi, "docid")
-    def _adj(i: int):
-        # unary closure: a default-arg lambda would be seen as the
-        # (element, index) binary form by F.filter's arity inspection
-        return lambda p: F.array_contains(F.col(f"_p{i}"), p + i)
-
-    occ = F.col("_p0")
-    for i in range(1, len(terms)):
-        occ = F.filter(occ, _adj(i))
-    tf = F.size(occ)
-    row = (
-        base.select(tf.alias("tf"))
-        .where(F.col("tf") > 0)
-        .agg(F.coalesce(F.sum("tf"), F.lit(0)), F.count("*"))
-        .first()
-    )
-    return int(row[0]), int(row[1])
 
 
 def phrases_identification(
@@ -108,30 +79,71 @@ def phrases_identification(
         for s in range(0, len(toks) - ln + 1)
     ]
 
-    conj_cache: dict[tuple[str, ...], int] = {}
+    # ---- ALL corpus statistics in ONE job -------------------------------
+    # One term-pruned scan -> per-doc term->positions map -> a single
+    # global aggregate whose columns are every conjunction count and every
+    # shingle's (ttf, df). The span loop below then runs on plain Python
+    # numbers — no per-span Spark jobs (a 6-token query would otherwise pay
+    # ~20 sequential job round-trips).
+    conj_keys = sorted(
+        {
+            tuple(sorted(set(toks[s:e])))
+            for s, e in spans
+            if all(t in stats for t in toks[s:e])
+        }
+    )
+    shingle_keys = sorted(
+        {
+            tuple(toks[s:e])
+            for s, e in spans
+            if 1 < e - s <= max_indexed_len
+            and all(t in stats for t in toks[s:e])
+        }
+    )
+    conj_cache: dict[tuple[str, ...], int] = {k: 0 for k in conj_keys}
+    shingle: dict[tuple[str, ...], tuple[int, int]] = {
+        k: (0, 0) for k in shingle_keys
+    }
+    if conj_keys or shingle_keys:
+        perdoc = (
+            idx.postings.where(F.col("term").isin(terms))
+            .groupBy("docid")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("tp")
+            )
+        )
+        tp = F.col("tp")
+        aggs = []
+        for ci, key in enumerate(conj_keys):
+            has_all = F.lit(True)
+            for t in key:
+                has_all = has_all & tp.getItem(t).isNotNull()
+            aggs.append(
+                F.sum(has_all.cast("long")).alias(f"_c{ci}")
+            )
+
+        def _adj(i: int, t: str):
+            return lambda p: F.array_contains(
+                F.coalesce(tp.getItem(t), F.array()), p + i
+            )
+
+        for si, key in enumerate(shingle_keys):
+            occ = F.coalesce(tp.getItem(key[0]), F.array())
+            for i, t in enumerate(key[1:], start=1):
+                occ = F.filter(occ, _adj(i, t))
+            n_occ = F.size(occ)
+            aggs.append(F.sum(n_occ.cast("long")).alias(f"_t{si}"))
+            aggs.append(F.sum((n_occ > 0).cast("long")).alias(f"_d{si}"))
+        row = perdoc.agg(*aggs).first()
+        for ci, key in enumerate(conj_keys):
+            conj_cache[key] = int(row[f"_c{ci}"] or 0)
+        for si, key in enumerate(shingle_keys):
+            shingle[key] = (int(row[f"_t{si}"] or 0), int(row[f"_d{si}"] or 0))
 
     def conj(ts: tuple[str, ...]) -> int:
-        key = tuple(sorted(set(ts)))
-        if key not in conj_cache:
-            if not all(t in stats for t in key):
-                conj_cache[key] = 0
-            else:
-                dfset = None
-                for t in key:
-                    s = idx.postings.where(F.col("term") == t).select("docid")
-                    dfset = s if dfset is None else dfset.join(
-                        s, "docid", "left_semi"
-                    )
-                conj_cache[key] = dfset.count()
-        return conj_cache[key]
-
-    # adjacent (ttf, df) for every indexed-size subspan we will need
-    shingle: dict[tuple[str, ...], tuple[int, int]] = {}
-    for s, e in spans:
-        if 1 < e - s <= max_indexed_len:
-            key = tuple(toks[s:e])
-            if key not in shingle and all(t in stats for t in key):
-                shingle[key] = _adjacent_stats(idx, key)
+        return conj_cache.get(tuple(sorted(set(ts))), 0)
 
     def wrapper_prob(ws: int, we: int) -> float:
         """max df(T)/conj(T) over indexed query spans T strictly containing
