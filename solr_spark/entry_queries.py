@@ -4023,6 +4023,257 @@ def ecdf_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe")
 
 
+@register(
+    "frequency_table_quantity",
+    f"""
+WITH c AS (SELECT l_quantity::BIGINT AS value, count(*) AS n
+           FROM lineitem GROUP BY 1),
+t AS (SELECT sum(n)::DOUBLE AS total FROM c)
+SELECT value, n,
+       sum(n) OVER (ORDER BY value) AS cum_n,
+       {_sql_scaled('n / t.total * 100.0')} AS pct_x10k,
+       {_sql_scaled('sum(n) OVER (ORDER BY value) / t.total * 100.0')} AS cum_pct_x10k
+FROM c, t ORDER BY value
+""",
+)
+def frequency_table_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`frequencyTable(values)` (io/eval/FrequencyTableEvaluator.java) over
+    lineitem quantities: one groupBy scan; the cumulative window runs over
+    the ~50 distinct-value rows, not the raw data."""
+    from solr_spark.functions.mathstream import frequency_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = frequency_table(li, "l_quantity")
+    return out.select(
+        "value",
+        F.col("count").alias("n"),
+        F.col("cumFreq").alias("cum_n"),
+        scaled("pct").alias("pct_x10k"),
+        scaled("cumPct").alias("cum_pct_x10k"),
+    ).orderBy("value")
+
+
+@register(
+    "ema_daily_events",
+    f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts)::DATE AS day, sum(value) AS total
+  FROM events GROUP BY day),
+numbered AS (
+  SELECT day, total, row_number() OVER (ORDER BY day) AS rn FROM daily),
+base AS (
+  SELECT day, total, rn,
+         avg(CASE WHEN rn <= 7 THEN total END) OVER () AS seed,
+         sum(CASE WHEN rn > 7 THEN pow(4.0/3.0, rn) * total END)
+           OVER (ORDER BY rn) AS cum
+  FROM numbered)
+SELECT day,
+       {_sql_scaled('seed * pow(0.75, rn - 7) '
+                    '+ 0.25 * coalesce(cum, 0) * pow(0.75, rn)', 2)} AS ema_x100
+FROM base WHERE rn >= 7 ORDER BY day
+""",
+)
+def ema_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`expMovingAvg(values, 7)` (io/eval/ExponentialMovingAverageEvaluator
+    .java): EMA of daily event totals, seed = mean of the first 7 days,
+    alpha = 2/8. The recurrence is unrolled to a closed-form weighted
+    cumulative sum (one window pass, no Python); the oracle evaluates the
+    identical closed form."""
+    from solr_spark.functions.mathstream import exp_moving_avg
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum("value").alias("total"))
+    out = exp_moving_avg(daily, "total", "day", window=7)
+    return (
+        out.where(F.col("ema").isNotNull())
+        .select("day", scaled("ema", 2).alias("ema_x100"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "anova_price_by_status",
+    f"""
+WITH g AS (SELECT o_orderstatus AS grp, count(*)::DOUBLE AS n,
+                  avg(o_totalprice) AS m, var_samp(o_totalprice) AS v
+           FROM orders GROUP BY 1),
+t AS (SELECT count(*)::DOUBLE AS k, sum(n) AS nt, sum(n * m) AS sa,
+             sum(n * m * m) AS snm2, sum((n - 1) * v) AS ssw
+      FROM g)
+SELECT {_sql_scaled('((snm2 - nt * (sa/nt) * (sa/nt)) / (k - 1)) / (ssw / (nt - k))', 6)} AS f_x1m,
+       (k - 1)::BIGINT AS df_between, (nt - k)::BIGINT AS df_within
+FROM t
+""",
+)
+def anova_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`anova(a, b, ...)` (io/eval/AnovaEvaluator.java): order totals across
+    the three order statuses. F ratio and dof oracle-checked; the p-value
+    needs the F survival function (regularized incomplete beta), which SQL
+    lacks — it's golden-quantile-verified in pytest instead."""
+    from solr_spark.functions.mathstream import anova_oneway
+
+    o = _t(spark, sf_dir, "orders")
+    out = anova_oneway(o, "o_totalprice", "o_orderstatus")
+    return out.select(
+        scaled("f_ratio", 6).alias("f_x1m"), "df_between", "df_within"
+    )
+
+
+_PRIORITY_BINS_SQL = """
+bins AS (
+  SELECT o_orderpriority,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE AS a,
+         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::DOUBLE AS b
+  FROM orders GROUP BY 1),
+t AS (SELECT sum(a) AS sa, sum(b) AS sb FROM bins)
+"""
+
+
+def _priority_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("double").alias("a"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("double").alias("b"),
+    )
+
+
+@register(
+    "chisq_priority_counts",
+    f"""
+WITH {_PRIORITY_BINS_SQL}
+SELECT {_sql_scaled(
+        'sum(CASE WHEN abs(t.sa - t.sb) > 1e-9 '
+        'THEN pow(a / sqrt(t.sa / t.sb) - b * sqrt(t.sa / t.sb), 2) / (a + b) '
+        'ELSE pow(a - b, 2) / (a + b) END)', 6)} AS chisq_x1m,
+       (count(*) - 1)::BIGINT AS dof
+FROM bins, t GROUP BY t.sa, t.sb
+""",
+)
+def chisq_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`chiSquareDataSet(a, b)` (io/eval/ChiSquareDataSetEvaluator.java,
+    commons-math chiSquareDataSetsComparison): per-priority order counts,
+    status F vs O. Statistic + dof oracle-checked (p-value is
+    golden-quantile pytest territory, like anova)."""
+    from solr_spark.functions.mathstream import chi_square_datasets
+
+    out = chi_square_datasets(_priority_bins(spark, sf_dir), "a", "b")
+    return out.select(scaled("chisq_stat", 6).alias("chisq_x1m"), "dof")
+
+
+@register(
+    "gtest_priority_counts",
+    f"""
+WITH {_PRIORITY_BINS_SQL}
+SELECT {_sql_scaled(
+        '2 * sum(CASE WHEN a > 0 THEN a * ln(a / (t.sa * (a + b) / (t.sa + t.sb))) ELSE 0 END '
+        '+ CASE WHEN b > 0 THEN b * ln(b / (t.sb * (a + b) / (t.sa + t.sb))) ELSE 0 END)', 6)} AS g_x1m,
+       (count(*) - 1)::BIGINT AS dof
+FROM bins, t GROUP BY t.sa, t.sb
+""",
+)
+def gtest_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gtestDataSet(a, b)` (io/eval/GTestDataSetEvaluator.java,
+    commons-math gDataSetsComparison): likelihood-ratio G over the same
+    2 x 5 priority table as chisq_priority_counts."""
+    from solr_spark.functions.mathstream import g_test_datasets
+
+    out = g_test_datasets(_priority_bins(spark, sf_dir), "a", "b")
+    return out.select(scaled("g_stat", 6).alias("g_x1m"), "dof")
+
+
+@register(
+    "ks_price_returnflag",
+    f"""
+WITH two AS (SELECT l_extendedprice AS v, l_returnflag = 'A' AS is_a
+             FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+c AS (SELECT
+        sum(CASE WHEN is_a THEN 1 ELSE 0 END) OVER () AS na,
+        sum(CASE WHEN is_a THEN 0 ELSE 1 END) OVER () AS nb,
+        sum(CASE WHEN is_a THEN 1 ELSE 0 END)
+          OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        sum(CASE WHEN is_a THEN 0 ELSE 1 END)
+          OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM two)
+SELECT {_sql_scaled('max(abs(ca * 1.0 / na - cb * 1.0 / nb))', 6)} AS d_x1m,
+       max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b
+FROM c
+""",
+)
+def ks_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ks(a, b)` two-sample (io/eval/KolmogorovSmirnovEvaluator.java):
+    D = sup|F_A - F_R| of extended price between return flags A and R via
+    one range-frame ECDF window (ties collapse correctly) + a max. The
+    asymptotic p-value is pytest-verified (Kolmogorov series, no SQL)."""
+    from solr_spark.functions.mathstream import ks_two_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = ks_two_sample(li, "l_extendedprice", "l_returnflag", "A", "R")
+    return out.select(scaled("d_stat", 6).alias("d_x1m"), "n_a", "n_b")
+
+
+@register(
+    "mannwhitney_quantity",
+    f"""
+WITH two AS (SELECT l_quantity::DOUBLE AS v, l_returnflag = 'A' AS is_a
+             FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+r AS (SELECT is_a,
+             rank() OVER (ORDER BY v)
+               + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS mr
+      FROM two),
+m AS (SELECT sum(CASE WHEN is_a THEN mr END) AS ra,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END)::DOUBLE AS na,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END)::DOUBLE AS nb
+      FROM r)
+SELECT {_sql_scaled('greatest(ra - na * (na + 1) / 2, '
+                    'na * nb - (ra - na * (na + 1) / 2))', 2)} AS u_x100,
+       na::BIGINT AS n_a, nb::BIGINT AS n_b
+FROM m
+""",
+)
+def mannwhitney_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mannWhitney(a, b)` (io/eval/MannWhitneyUEvaluator.java): U over
+    lineitem quantities (integer-valued, heavy ties — exercises the
+    average-midrank path) between return flags A and R."""
+    from solr_spark.functions.mathstream import mann_whitney_u
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mann_whitney_u(li, "l_quantity", "l_returnflag", "A", "R")
+    return out.select(scaled("u_stat", 2).alias("u_x100"), "n_a", "n_b")
+
+
+@register(
+    "markov_event_transitions",
+    f"""
+WITH seq AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+           AS next_state
+  FROM events),
+pairs AS (SELECT state, next_state, count(*) AS n FROM seq
+          WHERE next_state IS NOT NULL GROUP BY 1, 2)
+SELECT state, next_state, n,
+       {_sql_scaled('n * 1.0 / sum(n) OVER (PARTITION BY state)', 6)} AS prob_x1m
+FROM pairs ORDER BY state, next_state
+""",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition-matrix fit for `markovChain` (io/eval/MarkovChainEvaluator
+    .java samples FROM a matrix; this estimates the matrix): per-user
+    event-type sequences ordered by (ts, state) — one lag window shuffling
+    on user_id + one pair groupBy."""
+    from solr_spark.functions.mathstream import markov_transitions
+
+    e = _t(spark, sf_dir, "events")
+    out = markov_transitions(e, "event_type", "ts", "user_id")
+    return out.select(
+        "state", "next_state", "n", scaled("prob", 6).alias("prob_x1m")
+    ).orderBy("state", "next_state")
+
+
 @register("loess_daily_events", None)  # array smoother: rows-only by design
 def loess_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`loess(x, y)` (io/eval/LoessEvaluator.java): tricube local-linear

@@ -430,3 +430,321 @@ def moving_median(
         (F.element_at(vals, mid) + F.element_at(vals, mid + 1)) / 2.0
     )
     return df.withColumn("moving_median", med)
+
+
+def frequency_table(df: DataFrame, col: str) -> DataFrame:
+    """`frequencyTable(values)` (io/eval/FrequencyTableEvaluator.java,
+    commons-math Frequency): per distinct LONG value — count, cumFreq
+    (running count in value order), pct, cumPct. The reference builds the
+    table in /stream memory; here it is one groupBy plus a window over the
+    (tiny, one-row-per-distinct-value) grouped result, so the raw data is
+    scanned exactly once however large it is."""
+    v = F.col(col).cast("long")
+    counts = df.groupBy(v.alias("value")).agg(F.count("*").alias("count"))
+    w_cum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    total = F.sum("count").over(w_all)
+    return (
+        counts.withColumn("cumFreq", F.sum("count").over(w_cum))
+        .select(
+            "value",
+            "count",
+            "cumFreq",
+            (F.col("count") / total * 100.0).alias("pct"),
+            (F.col("cumFreq") / total * 100.0).alias("cumPct"),
+        )
+        .orderBy("value")
+    )
+
+
+def exp_moving_avg(
+    df: DataFrame, value: str, order_by: str, window: int,
+    alpha: float | None = None, partition_by: str | None = None,
+) -> DataFrame:
+    """`expMovingAvg(values, window[, alpha])`
+    (io/eval/ExponentialMovingAverageEvaluator.java): seed = mean of the
+    first ``window`` observations; thereafter
+    ema_t = alpha*(x_t - ema_{t-1}) + ema_{t-1}, default
+    alpha = 2/(window+1). Rows before the seed completes get NULL (the
+    reference emits a shorter list; callers drop the NULLs).
+
+    The recurrence unrolls to the closed form
+    ema_t = seed*(1-a)^(t-w) + a * sum_{i=w+1..t} (1-a)^(t-i) x_i,
+    which a row-frame cumulative sum evaluates without any Python: the
+    cumsum accumulates g^i*x_i with g = 1/(1-a) and the final multiply by
+    (1-a)^t rescales. g^i grows, so this form is for series up to a few
+    hundred points (the reference's evaluator is likewise an in-memory
+    array op); longer series should chunk or rescale."""
+    if alpha is None:
+        alpha = 2.0 / (window + 1.0)
+    one_m = 1.0 - alpha
+    base = Window.partitionBy(partition_by) if partition_by else Window
+    w_ord = base.orderBy(order_by)
+    rn = F.row_number().over(w_ord)
+    v = F.col(value).cast("double")
+    seed = F.avg(F.when(rn <= window, v)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # cumulative sum of g^rn * x_rn over rows AFTER the seed window
+    g = 1.0 / one_m
+    term = F.when(rn > window, F.pow(F.lit(g), rn.cast("double")) * v)
+    cum = F.sum(term).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    tail = F.coalesce(cum, F.lit(0.0)) * F.pow(F.lit(one_m), rn.cast("double"))
+    ema = F.when(
+        rn >= window,
+        seed * F.pow(F.lit(one_m), (rn - window).cast("double"))
+        + F.lit(alpha) * tail,
+    )
+    return df.withColumn("ema", ema)
+
+
+def anova_oneway(df: DataFrame, value: str, group_col: str) -> DataFrame:
+    """`anova(a, b, ...)` (io/eval/AnovaEvaluator.java, commons-math
+    OneWayAnova): F ratio and p-value across ALL groups of ``group_col``.
+    One groupBy over the raw data (per-group n/mean/variance — map-side
+    combinable), then a second tiny aggregation over the k group rows;
+    the p-value (F distribution survival = regularized incomplete beta)
+    is driver math on the single result row."""
+    c = F.col(value).cast("double")
+    per_group = df.groupBy(group_col).agg(
+        F.count(c).alias("n"), F.avg(c).alias("mean"), F.var_samp(c).alias("var")
+    )
+    m = per_group.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum(F.col("n") * F.col("mean")).alias("sum_all"),
+        F.sum(F.col("n") * F.col("mean") * F.col("mean")).alias("sum_nm2"),
+        F.sum((F.col("n") - 1) * F.col("var")).alias("ssw"),
+    ).collect()[0]
+    k, n = int(m["k"]), int(m["n_total"])
+    if k < 2 or n <= k:
+        raise ValueError(f"anova needs >=2 groups and n>k (k={k}, n={n})")
+    grand_mean = m["sum_all"] / n
+    ssb = m["sum_nm2"] - n * grand_mean * grand_mean
+    ssw = m["ssw"]
+    df_b, df_w = k - 1, n - k
+    f_ratio = (ssb / df_b) / (ssw / df_w)
+    # P(F > f) = I_{dfw/(dfw + dfb*f)}(dfw/2, dfb/2)
+    x = df_w / (df_w + df_b * f_ratio)
+    p = _betainc(df_w / 2.0, df_b / 2.0, x)
+    return df.sparkSession.createDataFrame(
+        [(float(f_ratio), float(p), int(df_b), int(df_w))],
+        "f_ratio double, p_value double, df_between long, df_within long",
+    )
+
+
+def _gammainc_upper_reg(s: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(s,x) — series / continued
+    fraction split (the standard published gammp/gammq algorithm); needed
+    for chi-square survival since no in-sandbox library exposes it."""
+    import math
+
+    if x < 0 or s <= 0:
+        raise ValueError("gammainc domain")
+    if x == 0:
+        return 1.0
+    if x < s + 1.0:
+        # P(s,x) by series, return 1 - P
+        ap, total, delta = s, 1.0 / s, 1.0 / s
+        for _ in range(500):
+            ap += 1.0
+            delta *= x / ap
+            total += delta
+            if abs(delta) < abs(total) * 1e-15:
+                break
+        p = total * math.exp(-x + s * math.log(x) - math.lgamma(s))
+        return 1.0 - p
+    # Q(s,x) by Lentz continued fraction
+    tiny = 1e-300
+    b = x + 1.0 - s
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - s)
+        b += 2.0
+        d = an * d + b
+        d = 1.0 / (d if abs(d) > tiny else tiny)
+        c = b + an / (c if abs(c) > tiny else tiny)
+        h *= d * c
+        if abs(d * c - 1.0) < 1e-15:
+            break
+    return h * math.exp(-x + s * math.log(x) - math.lgamma(s))
+
+
+def chi2_sf(stat: float, dof: float) -> float:
+    """P(X > stat) for chi-square with ``dof`` degrees of freedom."""
+    return _gammainc_upper_reg(dof / 2.0, stat / 2.0)
+
+
+def chi_square_datasets(df: DataFrame, count_a: str, count_b: str) -> DataFrame:
+    """`chiSquareDataSet(a, b)` (io/eval/ChiSquareDataSetEvaluator.java,
+    commons-math ChiSquareTest.chiSquareDataSetsComparison): compares two
+    per-bin observed-count series. With totals S_a, S_b and
+    K = sqrt(S_a/S_b), the statistic is
+    sum_i (o_a/K - o_b*K)^2 / (o_a + o_b) when totals differ, or the
+    unweighted form when equal (commons-math javadoc formula). df = bins-1;
+    p is driver-side chi-square survival. ``df`` holds one row per bin
+    (already aggregated); this is ONE window + ONE aggregation over it."""
+    a = F.col(count_a).cast("double")
+    b = F.col(count_b).cast("double")
+    w = Window.partitionBy()
+    sa, sb = F.sum(a).over(w), F.sum(b).over(w)
+    kk = F.sqrt(sa / sb)
+    unequal = F.abs(sa - sb) > 1e-9
+    term = F.when(
+        unequal, F.pow(a / kk - b * kk, 2) / (a + b)
+    ).otherwise(F.pow(a - b, 2) / (a + b))
+    m = df.select(term.alias("t")).agg(
+        F.sum("t").alias("stat"), F.count("t").alias("bins")
+    ).collect()[0]
+    stat, bins = float(m["stat"]), int(m["bins"])
+    p = chi2_sf(stat, bins - 1)
+    return df.sparkSession.createDataFrame(
+        [(stat, float(p), bins - 1)],
+        "chisq_stat double, p_value double, dof long",
+    )
+
+
+def g_test_datasets(df: DataFrame, count_a: str, count_b: str) -> DataFrame:
+    """`gtestDataSet(a, b)` (io/eval/GTestDataSetEvaluator.java,
+    commons-math GTest.gDataSetsComparison): likelihood-ratio G over the
+    2 x k contingency table formed by the two count series:
+    G = 2 * sum_cells o * ln(o / e), e = rowSum*colSum/total (zero cells
+    contribute 0). df = k-1; same execution shape as chiSquareDataSet."""
+    a = F.col(count_a).cast("double")
+    b = F.col(count_b).cast("double")
+    w = Window.partitionBy()
+    sa, sb = F.sum(a).over(w), F.sum(b).over(w)
+    tot = sa + sb
+    col_sum = a + b
+    cell = (
+        F.when(a > 0, a * F.log(a / (sa * col_sum / tot))).otherwise(0.0)
+        + F.when(b > 0, b * F.log(b / (sb * col_sum / tot))).otherwise(0.0)
+    )
+    m = df.select(cell.alias("g")).agg(
+        F.sum("g").alias("half"), F.count("g").alias("bins")
+    ).collect()[0]
+    stat, bins = 2.0 * float(m["half"]), int(m["bins"])
+    p = chi2_sf(stat, bins - 1)
+    return df.sparkSession.createDataFrame(
+        [(stat, float(p), bins - 1)],
+        "g_stat double, p_value double, dof long",
+    )
+
+
+def ks_two_sample(
+    df: DataFrame, value: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """`ks(a, b)` two-sample (io/eval/KolmogorovSmirnovEvaluator.java):
+    D = sup_x |F_a(x) - F_b(x)| plus the asymptotic p-value
+    Q_KS(sqrt(ne)*D) with ne = na*nb/(na+nb). NOTE the reference's
+    two-sample branch calls commons-math kolmogorovSmirnovTest(x, y) —
+    which returns the P-VALUE — and stores it under the key
+    "d-statistic" (KolmogorovSmirnovEvaluator.java:63-66); this
+    implementation reports both values under honest names.
+
+    Distributed D: one range-frame window over the union of both samples
+    sorted by value (RANGE includes ties, giving the right-continuous
+    ECDF after each distinct value), then a max aggregate."""
+    c = F.col(value).cast("double")
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        c.alias("v"), (F.col(group_col) == group_a).alias("is_a")
+    )
+    w_all = Window.partitionBy()
+    na = F.sum(F.when(F.col("is_a"), 1).otherwise(0)).over(w_all)
+    nb = F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).over(w_all)
+    w_ecdf = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    fa = F.sum(F.when(F.col("is_a"), 1).otherwise(0)).over(w_ecdf) / na
+    fb = F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).over(w_ecdf) / nb
+    m = (
+        two.select(F.abs(fa - fb).alias("gap"), na.alias("na"), nb.alias("nb"))
+        .agg(F.max("gap").alias("d"), F.max("na").alias("na"), F.max("nb").alias("nb"))
+        .collect()[0]
+    )
+    import math
+
+    d, n_a, n_b = float(m["d"]), int(m["na"]), int(m["nb"])
+    lam = math.sqrt(n_a * n_b / (n_a + n_b)) * d
+    # Kolmogorov asymptotic survival: 2*sum (-1)^{j-1} exp(-2 j^2 lam^2)
+    p = 0.0
+    for j in range(1, 101):
+        term = 2.0 * (-1.0) ** (j - 1) * math.exp(-2.0 * j * j * lam * lam)
+        p += term
+        if abs(term) < 1e-16:
+            break
+    p = min(max(p, 0.0), 1.0)
+    return df.sparkSession.createDataFrame(
+        [(d, float(p), n_a, n_b)],
+        "d_stat double, p_asymptotic double, n_a long, n_b long",
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame, value: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """`mannWhitney(a, b)` (io/eval/MannWhitneyUEvaluator.java,
+    commons-math MannWhitneyUTest): U statistic (the max of U_a/U_b, as
+    commons-math returns) from average-tie midranks, p-value via the
+    normal approximation on min(U_a,U_b) without tie/continuity
+    correction — exactly commons-math's calculateAsymptoticPValue.
+    Midranks are one rank window + arithmetic (rank + (ties-1)/2), so the
+    whole thing is one sort-shuffle plus a tiny aggregate."""
+    c = F.col(value).cast("double")
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        c.alias("v"), (F.col(group_col) == group_a).alias("is_a")
+    )
+    w_ord = Window.orderBy("v")
+    ties = F.count("*").over(Window.partitionBy("v"))
+    midrank = F.rank().over(w_ord) + (ties - 1) / 2.0
+    m = (
+        two.select("is_a", midrank.alias("r"))
+        .agg(
+            F.sum(F.when(F.col("is_a"), F.col("r"))).alias("ra"),
+            F.count(F.when(F.col("is_a"), 1)).alias("na"),
+            F.count(F.when(~F.col("is_a"), 1)).alias("nb"),
+        )
+        .collect()[0]
+    )
+    import math
+
+    ra, na, nb = float(m["ra"]), int(m["na"]), int(m["nb"])
+    u_a = ra - na * (na + 1) / 2.0
+    u_b = na * nb - u_a
+    u_max, u_min = max(u_a, u_b), min(u_a, u_b)
+    mu = na * nb / 2.0
+    sigma = math.sqrt(na * nb * (na + nb + 1) / 12.0)
+    z = (u_min - mu) / sigma
+    # two-sided: 2 * Phi(z) for z <= 0
+    phi = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+    p = min(1.0, 2.0 * phi)
+    return df.sparkSession.createDataFrame(
+        [(float(u_max), float(p), na, nb)],
+        "u_stat double, p_value double, n_a long, n_b long",
+    )
+
+
+def markov_transitions(
+    df: DataFrame, state: str, order_by: str, partition_by: str
+) -> DataFrame:
+    """Transition-matrix estimation for `markovChain(matrix)`
+    (io/eval/MarkovChainEvaluator.java — the reference SAMPLES from a
+    given matrix; fitting the matrix from event streams is the data-side
+    half). Per ``partition_by`` sequence ordered by ``order_by``:
+    P(next_state | state) = count(state -> next) / count(state -> *).
+    One lag window (shuffles once on the sequence key) + one groupBy of
+    the pairs; row-number tiebreak keeps it deterministic."""
+    w = Window.partitionBy(partition_by).orderBy(order_by, state)
+    pairs = (
+        df.select(
+            F.col(state).alias("state"),
+            F.lead(F.col(state)).over(w).alias("next_state"),
+        )
+        .where(F.col("next_state").isNotNull())
+        .groupBy("state", "next_state")
+        .agg(F.count("*").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("state"))
+    return pairs.select(
+        "state", "next_state", "n", (F.col("n") / total).alias("prob")
+    ).orderBy("state", "next_state")

@@ -642,3 +642,143 @@ def test_chunk_tokens_property_sweep(spark):
             assert got_tokens == set(toks)          # full coverage
             if len(toks) <= size:
                 assert len(sub) == 1                # single window
+
+
+def test_frequency_table_counts_and_cumulatives(spark):
+    from solr_spark.functions.mathstream import frequency_table
+
+    df = spark.createDataFrame([(v,) for v in [1, 2, 2, 3, 3, 3, 5]], "x long")
+    rows = frequency_table(df, "x").collect()
+    assert [(r.value, r["count"], r.cumFreq) for r in rows] == [
+        (1, 1, 1), (2, 2, 3), (3, 3, 6), (5, 1, 7)
+    ]
+    assert rows[-1].cumPct == pytest.approx(100.0)
+    assert rows[1].pct == pytest.approx(2 / 7 * 100)
+
+
+def test_exp_moving_avg_matches_recurrence(spark):
+    import random
+
+    from solr_spark.functions.mathstream import exp_moving_avg
+
+    rng = random.Random(7)
+    xs = [rng.uniform(0, 10) for _ in range(60)]
+    df = spark.createDataFrame(list(enumerate(xs)), "t long, x double")
+    got = {r.t: r.ema for r in exp_moving_avg(df, "x", "t", 7).collect()}
+    a = 2.0 / 8.0
+    ema = sum(xs[:7]) / 7
+    want = {6: ema}
+    for i in range(7, 60):
+        ema = a * (xs[i] - ema) + ema
+        want[i] = ema
+    for t in range(6):
+        assert got[t] is None  # before the seed window completes
+    for t, w in want.items():
+        assert got[t] == pytest.approx(w, rel=1e-9)
+
+
+def test_anova_oneway_hand_computed(spark):
+    from solr_spark.functions.mathstream import anova_oneway
+
+    rows = ([("a", x) for x in [1.0, 2.0, 3.0, 4.0]]
+            + [("b", x) for x in [2.0, 3.0, 4.0, 5.0]]
+            + [("c", x) for x in [5.0, 6.0, 7.0, 9.0]])
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    # hand calc: SSB=39.5 (df 2), SSW=18.75 (df 9) -> F = 19.75/2.08333
+    assert r.f_ratio == pytest.approx(9.48, abs=1e-9)
+    assert r.df_between == 2 and r.df_within == 9
+    assert 0.0 < r.p_value < 0.01
+
+
+def test_f_and_chi2_survival_golden_quantiles():
+    """The driver-side special functions against classic table values."""
+    from solr_spark.functions.mathstream import _betainc, chi2_sf
+
+    # P(F(1,10) > 4.965) = 0.05  (F distribution 5% critical value)
+    assert _betainc(5.0, 0.5, 10 / (10 + 4.965)) == pytest.approx(0.05, abs=1e-4)
+    # chi-square 5% critical values: 3.841 (1 dof), 11.070 (5 dof)
+    assert chi2_sf(3.841, 1) == pytest.approx(0.05, abs=1e-4)
+    assert chi2_sf(11.070, 5) == pytest.approx(0.05, abs=1e-4)
+
+
+def test_chi_square_and_gtest_datasets(spark):
+    from solr_spark.functions.mathstream import (
+        chi_square_datasets, g_test_datasets)
+
+    # equal totals (60/60): plain sum (a-b)^2/(a+b)
+    df = spark.createDataFrame(
+        [(10.0, 12.0), (20.0, 18.0), (30.0, 30.0)], "a double, b double")
+    r = chi_square_datasets(df, "a", "b").collect()[0]
+    want = 4 / 22 + 4 / 38 + 0.0
+    assert r.chisq_stat == pytest.approx(want, rel=1e-12) and r.dof == 2
+
+    g = g_test_datasets(df, "a", "b").collect()[0]
+    import math
+    tot, sa, sb = 120.0, 60.0, 60.0
+    want_g = 2 * sum(
+        o * math.log(o / (s * c / tot))
+        for (oa, ob) in [(10, 12), (20, 18), (30, 30)]
+        for o, s, c in [(oa, sa, oa + ob), (ob, sb, oa + ob)]
+    )
+    assert g.g_stat == pytest.approx(want_g, rel=1e-12) and g.dof == 2
+
+    # unequal totals: commons-math K = sqrt(Sa/Sb) weighting
+    df2 = spark.createDataFrame(
+        [(10.0, 20.0), (30.0, 20.0), (20.0, 40.0)], "a double, b double")
+    r2 = chi_square_datasets(df2, "a", "b").collect()[0]
+    k = math.sqrt(60.0 / 80.0)
+    want2 = sum((oa / k - ob * k) ** 2 / (oa + ob)
+                for oa, ob in [(10, 20), (30, 20), (20, 40)])
+    assert r2.chisq_stat == pytest.approx(want2, rel=1e-12)
+
+
+def test_ks_two_sample_matches_bruteforce(spark):
+    import bisect
+    import random
+
+    from solr_spark.functions.mathstream import ks_two_sample
+
+    rng = random.Random(11)
+    xa = sorted(rng.gauss(0, 1) for _ in range(50))
+    xb = sorted(rng.gauss(0.5, 1) for _ in range(60))
+    rows = [("a", v) for v in xa] + [("b", v) for v in xb]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    want = max(
+        abs(bisect.bisect_right(xa, v) / 50 - bisect.bisect_right(xb, v) / 60)
+        for v in xa + xb
+    )
+    assert r.d_stat == pytest.approx(want, rel=1e-12)
+    assert r.n_a == 50 and r.n_b == 60
+    assert 0.0 <= r.p_asymptotic <= 1.0
+
+
+def test_mann_whitney_u_with_ties(spark):
+    from solr_spark.functions.mathstream import mann_whitney_u
+
+    # ties across and within groups exercise the midrank path
+    xa = [1.0, 2.0, 2.0, 3.0, 5.0]
+    xb = [2.0, 4.0, 4.0, 6.0]
+    rows = [("a", v) for v in xa] + [("b", v) for v in xb]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    # midranks: 1.0->1; 2.0,2.0,2.0->3; 3.0->5; 4.0,4.0->6.5; 5.0->8; 6.0->9
+    ra = 1 + 3 + 3 + 5 + 8  # = 20
+    ua = ra - 5 * 6 / 2     # = 5
+    ub = 5 * 4 - ua         # = 15
+    assert r.u_stat == pytest.approx(max(ua, ub))
+    assert r.n_a == 5 and r.n_b == 4
+    assert 0.0 <= r.p_value <= 1.0
+
+
+def test_markov_transitions_probabilities(spark):
+    from solr_spark.functions.mathstream import markov_transitions
+
+    rows = [("u1", 1, "x"), ("u1", 2, "y"), ("u1", 3, "x"),
+            ("u2", 1, "x"), ("u2", 2, "y"), ("u2", 3, "y")]
+    df = spark.createDataFrame(rows, "u string, t long, s string")
+    got = {(r.state, r.next_state): (r.n, r.prob)
+           for r in markov_transitions(df, "s", "t", "u").collect()}
+    assert got == {("x", "y"): (2, 1.0),
+                   ("y", "x"): (1, 0.5), ("y", "y"): (1, 0.5)}
