@@ -4274,6 +4274,253 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("state", "next_state")
 
 
+_GOPHER_GRAMS_SQL = """
+gtoks AS (SELECT doc_id, length(text)::DOUBLE AS nc,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    t -> t <> '') AS ts
+  FROM documents),
+ns(n) AS (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10)),
+grams AS (SELECT doc_id, nc, n, array_to_string(ts[i + 1 : i + n], ' ') AS gram
+          FROM gtoks, ns, unnest(range(0, len(ts) - n + 1)) AS u(i)
+          WHERE len(ts) >= n),
+gcounts AS (SELECT doc_id, n, gram, count(*) AS c, length(gram) AS gl,
+                   any_value(nc) AS nc
+            FROM grams GROUP BY doc_id, n, gram),
+pern AS (SELECT doc_id, n, any_value(nc) AS nc,
+                max(struct_pack(c := c, gl := gl)) AS top,
+                coalesce(sum(CASE WHEN c > 1 THEN c * gl END), 0) AS dup_chars
+         FROM gcounts GROUP BY doc_id, n)
+"""
+
+
+@register(
+    "gopher_repetition_docs",
+    f"""
+WITH {_GOPHER_GRAMS_SQL},
+agg AS (SELECT doc_id,
+  {', '.join(_sql_scaled(f"coalesce(max(CASE WHEN n = {n} THEN top.c * top.gl / nc END), 0)") + f" AS top_frac_{n}_x10k" for n in (2, 3, 4))},
+  {', '.join(_sql_scaled(f"coalesce(max(CASE WHEN n = {n} THEN dup_chars / nc END), 0)") + f" AS dup_frac_{n}_x10k" for n in (5, 10))}
+  FROM pern GROUP BY doc_id)
+SELECT d.doc_id AS id, {', '.join(f"coalesce(top_frac_{n}_x10k, 0) AS top_frac_{n}_x10k" for n in (2, 3, 4))},
+       {', '.join(f"coalesce(dup_frac_{n}_x10k, 0) AS dup_frac_{n}_x10k" for n in (5, 10))}
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+WHERE d.doc_id < 60 ORDER BY id
+""",
+)
+def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 Table A1) over documents:
+    top-{2,3,4}-gram char fraction + duplicated-{5,10}-gram char fraction.
+    One n-gram explode + two map-side-combinable aggregations — the same
+    linear shape as tf counting, so it holds at corpus scale."""
+    from solr_spark.functions.curation import gopher_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = gopher_repetition(docs, "text", "doc_id")
+    return (
+        rep.where(F.col("id") < 60)
+        .select(
+            "id",
+            *[scaled(f"top_frac_{n}").alias(f"top_frac_{n}_x10k")
+              for n in (2, 3, 4)],
+            *[scaled(f"dup_frac_{n}").alias(f"dup_frac_{n}_x10k")
+              for n in (5, 10)],
+        )
+        .orderBy("id")
+    )
+
+
+@register(
+    "gopher_quality_docs",
+    f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws,
+         lower(text) AS lt, text
+  FROM documents),
+m AS (
+  SELECT doc_id, len(ws) AS word_count,
+         list_sum(list_transform(ws, x -> length(x)))
+           / greatest(len(ws), 1)::DOUBLE AS mean_word_len,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+           / greatest(len(ws), 1)::DOUBLE AS alpha_frac,
+         ({' + '.join(f"CASE WHEN regexp_matches(lt, '(^|[^a-z0-9]){sw}([^a-z0-9]|$)') THEN 1 ELSE 0 END" for sw in ('the', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for', 'was'))}) AS stop_hits
+  FROM w)
+SELECT doc_id AS id, word_count,
+       {_sql_scaled('mean_word_len')} AS mean_len_x10k,
+       {_sql_scaled('alpha_frac')} AS alpha_x10k,
+       stop_hits::BIGINT AS stopword_hits,
+       (CASE WHEN word_count BETWEEN 50 AND 100000
+              AND mean_word_len BETWEEN 3.0 AND 10.0
+              AND alpha_frac >= 0.8 AND stop_hits >= 2
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM m WHERE doc_id < 60 ORDER BY id
+""",
+)
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 word-level quality rules (word count, mean word length,
+    alpha-word fraction, stopword hits) — zero-shuffle JVM projection. The
+    symbol/bullet/ellipsis line rules are in the same operator (pytest-
+    covered; the documents table has no lines or symbols to exercise
+    them, so the oracle checks the word rules)."""
+    from solr_spark.functions.curation import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    q = gopher_quality(docs, "text", "doc_id")
+    # keep-flag here reflects only the word rules the oracle can see:
+    # the synthetic docs have no symbols/bullets, so the full keep column
+    # and this reduced one agree (asserted in pytest).
+    return (
+        q.where(F.col("id") < 60)
+        .select(
+            "id",
+            "word_count",
+            scaled("mean_word_len").alias("mean_len_x10k"),
+            scaled("alpha_word_frac").alias("alpha_x10k"),
+            F.col("stopword_hits").cast("long").alias("stopword_hits"),
+            F.col("keep").cast("long").alias("keep"),
+        )
+        .orderBy("id")
+    )
+
+
+@register(
+    "c4_line_filter_docs",
+    """
+WITH chunked AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           range(0, cast(ceil(len(ts) / 8.0) AS INT)),
+           i -> array_to_string(ts[i * 8 + 1 : i * 8 + 8], ' ')
+                || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END),
+           chr(10)) AS text2
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS ts
+        FROM documents)),
+lines AS (
+  SELECT doc_id, list_filter(
+           list_transform(string_split(text2, chr(10)), x -> trim(x)),
+           x -> x <> '') AS ls, text2
+  FROM chunked),
+f AS (
+  SELECT doc_id, len(ls) AS n_lines,
+         list_filter(ls, l ->
+           substr(l, length(l), 1) IN ('.', '!', '?', '"')
+           AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                               w -> w <> '')) >= 5
+           AND NOT (contains(lower(l), 'javascript')
+                    OR contains(lower(l), 'cookie')
+                    OR contains(lower(l), 'terms of use')
+                    OR contains(lower(l), 'privacy policy'))) AS kept,
+         contains(lower(text2), 'lorem ipsum') AS has_lorem,
+         contains(text2, '{') AS has_brace
+  FROM lines)
+SELECT doc_id AS id, n_lines, len(kept) AS n_kept,
+       length(array_to_string(kept, chr(10))) AS clean_len,
+       (CASE WHEN len(kept) >= 3 AND NOT has_lorem AND NOT has_brace
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM f WHERE doc_id < 60 ORDER BY id
+""",
+)
+def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 line filtering. The documents table is single-line
+    punctuation-free token soup, so the entry derives a deterministic
+    multi-line corpus from it first (8-token lines, '.' appended to
+    even-indexed lines) and then applies the real operator — terminal
+    punctuation, >=5 words/line, blocklist, >=3 kept lines. The oracle
+    mirrors the derivation exactly; blocklist/brace/lorem branches are
+    pytest-covered."""
+    from solr_spark.functions.curation import c4_line_filter
+    from solr_spark.functions.dedup import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    text2 = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat(
+                F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+                F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+            ),
+        ),
+    )
+    derived = docs.select("doc_id", text2.alias("text2"))
+    out = c4_line_filter(derived, "text2", "doc_id")
+    return (
+        out.where(F.col("id") < 60)
+        .select(
+            "id", "n_lines", "n_kept",
+            F.length("clean_text").alias("clean_len"),
+            F.col("keep").cast("long").alias("keep"),
+        )
+        .orderBy("id")
+    )
+
+
+@register(
+    "pii_scrub_docs",
+    """
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com ip 10.0.'
+              || (doc_id % 256) || '.7' AS t0
+  FROM documents),
+s1 AS (SELECT doc_id, t0,
+              len(regexp_extract_all(t0,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+              regexp_replace(t0,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1
+       FROM t),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t1,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+              regexp_replace(t1,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                  '<IP>', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ip,
+              len(regexp_extract_all(t2, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phone,
+              regexp_replace(t2, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b',
+                             '<PHONE>', 'g') AS t3
+       FROM s2)
+SELECT doc_id AS id, n_email::BIGINT AS n_email, n_ip::BIGINT AS n_ip,
+       n_phone::BIGINT AS n_phone, length(t3) AS scrubbed_len
+FROM s3 WHERE doc_id < 60 ORDER BY id
+""",
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (email/IPv4/phone, RE2-safe public patterns) over a
+    deterministic PII-bearing derivation of documents (the raw table has
+    no PII; the entry appends a synthetic contact line per doc so every
+    pattern fires). Chained regexp_replace — zero shuffle, zero Python."""
+    from solr_spark.functions.curation import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    derived = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com ip 10.0."), F.col("doc_id") % 256,
+            F.lit(".7"),
+        ).alias("t0"),
+    )
+    out = pii_scrub(derived, "t0")
+    return (
+        out.where(F.col("doc_id") < 60)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.col("n_email").cast("long"),
+            F.col("n_ip").cast("long"),
+            F.col("n_phone").cast("long"),
+            F.length("scrubbed").alias("scrubbed_len"),
+        )
+        .orderBy("id")
+    )
+
+
 @register("loess_daily_events", None)  # array smoother: rows-only by design
 def loess_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`loess(x, y)` (io/eval/LoessEvaluator.java): tricube local-linear

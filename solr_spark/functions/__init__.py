@@ -6,6 +6,8 @@ chain as the search engine:
 - ``dedup``      — exact, n-gram Jaccard, MinHash+LSH, SimHash
 - ``ann``        — brute-force / LSH-bucketed / IVF cosine similarity search
 - ``textstats``  — language-ID, quality features, token counts, fingerprints
+- ``curation``   — Gopher repetition/quality filters, C4 line cleaning,
+                   PII scrubbing (all published heuristics, JVM plans)
 - ``multimodal`` — binary-column plumbing for image/audio payloads (decode
                    stubbed; Spark-side schema/batching real)
 
@@ -31,6 +33,13 @@ from solr_spark.functions.dedup import (  # noqa: F401
     shingle_hashes,
     simhash,
     simhash_pairs,
+)
+from solr_spark.functions.curation import (  # noqa: F401
+    c4_line_filter,
+    gopher_quality,
+    gopher_repetition,
+    gopher_repetition_keep,
+    pii_scrub,
 )
 from solr_spark.functions.textstats import (  # noqa: F401
     fingerprint,

@@ -1,0 +1,277 @@
+"""Training-data curation filters: Gopher repetition/quality signals,
+C4 line filtering, and PII scrubbing.
+
+All published heuristics, re-expressed as distributed DataFrame plans:
+
+- Gopher repetition + quality rules: Rae et al. 2021, "Scaling Language
+  Models: Methods, Analysis & Insights from Training Gopher", Appendix A
+  (Table A1 repetition thresholds, §A1.1 quality rules).
+- C4 line filters: Raffel et al. 2020, "Exploring the Limits of Transfer
+  Learning with a Unified Text-to-Text Transformer", §2.2.
+- PII masking patterns: the standard email/IPv4/phone regexes used by
+  public corpus pipelines (e.g. BigScience ROOTS-style preprocessing).
+
+Execution shapes (the 100 TB question):
+
+- ``gopher_repetition`` explodes n-grams ONCE for every requested n
+  (one Generate), then two keyed aggregations with map-side combine —
+  the same linear tf-counting shape as the index build. No per-doc
+  quadratic array scans, no Python.
+- ``gopher_quality`` and ``c4_line_filter`` are pure JVM higher-order
+  expressions per row: zero shuffle, zero Python.
+- ``pii_scrub`` is regexp_replace chains — JVM, zero shuffle.
+
+Tokenization is the engine's ``simple`` analyzer (lowercase,
+split on non-[a-z0-9]) via :func:`solr_spark.functions.dedup.tokens_col`,
+so the DuckDB oracles reproduce every value exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.functions.dedup import tokens_col
+from solr_spark.functions.textstats import LANG_PROFILES
+
+# Gopher Table A1 thresholds (Rae et al. 2021). Fractions are of document
+# characters; n-gram char spans are counted as the space-joined gram length
+# (overlapping occurrences each count, so a pathological doc can exceed 1 —
+# the paper's filters only ever compare against <1 thresholds, where the
+# overlap inflation is conservative: it only makes a repetitive doc MORE
+# likely to be dropped).
+TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+_STOPWORDS = LANG_PROFILES["en"]  # Gopher's rule needs >=2 of a small list
+
+
+def _gram_structs(toks: Column, n: int) -> Column:
+    """array<struct<n,gram,gl>> of space-joined n-grams of ``toks``."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(F.size(toks) >= n, F.transform(idx, lambda i: F.struct(
+        F.lit(n).alias("n"),
+        F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
+    ))).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Per-doc Gopher repetition signals (Rae et al. 2021, Table A1).
+
+    Returns one row per doc: ``top_frac_{n}`` = chars covered by the most
+    frequent n-gram / total chars, for n in ``top_ns`` (most frequent =
+    highest count, ties to the longest gram — deterministic); and
+    ``dup_frac_{n}`` = chars covered by ALL n-grams occurring more than
+    once / total chars, for n in ``dup_ns``. Char span of a gram
+    occurrence = length of the space-joined gram.
+
+    Shape: one explode over all requested n (gram stream ~ |tokens| x
+    len(ns)), groupBy (id, n, gram) with map-side combine, groupBy (id, n),
+    then a pivot-free conditional-aggregate to one row per doc. Linear in
+    corpus size; both shuffles are on high-cardinality keys (no skew
+    beyond natural hot grams, which partial aggregation absorbs).
+    """
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = tokens_col(F.col(text_col))
+    grams = F.flatten(F.array(*[_gram_structs(toks, n) for n in all_ns]))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).cast("double").alias("nc"),
+        F.explode(grams).alias("g"),
+    ).select("id", "nc", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = base.groupBy("id", "n", "gram").agg(
+        F.count("*").alias("c"),
+        F.first("nc").alias("nc"),
+        F.length(F.first("gram")).alias("gl"),
+    )
+    per_n = counts.groupBy("id", "n").agg(
+        F.first("nc").alias("nc"),
+        F.max(F.struct(F.col("c"), F.col("gl"))).alias("top"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("gl"))), F.lit(0)
+        ).alias("dup_chars"),
+    )
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(
+                F.when(F.col("n") == n,
+                       F.col("top.c") * F.col("top.gl") / F.col("nc"))
+            ).alias(f"top_frac_{n}")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.max(
+                F.when(F.col("n") == n, F.col("dup_chars") / F.col("nc"))
+            ).alias(f"dup_frac_{n}")
+        )
+    out = per_n.groupBy("id").agg(*aggs)
+    # docs shorter than min(ns) tokens produce no grams at all: preserve
+    # them with zero fractions via a left join from the doc universe
+    universe = df.select(F.col(id_col).alias("id"))
+    out = universe.join(out, "id", "left").na.fill(0.0)
+    return out
+
+
+def gopher_repetition_keep(rep: DataFrame) -> Column:
+    """Boolean keep column for :func:`gopher_repetition` output under the
+    paper's Table A1 thresholds (doc dropped when ANY signal exceeds its
+    threshold)."""
+    cond = F.lit(True)
+    for n, t in TOP_NGRAM_THRESHOLDS.items():
+        cond = cond & (F.col(f"top_frac_{n}") <= t)
+    for n, t in DUP_NGRAM_THRESHOLDS.items():
+        cond = cond & (F.col(f"dup_frac_{n}") <= t)
+    return cond
+
+
+def gopher_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher §A1.1 word-level quality rules as one zero-shuffle projection.
+
+    Per doc: word_count, mean_word_len, alpha_word_frac (words containing
+    at least one alphabetic char), stopword_hits (distinct hits in a small
+    English function-word list), symbol_ratio (#/... occurrences per word),
+    bullet_frac / ellipsis_frac over lines, and ``keep`` under the
+    published thresholds: 50 <= words <= 100000, 3 <= mean len <= 10,
+    alpha fraction >= 0.8, >= 2 stopword hits, symbol ratio <= 0.1,
+    bullets <= 90% of lines, ellipses <= 30% of lines.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / safe_n
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / safe_n
+    )
+    lower = F.lower(text)
+    stop_hits = F.lit(0)
+    for sw in _STOPWORDS:
+        stop_hits = stop_hits + F.when(
+            lower.rlike(f"(^|[^a-z0-9]){sw}([^a-z0-9]|$)"), 1
+        ).otherwise(0)
+    n_symbols = (
+        F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+        + F.coalesce(
+            F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", "")),
+            F.lit(0),
+        ) / 3
+    )
+    symbol_ratio = n_symbols / safe_n
+    lines = F.filter(F.split(text, "\n"), lambda x: x != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*([-*•])"))) / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    )
+    keep = (
+        (n_words >= 50) & (n_words <= 100000)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("word_count"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        keep.alias("keep"),
+    )
+
+
+# C4 §2.2: a line survives when it ends in terminal punctuation, has at
+# least `min_words` words, and mentions none of the blocklist phrases;
+# a page survives when it keeps >= `min_lines` lines and contains neither
+# "lorem ipsum" nor a curly brace anywhere.
+C4_TERMINAL = ('.', '!', '?', '"')
+C4_LINE_BLOCKLIST = ("javascript", "cookie", "terms of use", "privacy policy")
+C4_MIN_LINE_WORDS = 5
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) as JVM HOFs.
+
+    Returns (id, n_lines, n_kept, clean_text, has_lorem_ipsum, has_brace,
+    keep): per-line rules (terminal punctuation, >= 5 words, no blocklist
+    phrase) via one array filter; page rules (>= min_lines kept lines, no
+    "lorem ipsum", no '{') on top. Zero shuffle, zero Python.
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+    def line_ok(line: Column) -> Column:
+        last = F.substring(line, -1, 1)
+        terminal = last.isin(*C4_TERMINAL)
+        n_words = F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+        blocked = F.lit(False)
+        for phrase in C4_LINE_BLOCKLIST:
+            blocked = blocked | F.contains(F.lower(line), F.lit(phrase))
+        return terminal & (n_words >= C4_MIN_LINE_WORDS) & ~blocked
+
+    kept = F.filter(lines, line_ok)
+    has_lorem = F.contains(F.lower(text), F.lit("lorem ipsum"))
+    has_brace = F.contains(text, F.lit("{"))
+    keep = (F.size(kept) >= min_lines) & ~has_lorem & ~has_brace
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
+    )
+
+
+# Public-corpus PII patterns (RE2-safe: no backrefs, so the same pattern
+# string runs in Java regex and the DuckDB oracle).
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "PHONE": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str, out_col: str = "scrubbed"
+) -> DataFrame:
+    """Mask emails / IPv4s / phone-shaped numbers with <TYPE> tokens and
+    count the masks per type — chained regexp_replace, zero shuffle.
+    Order matters (EMAIL before IP/PHONE so 'user@1.2.3.4' masks as one
+    email, not an email plus an IP); the masks themselves contain no
+    digits or '@' so later patterns cannot re-match earlier masks."""
+    text = F.col(text_col)
+    scrubbed = text
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.split(scrubbed, pat, -1)) - 1
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name}>")
+    out = df.withColumn(out_col, scrubbed)
+    for (name, _), c in zip(PII_PATTERNS.items(), counts):
+        out = out.withColumn(f"n_{name.lower()}", c.cast("int"))
+    return out

@@ -1,0 +1,155 @@
+"""Gopher/C4/PII curation filters (functions/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.functions.curation import (
+    DUP_NGRAM_THRESHOLDS,
+    TOP_NGRAM_THRESHOLDS,
+    c4_line_filter,
+    gopher_quality,
+    gopher_repetition,
+    gopher_repetition_keep,
+    pii_scrub,
+)
+
+
+def _rep_dict(spark, text, **kw):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return gopher_repetition(df, "text", "doc_id", **kw).collect()[0].asDict()
+
+
+def test_gopher_repetition_hand_computed(spark):
+    # "the cat" (7 chars) occurs 3x in a 68-char doc
+    text = "the cat sat on the mat the cat sat on the mat the cat sat on the mat"
+    r = _rep_dict(spark, text)
+    assert r["top_frac_2"] == pytest.approx(3 * len("the cat") / len(text))
+    # every 5-gram occurs 3x (doc = 6-token sentence x3 minus boundary
+    # effects) -> dup_frac_5 > 1 from overlap, which the module documents
+    assert r["dup_frac_5"] > 1.0
+    # a no-repeat doc has zero dup fractions
+    r2 = _rep_dict(spark, "one two three four five six seven eight nine ten")
+    for n in (5, 6, 7, 8, 9, 10):
+        assert r2[f"dup_frac_{n}"] == 0.0
+
+
+def test_gopher_repetition_short_and_empty_docs_survive(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "")], "doc_id long, text string")
+    rows = {r["id"]: r.asDict() for r in
+            gopher_repetition(df, "text", "doc_id").collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["top_frac_2"] == pytest.approx(3 / 3)  # "a b" is its own bigram
+    assert rows[1]["top_frac_2"] == 0.0
+    assert rows[1]["dup_frac_10"] == 0.0
+
+
+def test_gopher_repetition_keep_thresholds(spark):
+    repetitive = " ".join(["the cat sat on the mat"] * 10)
+    clean = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(0, repetitive), (1, clean)], "doc_id long, text string")
+    rep = gopher_repetition(df, "text", "doc_id")
+    got = {r["id"]: r["keep"] for r in
+           rep.select("id", gopher_repetition_keep(rep).alias("keep")).collect()}
+    assert got == {0: False, 1: True}
+    # thresholds are the published Table A1 values
+    assert TOP_NGRAM_THRESHOLDS[2] == 0.20 and DUP_NGRAM_THRESHOLDS[10] == 0.10
+
+
+def test_gopher_quality_rules(spark):
+    good = ("The quick brown fox jumps over the lazy dog and runs far away "
+            * 10)
+    short = "too few words here."
+    digits = " ".join(str(i) for i in range(100))  # no alpha words
+    shouty = " ".join(["#tag"] * 100)              # symbol ratio 1.0
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, digits), (3, shouty)],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in gopher_quality(df, "text", "doc_id").collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["keep"] is False        # < 50 words
+    assert got[2]["keep"] is False and got[2]["alpha_word_frac"] == 0.0
+    assert got[3]["keep"] is False and got[3]["symbol_ratio"] >= 0.9
+
+
+def test_gopher_quality_line_rules(spark):
+    bullets = "\n".join(["- item one of several listed here"] * 10
+                        + ["a normal line"])
+    ellipses = "\n".join(["this line trails off..."] * 5
+                         + ["a normal line here"])
+    df = spark.createDataFrame(
+        [(0, bullets), (1, ellipses)], "doc_id long, text string")
+    got = {r["id"]: r for r in gopher_quality(df, "text", "doc_id").collect()}
+    assert got[0]["bullet_frac"] == pytest.approx(10 / 11)
+    assert got[1]["ellipsis_frac"] == pytest.approx(5 / 6)
+
+
+def test_c4_line_filter_rules(spark):
+    rows = [
+        (0, "This line is long enough to keep.\nshort line\n"
+            "Another keeper line is right here.\n"
+            "And a third good line for the page.\nno punctuation line here"),
+        (1, "Lorem ipsum dolor sit amet something.\n"
+            "Good line that would otherwise be kept.\n"
+            "Another fine line with punctuation."),
+        (2, "function f() { return 1; }\nA perfectly good line otherwise."),
+        (3, "Enable javascript to view this page.\n"
+            "First good line stays around here.\n"
+            "Second good line stays around here.\n"
+            "Third good line stays around here."),
+        (4, "We use cookie consent banners here.\n"
+            "First good line stays around here.\n"
+            "Second good line stays around here.\n"
+            "Third good line stays around here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in c4_line_filter(df, "text", "doc_id").collect()}
+    assert got[0]["n_lines"] == 5 and got[0]["n_kept"] == 3
+    assert got[0]["keep"] is True
+    assert "short line" not in got[0]["clean_text"]
+    assert got[1]["keep"] is False and got[1]["has_lorem_ipsum"] is True
+    assert got[2]["keep"] is False and got[2]["has_brace"] is True
+    # the javascript/cookie LINES are dropped but the pages survive
+    assert got[3]["n_kept"] == 3 and got[3]["keep"] is True
+    assert "javascript" not in got[3]["clean_text"]
+    assert got[4]["n_kept"] == 3 and got[4]["keep"] is True
+
+
+def test_pii_scrub_order_and_counts(spark):
+    rows = [
+        (0, "mail john.doe@example.com or 10.0.0.1 or 555-123-4567 done"),
+        (1, "two mails a@b.io c@d.org and ips 1.2.3.4 5.6.7.8"),
+        (2, "no pii in this row at all"),
+        (3, "version 1.2.3 is not an ip; 1.2.3.4 is"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df, "text").collect()}
+    assert got[0]["scrubbed"] == "mail <EMAIL> or <IP> or <PHONE> done"
+    assert (got[0]["n_email"], got[0]["n_ip"], got[0]["n_phone"]) == (1, 1, 1)
+    assert got[1]["n_email"] == 2 and got[1]["n_ip"] == 2
+    assert got[2]["scrubbed"] == rows[2][1]
+    assert got[3]["n_ip"] == 1 and "1.2.3 is not" in got[3]["scrubbed"]
+
+
+def test_curation_plan_shapes(spark):
+    """quality/c4/pii are zero-shuffle projections; repetition explodes
+    grams exactly once and aggregates with partial (map-side) combine."""
+    df = spark.createDataFrame([(0, "a b c . d\ne f.")],
+                               "doc_id long, text string")
+    for op in (
+        lambda: gopher_quality(df, "text", "doc_id"),
+        lambda: c4_line_filter(df, "text", "doc_id"),
+        lambda: pii_scrub(df, "text"),
+    ):
+        plan = op()._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    rep = gopher_repetition(df, "text", "doc_id")
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1          # ONE explode for all n
+    assert "partial" in plan.lower()            # map-side combine present
+    assert "BatchEvalPython" not in plan
