@@ -4521,6 +4521,134 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_chunks_bins",
+    """
+WITH ptoks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents),
+cz AS (SELECT doc_id, len(ts) AS n FROM ptoks WHERE len(ts) > 0),
+chunks AS (
+  SELECT doc_id, i AS chunk_id,
+         least(n - least(i * 16, greatest(n - 16, 0)), 16) AS nt
+  FROM cz, unnest(range(0, 1 + greatest(0,
+           cast(ceil((n - 16) / 16.0) AS INT)))) AS u(i)),
+ordered AS (
+  SELECT nt, sum(nt) OVER (ORDER BY doc_id, chunk_id) AS cum FROM chunks)
+SELECT cast(floor((cum - nt) / 512) AS BIGINT) AS bin,
+       count(*) AS n_chunks, sum(nt)::BIGINT AS bin_tokens
+FROM ordered GROUP BY 1 ORDER BY bin
+""",
+)
+def pack_chunks_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing over the chunked corpus: documents ->
+    16-token chunks -> concat-and-cut into 512-token training examples.
+    The global token offsets come from a BUCKET-PARALLEL prefix sum
+    (functions/curation.py distributed_prefix_sum) — no single-partition
+    window over the data; the oracle's plain SQL window is the sequential
+    ground truth it must match. Output: chunks starting in each bin +
+    their token mass."""
+    from solr_spark.functions.curation import pack_concat
+    from solr_spark.functions.textstats import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_tokens(docs, "text", "doc_id", size=16, overlap=0)
+    keyed = chunks.withColumn(
+        "k", F.col("id") * 1000 + F.col("chunk_id")
+    )
+    packed = pack_concat(keyed, "n_tokens", "k", seq_len=512, n_buckets=64)
+    return (
+        packed.groupBy(F.col("first_bin").alias("bin"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "minhash_query_top10",
+    f"""
+WITH {_SH},
+params(i, a, b) AS (VALUES {_minhash_params_sql()}),
+mh AS (
+  SELECT doc_id, i, min((a * (h % 2147483647) + b) % 2147483647)::BIGINT AS mh
+  FROM sh, params GROUP BY doc_id, i),
+q AS (SELECT i, mh FROM mh WHERE doc_id = 0),
+sim AS (
+  SELECT m.doc_id, sum(CASE WHEN m.mh = q.mh THEN 1 ELSE 0 END) AS n_match
+  FROM mh m JOIN q USING (i) WHERE m.doc_id <> 0 GROUP BY 1)
+SELECT doc_id, n_match::BIGINT AS n_match,
+       {_sql_scaled('n_match / 32.0')} AS sim_x10k
+FROM sim WHERE n_match > 0
+ORDER BY n_match DESC, doc_id LIMIT 10
+""",
+)
+def minhash_query_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{{!minhash}}` similarity query (search/MinHashQParserPlugin.java):
+    score a corpus against the fingerprint of a query text — here doc 0,
+    the same find-like-this shape as mlt_doc0. Score = matching signature
+    slots (the standard per-permutation MinHash Jaccard estimate; the
+    reference scores one SHOULD clause per matching hash token). One
+    zip_with against a broadcast 32-long literal — no join, no Python."""
+    from solr_spark.functions.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "text", "doc_id", k=32)
+    qsig = sigs.where(F.col("id") == 0).collect()[0]["minhash"]
+    qlit = F.array(*[F.lit(int(v)) for v in qsig])
+    matches = F.size(
+        F.filter(F.zip_with(F.col("minhash"), qlit, lambda a, b: a == b),
+                 lambda x: x)
+    )
+    return (
+        sigs.where(F.col("id") != 0)
+        .select(
+            F.col("id").alias("doc_id"),
+            matches.cast("long").alias("n_match"),
+        )
+        .where(F.col("n_match") > 0)
+        .select("doc_id", "n_match", scaled(F.col("n_match") / 32.0).alias("sim_x10k"))
+        .orderBy(F.col("n_match").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "cube_orders_rollup",
+    """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       CAST(floor(sum(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS total_x100
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+)
+def cube_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set cube over orders (SURVEY §2.4 notes the reference's
+    closest analogue is hierarchical pivot facets; Spark's df.cube gives
+    the full lattice in ONE pass — partial aggregation expands grouping
+    sets map-side, so it costs one shuffle like a plain groupBy)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            scaled(F.sum("o_totalprice"), 2).alias("total_x100"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total_x100",
+        )
+        .orderBy("status", "priority")
+    )
+
+
 @register("loess_daily_events", None)  # array smoother: rows-only by design
 def loess_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`loess(x, y)` (io/eval/LoessEvaluator.java): tricube local-linear

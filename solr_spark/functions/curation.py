@@ -275,3 +275,108 @@ def pii_scrub(
     for (name, _), c in zip(PII_PATTERNS.items(), counts):
         out = out.withColumn(f"n_{name.lower()}", c.cast("int"))
     return out
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    value: str,
+    order_key: str,
+    tiebreak: str | None = None,
+    n_buckets: int = 256,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Global running sum of ``value`` in (order_key, tiebreak) order — the
+    parallel prefix-sum pattern, NOT a single-partition window.
+
+    A plain ``Window.orderBy(...)`` with no partitionBy funnels every row
+    through ONE task (the classic 100 TB killer). Instead: (1) one tiny
+    min/max job fixes ``n_buckets`` equal ranges of the numeric order key;
+    (2) the within-bucket running sum is a window PARTITIONED by bucket —
+    parallel across buckets; (3) bucket totals (<= n_buckets rows) get
+    their own running sum on the driver-sized side and broadcast-join back
+    as per-bucket offsets. Wall-clock scales with the largest bucket, not
+    the corpus.
+
+    ``out_col`` is the INCLUSIVE running sum; ``out_col + '_before'`` the
+    exclusive one. Deterministic when (order_key, tiebreak) is unique.
+    """
+    from pyspark.sql import Window
+
+    key = F.col(order_key)
+    lohi = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+    if lohi["lo"] is None:
+        return df.withColumn(out_col, F.lit(None).cast("double")).withColumn(
+            f"{out_col}_before", F.lit(None).cast("double")
+        )
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    span = max((hi - lo) / n_buckets, 1e-12)
+    bucket = F.least(
+        F.floor((key.cast("double") - F.lit(lo)) / F.lit(span)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    order_cols = [F.col(order_key)] + (
+        [F.col(tiebreak)] if tiebreak is not None else []
+    )
+    w_in = Window.partitionBy("_psum_bucket").orderBy(*order_cols)
+    withb = df.withColumn("_psum_bucket", bucket).withColumn(
+        "_psum_in", F.sum(F.col(value).cast("double")).over(w_in)
+    )
+    totals = withb.groupBy("_psum_bucket").agg(
+        F.sum(F.col(value).cast("double")).alias("_psum_total")
+    )
+    w_b = Window.orderBy("_psum_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_psum_bucket",
+        F.coalesce(F.sum("_psum_total").over(w_b), F.lit(0.0)).alias(
+            "_psum_offset"
+        ),
+    )
+    out = (
+        withb.join(F.broadcast(offsets), "_psum_bucket")
+        .withColumn(out_col, F.col("_psum_in") + F.col("_psum_offset"))
+        .withColumn(
+            f"{out_col}_before",
+            F.col(out_col) - F.col(value).cast("double"),
+        )
+        .drop("_psum_bucket", "_psum_in", "_psum_offset")
+    )
+    return out
+
+
+def pack_concat(
+    df: DataFrame,
+    n_tokens_col: str,
+    order_key: str,
+    tiebreak: str | None = None,
+    seq_len: int = 2048,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """GPT-style concat-and-cut sequence packing: lay every chunk's tokens
+    end-to-end in deterministic (order_key, tiebreak) order and cut a
+    training example every ``seq_len`` tokens (the packing used by the
+    GPT/T5 pretraining pipelines — no padding, chunks may straddle a cut).
+
+    Adds: ``start_pos`` (global token offset of the chunk), ``first_bin`` /
+    ``last_bin`` (training examples the chunk touches). Built on
+    :func:`distributed_prefix_sum`, so the scan parallelism survives at
+    corpus scale; the only driver-side state is one row per bucket.
+    """
+    out = distributed_prefix_sum(
+        df, n_tokens_col, order_key, tiebreak=tiebreak,
+        n_buckets=n_buckets, out_col="_pk_cum",
+    )
+    start = F.col("_pk_cum_before")
+    end_incl = F.col("_pk_cum") - 1
+    return (
+        out.withColumn("start_pos", start.cast("long"))
+        .withColumn("first_bin", F.floor(start / seq_len).cast("long"))
+        .withColumn(
+            "last_bin",
+            F.when(
+                F.col(n_tokens_col) > 0, F.floor(end_incl / seq_len)
+            ).otherwise(F.floor(start / seq_len)).cast("long"),
+        )
+        .drop("_pk_cum", "_pk_cum_before")
+    )

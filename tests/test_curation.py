@@ -153,3 +153,51 @@ def test_curation_plan_shapes(spark):
     assert plan.count("Generate") == 1          # ONE explode for all n
     assert "partial" in plan.lower()            # map-side combine present
     assert "BatchEvalPython" not in plan
+
+
+def test_distributed_prefix_sum_matches_sequential(spark):
+    import random
+
+    from solr_spark.functions.curation import distributed_prefix_sum
+
+    rng = random.Random(3)
+    rows = [(k, rng.randint(1, 300)) for k in rng.sample(range(10000), 400)]
+    df = spark.createDataFrame(rows, "k long, nt long").repartition(8)
+    got = {r["k"]: (r["cumsum"], r["cumsum_before"])
+           for r in distributed_prefix_sum(df, "nt", "k", n_buckets=16).collect()}
+    run = 0
+    for k, nt in sorted(rows):
+        assert got[k] == (run + nt, run)
+        run += nt
+
+
+def test_distributed_prefix_sum_empty(spark):
+    from solr_spark.functions.curation import distributed_prefix_sum
+
+    df = spark.createDataFrame([], "k long, nt long")
+    assert distributed_prefix_sum(df, "nt", "k").count() == 0
+
+
+def test_pack_concat_bins_and_straddle(spark):
+    from solr_spark.functions.curation import pack_concat
+
+    # 3 chunks of 300 tokens, seq_len 512: chunk 1 straddles bins 0/1
+    df = spark.createDataFrame(
+        [(0, 300), (1, 300), (2, 300)], "k long, nt long")
+    got = {r["k"]: r for r in
+           pack_concat(df, "nt", "k", seq_len=512, n_buckets=4).collect()}
+    assert (got[0]["start_pos"], got[0]["first_bin"], got[0]["last_bin"]) == (0, 0, 0)
+    assert (got[1]["start_pos"], got[1]["first_bin"], got[1]["last_bin"]) == (300, 0, 1)
+    assert (got[2]["start_pos"], got[2]["first_bin"], got[2]["last_bin"]) == (600, 1, 1)
+
+
+def test_pack_concat_plan_is_bucket_parallel(spark):
+    """The full-data window must be hash-partitioned by the range bucket;
+    only the <=n_buckets totals table may pass through a single partition."""
+    from solr_spark.functions.curation import pack_concat
+
+    df = spark.createDataFrame([(k, 10) for k in range(100)], "k long, nt long")
+    plan = pack_concat(df, "nt", "k", seq_len=64, n_buckets=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_psum_bucket" in plan
+    assert "BatchEvalPython" not in plan
