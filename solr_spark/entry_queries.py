@@ -4649,6 +4649,67 @@ def cube_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_Q = ("merge", "batch", "stream")
+
+
+@register(
+    "cluster_results_merge",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES {', '.join(f"('{t}')" for t in _CLUSTER_Q)}),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+bm AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+top AS (SELECT doc_id FROM bm
+        ORDER BY CAST(floor(s * 10000.0 + 0.5) AS BIGINT) DESC, doc_id ASC
+        LIMIT 50),
+rt AS (SELECT DISTINCT t.doc_id, t.term FROM toks t JOIN top USING (doc_id)),
+dr AS (SELECT term, count(*) AS df_r FROM rt GROUP BY term),
+n AS (SELECT count(*) AS n_r FROM top),
+cand AS (SELECT term, df_r, df_r * ln(n_r * 1.0 / df_r) AS score
+         FROM dr, n
+         WHERE df_r >= 2 AND term NOT IN {str(_CLUSTER_Q)}),
+labels AS (
+  SELECT term AS label,
+         row_number() OVER (ORDER BY score DESC, term ASC) AS label_rank
+  FROM cand QUALIFY label_rank <= 4),
+asg AS (SELECT rt.doc_id, min(l.label_rank) AS label_rank
+        FROM rt JOIN labels l ON rt.term = l.label GROUP BY rt.doc_id),
+fin AS (SELECT top.doc_id,
+               coalesce(l.label, 'Other topics') AS label,
+               coalesce(a.label_rank, 0) AS label_rank
+        FROM top LEFT JOIN asg a USING (doc_id)
+        LEFT JOIN labels l ON a.label_rank = l.label_rank)
+SELECT label, label_rank::BIGINT AS label_rank, count(*) AS n_docs
+FROM fin GROUP BY 1, 2 ORDER BY label_rank
+""",
+)
+def cluster_results_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-line result clustering (contrib/clustering ClusteringComponent;
+    ref guide result-clustering.adoc): top-50 BM25 hits for 'merge batch
+    stream' grouped under 4 auto-discovered labels + the Other bucket —
+    the significant-terms labeling engine (operators/clustering.py; the
+    reference delegates to external Carrot2 algorithms, documented
+    there). Query terms are excluded from labels, Carrot2-style."""
+    from solr_spark.operators.clustering import cluster_results, cluster_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    top = _bm25_spark(spark, sf_dir, " ".join(_CLUSTER_Q), k=50)
+    results = top.select("doc_id").join(docs, "doc_id").select("doc_id", "text")
+    assigned = cluster_results(
+        results, "text", "doc_id", k_labels=4, min_df=2,
+        stop_terms=_CLUSTER_Q,
+    )
+    return cluster_summary(assigned).select(
+        "label", F.col("label_rank").cast("long").alias("label_rank"), "n_docs"
+    )
+
+
 @register("loess_daily_events", None)  # array smoother: rows-only by design
 def loess_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`loess(x, y)` (io/eval/LoessEvaluator.java): tricube local-linear
