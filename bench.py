@@ -123,6 +123,33 @@ def main() -> None:
         CATALOG[name].fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Training-data pipeline headliners over the FULL documents table
+    # (the catalog entries slice to doc_id < 60 for oracle hashing; the
+    # bench times the whole-corpus scan shapes).
+    from solr_spark.functions.curation import gopher_repetition, pack_concat
+    from solr_spark.functions.dedup import minhash_signatures
+    from solr_spark.functions.textstats import chunk_tokens
+
+    t0 = time.perf_counter()
+    gopher_repetition(docs, "text", "doc_id").agg(
+        F.sum("top_frac_2"), F.sum("dup_frac_10")
+    ).collect()
+    timings["gopher_repetition_full"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    chunks = chunk_tokens(docs, "text", "doc_id", size=64, overlap=0) \
+        .withColumn("k", F.col("id") * 1000 + F.col("chunk_id"))
+    pack_concat(chunks, "n_tokens", "k", seq_len=2048).agg(
+        F.max("last_bin"), F.count("*")
+    ).collect()
+    timings["pack_chunks_full"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    minhash_signatures(docs, "text", "doc_id", k=32).agg(
+        F.count("*")
+    ).collect()
+    timings["minhash_sigs_full"] = round(time.perf_counter() - t0, 3)
+
     # Physical path: segment build + block-max WAND queries.
     import shutil
 

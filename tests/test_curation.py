@@ -148,11 +148,12 @@ def test_curation_plan_shapes(spark):
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
+    # repetition is fully in-row: sorted-gram run folds, NO explode/groupBy
     rep = gopher_repetition(df, "text", "doc_id")
     plan = rep._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Generate") == 1          # ONE explode for all n
-    assert "partial" in plan.lower()            # map-side combine present
+    assert "Exchange" not in plan and "Generate" not in plan
     assert "BatchEvalPython" not in plan
+    assert plan.count("split(") == 1            # tokenization runs ONCE
 
 
 def test_distributed_prefix_sum_matches_sequential(spark):
