@@ -4710,6 +4710,153 @@ def cluster_results_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A&S 7.1.26 erf constants — shared verbatim with
+# solr_spark.functions.mathstream.erf_col so both engines evaluate the
+# identical polynomial.
+_SQL_ERF_POLY = ("(0.254829592*t - 0.284496736*t*t + 1.421413741*t*t*t "
+                 "- 1.453152027*t*t*t*t + 1.061405429*t*t*t*t*t)")
+
+
+@register(
+    "normal_cdf_totalprice",
+    f"""
+WITH m AS (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS s
+           FROM orders),
+p(probe) AS (VALUES (100000.0), (200000.0), (300000.0), (450000.0)),
+z AS (SELECT probe, (probe - mu) / (s * sqrt(2.0)) AS x FROM p, m),
+tt AS (SELECT probe, x, 1.0 / (1.0 + 0.3275911 * abs(x)) AS t FROM z),
+e AS (SELECT probe, x, 1.0 - {_SQL_ERF_POLY} * exp(-x * x) AS mag FROM tt)
+SELECT probe::DOUBLE AS probe,
+       {_sql_scaled('0.5 * (1.0 + CASE WHEN x < 0 THEN -mag ELSE mag END)', 6)} AS cdf_x1m
+FROM e ORDER BY probe
+""",
+)
+def normal_cdf_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`normalDistribution(mu, sigma)` + `cumulativeProbability(x)`
+    (io/eval/NormalDistributionEvaluator.java, CumulativeProbability
+    Evaluator): fit (mu, sigma) to order totals, evaluate the CDF at four
+    probes. erf is the A&S 7.1.26 polynomial (|err| < 1.5e-7, golden-
+    checked against math.erf in pytest); the oracle runs the identical
+    constants, so the engines agree to machine precision."""
+    from solr_spark.functions.mathstream import norm_cdf_col
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.agg(F.avg("o_totalprice").alias("mu"),
+              F.stddev_samp("o_totalprice").alias("s"))
+    probes = spark.createDataFrame(
+        [(x,) for x in (100000.0, 200000.0, 300000.0, 450000.0)],
+        "probe double")
+    return (
+        probes.crossJoin(F.broadcast(m))
+        .select(
+            "probe",
+            scaled(norm_cdf_col(F.col("probe"), F.col("mu"), F.col("s")), 6)
+            .alias("cdf_x1m"),
+        )
+        .orderBy("probe")
+    )
+
+
+@register(
+    "poisson_purchases_pmf",
+    f"""
+WITH lam AS (
+  SELECT (count(*) FILTER (event_type = 'purchase')) * 1.0
+           / count(DISTINCT user_id) AS l
+  FROM events),
+ks(k) AS (SELECT unnest(range(0, 26))),
+pm AS (
+  SELECT k, l,
+    list_reduce([exp(-l)] || list_transform(range(1, k + 1), i -> i::DOUBLE),
+                (acc, i) -> acc * l / i) AS pmf,
+    -- c BEFORE t: DuckDB evaluates struct_pack fields in order over the
+    -- in-place accumulator, so t must still be the OLD term when c reads it
+    (list_reduce([struct_pack(c := exp(-l), t := exp(-l))]
+                 || list_transform(range(1, k + 1),
+                                   i -> struct_pack(c := 0.0::DOUBLE,
+                                                    t := i::DOUBLE)),
+                 (acc, x) -> struct_pack(c := acc.c + acc.t * l / x.t,
+                                         t := acc.t * l / x.t))).c AS cdf
+  FROM ks, lam)
+SELECT k::BIGINT AS k, {_sql_scaled('pmf', 6)} AS pmf_x1m,
+       {_sql_scaled('cdf', 6)} AS cdf_x1m
+FROM pm ORDER BY k
+""",
+)
+def poisson_purchases_pmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`poissonDistribution(lambda)` + probability/cumulativeProbability
+    (io/eval/PoissonDistributionEvaluator.java): lambda fit as purchases
+    per user, pmf/cdf for k = 0..25 via the multiplicative term recurrence
+    (term_i = term_{i-1}*lambda/i — O(k), no factorial overflow); the
+    oracle folds the identical recurrence with list_reduce."""
+    from solr_spark.functions.mathstream import poisson_cdf_col, poisson_pmf_col
+
+    e = _t(spark, sf_dir, "events")
+    lam = e.agg(
+        (F.count(F.when(F.col("event_type") == "purchase", 1))
+         / F.countDistinct("user_id")).alias("l")
+    )
+    ks = spark.range(0, 26).select(F.col("id").cast("int").alias("k"))
+    return (
+        ks.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            scaled(poisson_pmf_col(F.col("k"), F.col("l")), 6).alias("pmf_x1m"),
+            scaled(poisson_cdf_col(F.col("k"), F.col("l")), 6).alias("cdf_x1m"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "binomial_orders_pmf",
+    f"""
+WITH pp AS (
+  SELECT (count(*) FILTER (o_orderstatus = 'F')) * 1.0 / count(*) AS p
+  FROM orders),
+ks(k) AS (SELECT unnest(range(0, 21))),
+pm AS (
+  SELECT k, p,
+    list_reduce([pow(1.0 - p, 20.0)]
+                || list_transform(range(1, k + 1), i -> i::DOUBLE),
+                (acc, i) -> acc * (20.0 - i + 1.0) / i * (p / (1.0 - p))) AS pmf,
+    (list_reduce([struct_pack(c := pow(1.0 - p, 20.0), t := pow(1.0 - p, 20.0))]
+                 || list_transform(range(1, k + 1),
+                                   i -> struct_pack(c := 0.0::DOUBLE,
+                                                    t := i::DOUBLE)),
+                 (acc, x) -> struct_pack(
+                   c := acc.c + acc.t * (20.0 - x.t + 1.0) / x.t * (p / (1.0 - p)),
+                   t := acc.t * (20.0 - x.t + 1.0) / x.t * (p / (1.0 - p))))).c AS cdf
+  FROM ks, pp)
+SELECT k::BIGINT AS k, {_sql_scaled('pmf', 6)} AS pmf_x1m,
+       {_sql_scaled('cdf', 6)} AS cdf_x1m
+FROM pm ORDER BY k
+""",
+)
+def binomial_orders_pmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binomialDistribution(n, p)` + probability/cumulativeProbability
+    (io/eval/BinomialDistributionEvaluator.java): p fit as the fraction of
+    status-F orders, n = 20 trials, pmf/cdf for k = 0..20 via the
+    multiplicative recurrence term_i = term_{i-1}*(n-i+1)/i * p/(1-p)."""
+    from solr_spark.functions.mathstream import binom_cdf_col, binom_pmf_col
+
+    o = _t(spark, sf_dir, "orders")
+    pp = o.agg(
+        (F.count(F.when(F.col("o_orderstatus") == "F", 1)) / F.count("*"))
+        .alias("p")
+    )
+    ks = spark.range(0, 21).select(F.col("id").cast("int").alias("k"))
+    return (
+        ks.crossJoin(F.broadcast(pp))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            scaled(binom_pmf_col(F.col("k"), 20, F.col("p")), 6).alias("pmf_x1m"),
+            scaled(binom_cdf_col(F.col("k"), 20, F.col("p")), 6).alias("cdf_x1m"),
+        )
+        .orderBy("k")
+    )
+
+
 @register("loess_daily_events", None)  # array smoother: rows-only by design
 def loess_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`loess(x, y)` (io/eval/LoessEvaluator.java): tricube local-linear

@@ -9,9 +9,10 @@ catalog exposes (and that the SQL oracles reproduce).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -748,3 +749,105 @@ def markov_transitions(
     return pairs.select(
         "state", "next_state", "n", (F.col("n") / total).alias("prob")
     ).orderBy("state", "next_state")
+
+
+# --- distribution evaluators (io/eval/NormalDistributionEvaluator.java,
+# PoissonDistributionEvaluator.java, BinomialDistributionEvaluator.java +
+# their cumulativeProbability/probability companions). The reference wraps
+# commons-math distribution objects; here each is a pure JVM column
+# expression so it can score billions of rows in place. ----------------------
+
+# Abramowitz & Stegun 7.1.26 rational erf approximation (|error| < 1.5e-7).
+# The SAME constants are used by the SQL oracles, so cross-engine values
+# are bit-comparable; pytest golden-checks against math.erf.
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def erf_col(x: Column) -> Column:
+    ax = F.abs(x)
+    t = 1.0 / (1.0 + F.lit(_ERF_P) * ax)
+    poly = (
+        F.lit(_ERF_A[0]) * t
+        + F.lit(_ERF_A[1]) * F.pow(t, 2)
+        + F.lit(_ERF_A[2]) * F.pow(t, 3)
+        + F.lit(_ERF_A[3]) * F.pow(t, 4)
+        + F.lit(_ERF_A[4]) * F.pow(t, 5)
+    )
+    mag = 1.0 - poly * F.exp(-ax * ax)
+    return F.when(x < 0, -mag).otherwise(mag)
+
+
+def norm_cdf_col(x: Column, mu: Column | float, sigma: Column | float) -> Column:
+    """`normalDistribution(mu, sigma)` + `cumulativeProbability(x)`."""
+    mu_c = F.lit(mu) if isinstance(mu, (int, float)) else mu
+    s_c = F.lit(sigma) if isinstance(sigma, (int, float)) else sigma
+    z = (x - mu_c) / (s_c * F.lit(math.sqrt(2.0)))
+    return 0.5 * (1.0 + erf_col(z))
+
+
+def poisson_pmf_col(k: Column, lam: Column | float) -> Column:
+    """P(X = k) for Poisson(lam): the multiplicative recurrence
+    term_i = term_{i-1} * lam / i folded over 1..k — exact in the same
+    operation order in Spark and the SQL oracle, O(k) per row, no
+    factorial overflow (terms stay in pmf scale)."""
+    lam_c = F.lit(float(lam)) if isinstance(lam, (int, float)) else lam
+    init = F.exp(-lam_c)  # P(X=0)
+    return F.when(k == 0, init).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), k.cast("int")),
+            init,
+            lambda acc, i: acc * lam_c / i,
+        )
+    )
+
+
+def poisson_cdf_col(k: Column, lam: Column | float) -> Column:
+    """P(X <= k) for Poisson(lam): same recurrence with a running sum."""
+    lam_c = F.lit(float(lam)) if isinstance(lam, (int, float)) else lam
+    p0 = F.exp(-lam_c)
+    init = F.struct(p0.alias("term"), p0.alias("cum"))
+    folded = F.aggregate(
+        F.sequence(F.lit(1), k.cast("int")),
+        init,
+        lambda acc, i: F.struct(
+            (acc["term"] * lam_c / i).alias("term"),
+            (acc["cum"] + acc["term"] * lam_c / i).alias("cum"),
+        ),
+        lambda acc: acc["cum"],
+    )
+    return F.when(k == 0, p0).otherwise(folded)
+
+
+def binom_pmf_col(k: Column, n: int, p: Column | float) -> Column:
+    """P(X = k) for Binomial(n, p): recurrence
+    term_i = term_{i-1} * (n-i+1)/i * p/(1-p) from term_0 = (1-p)^n."""
+    p_c = F.lit(float(p)) if isinstance(p, (int, float)) else p
+    init = F.pow(1.0 - p_c, float(n))
+    ratio = p_c / (1.0 - p_c)
+    return F.when(k == 0, init).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), k.cast("int")),
+            init,
+            lambda acc, i: acc * (F.lit(float(n)) - i + 1.0) / i * ratio,
+        )
+    )
+
+
+def binom_cdf_col(k: Column, n: int, p: Column | float) -> Column:
+    """P(X <= k) for Binomial(n, p), running-sum fold of the pmf terms."""
+    p_c = F.lit(float(p)) if isinstance(p, (int, float)) else p
+    p0 = F.pow(1.0 - p_c, float(n))
+    ratio = p_c / (1.0 - p_c)
+    init = F.struct(p0.alias("term"), p0.alias("cum"))
+    folded = F.aggregate(
+        F.sequence(F.lit(1), k.cast("int")),
+        init,
+        lambda acc, i: F.struct(
+            (acc["term"] * (F.lit(float(n)) - i + 1.0) / i * ratio).alias("term"),
+            (acc["cum"]
+             + acc["term"] * (F.lit(float(n)) - i + 1.0) / i * ratio).alias("cum"),
+        ),
+        lambda acc: acc["cum"],
+    )
+    return F.when(k == 0, p0).otherwise(folded)

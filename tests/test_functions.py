@@ -782,3 +782,45 @@ def test_markov_transitions_probabilities(spark):
            for r in markov_transitions(df, "s", "t", "u").collect()}
     assert got == {("x", "y"): (2, 1.0),
                    ("y", "x"): (1, 0.5), ("y", "y"): (1, 0.5)}
+
+
+def test_erf_and_norm_cdf_golden(spark):
+    import math
+
+    from solr_spark.functions.mathstream import erf_col, norm_cdf_col
+
+    df = spark.createDataFrame([(x / 4.0,) for x in range(-12, 13)], "x double")
+    rows = df.select(
+        "x", erf_col(F.col("x")).alias("e"),
+        norm_cdf_col(F.col("x"), 0.0, 1.0).alias("c")).collect()
+    for r in rows:
+        # A&S 7.1.26 polynomial: |error| < 1.5e-7 (published bound)
+        assert abs(r.e - math.erf(r.x)) < 1.5e-7
+        assert abs(r.c - 0.5 * (1 + math.erf(r.x / math.sqrt(2)))) < 1.5e-7
+
+
+def test_poisson_and_binomial_columns_golden(spark):
+    import math
+
+    from solr_spark.functions.mathstream import (
+        binom_cdf_col, binom_pmf_col, poisson_cdf_col, poisson_pmf_col)
+
+    kdf = spark.createDataFrame([(k,) for k in range(0, 21)], "k int")
+    lam, n, p = 6.5, 20, 0.34
+    got = {r.k: r for r in kdf.select(
+        "k",
+        poisson_pmf_col(F.col("k"), lam).alias("pp"),
+        poisson_cdf_col(F.col("k"), lam).alias("pc"),
+        binom_pmf_col(F.col("k"), n, p).alias("bp"),
+        binom_cdf_col(F.col("k"), n, p).alias("bc")).collect()}
+    pcum = bcum = 0.0
+    for k in range(21):
+        ppmf = math.exp(-lam) * lam ** k / math.factorial(k)
+        bpmf = math.comb(n, k) * p ** k * (1 - p) ** (n - k)
+        pcum += ppmf
+        bcum += bpmf
+        assert got[k].pp == pytest.approx(ppmf, rel=1e-12)
+        assert got[k].pc == pytest.approx(pcum, rel=1e-12)
+        assert got[k].bp == pytest.approx(bpmf, rel=1e-12)
+        assert got[k].bc == pytest.approx(bcum, rel=1e-12)
+    assert got[20].bc == pytest.approx(1.0, rel=1e-9)
