@@ -87,6 +87,73 @@ print(json.dumps({
 }))
 """
 
+_PIPELINE_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import functions as F
+from solr_spark.session import get_spark
+
+cpus = int(os.environ["CPUS"])
+repeat = int(os.environ["REPEAT"])
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark(
+    app_name=f"pipeline_scaling_{cpus}",
+    master=f"local[{cpus}]",
+    shuffle_partitions=max(64, cpus * 4),
+    extra_conf={"spark.ui.showConsoleProgress": "false",
+                "spark.local.dir": f"/dev/shm/spark_local_{cpus}"},
+)
+base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").repartition(32)
+n_base = base.count()
+rep = spark.range(repeat).select(F.col("id").alias("rep"))
+corpus = base.crossJoin(rep).select(
+    (F.col("doc_id") + F.col("rep") * n_base).alias("docid"),
+    F.col("text").alias("content"),
+).repartition(256).persist()
+corpus.count()
+n_docs = n_base * repeat
+
+from solr_spark.functions.curation import gopher_repetition, pack_concat
+from solr_spark.functions.dedup import minhash_signatures
+from solr_spark.functions.textstats import chunk_tokens
+
+def scaled(c):
+    # per-row fixed-point BEFORE the sum: long sums are order-independent,
+    # so the cross-level signature is exact (double sums are not).
+    return F.floor(c * 10000.0 + 0.5).cast("long")
+
+def job():
+    sig = []
+    rep_df = gopher_repetition(corpus, "content", "docid")
+    sig.append(rep_df.agg(
+        F.sum(scaled(F.col("top_frac_2"))), F.sum(scaled(F.col("dup_frac_10"))),
+        F.count("*")).collect()[0])
+    mh = minhash_signatures(corpus, "content", "docid", k=32)
+    sig.append(mh.agg(
+        F.sum(F.element_at("minhash", 1)), F.sum(F.element_at("minhash", 32)),
+        F.count("*")).collect()[0])
+    chunks = chunk_tokens(corpus, "content", "docid", size=64, overlap=0) \
+        .withColumn("k", F.col("id") * 1000 + F.col("chunk_id"))
+    packed = pack_concat(chunks, "n_tokens", "k", seq_len=2048, n_buckets=256)
+    sig.append(packed.agg(
+        F.max("last_bin"), F.sum("first_bin"), F.count("*")).collect()[0])
+    return [tuple(int(v) for v in row) for row in sig]
+
+first = job()  # warmup (JIT + codegen); result reused as the signature
+best = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    got = job()
+    best = min(best, time.perf_counter() - t0)
+    assert got == first, (got, first)
+import hashlib
+sig = hashlib.md5(json.dumps(first).encode()).hexdigest()[:12]
+print(json.dumps({
+    "cpus": cpus, "n_docs": n_docs, "build_s": round(best, 2),
+    "docs_per_sec": round(n_docs / best, 1), "topk_signature": sig,
+}))
+"""
+
 _WORKER = r"""
 import json, os, shutil, sys, time
 sys.path.insert(0, os.environ["REPO"])
@@ -178,7 +245,7 @@ def run_level(cpus: int, repeat: int, mode: str = "engine") -> dict:
     env.update({"CPUS": str(cpus), "REPEAT": str(repeat), "REPO": os.path.abspath("."),
                 "SOLR_SPARK_DRIVER_MEM": env.get("SOLR_SPARK_DRIVER_MEM", "24g")})
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
-        f.write("import tempfile\n" + (_JVM_WORKER if mode == "jvm" else _WORKER))
+        f.write("import tempfile\n" + {"jvm": _JVM_WORKER, "pipeline": _PIPELINE_WORKER}.get(mode, _WORKER))
         path = f.name
     # Pin the whole process tree (JVM + Python workers) to exactly `cpus`
     # cores: local[N] alone under-states N because pyspark's worker
@@ -201,7 +268,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", default="8,32")
     ap.add_argument("--repeat", type=int, default=40)
-    ap.add_argument("--mode", choices=["engine", "jvm"], default="engine")
+    ap.add_argument("--mode", choices=["engine", "jvm", "pipeline"], default="engine")
     args = ap.parse_args()
     levels = [int(c) for c in args.cpus.split(",")]
 
@@ -221,10 +288,11 @@ def main() -> None:
             {r["topk_signature"] for r in results}
         ) == 1,
     }
-    out = (
-        "tools/scaling_result.json" if args.mode == "engine"
-        else "tools/jvm_baseline_result.json"
-    )
+    out = {
+        "engine": "tools/scaling_result.json",
+        "jvm": "tools/jvm_baseline_result.json",
+        "pipeline": "tools/pipeline_scaling_result.json",
+    }[args.mode]
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
