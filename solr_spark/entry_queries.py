@@ -826,6 +826,27 @@ def collapse_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "collapse_salted_hot",
+    """
+SELECT lang, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) = 1
+ORDER BY lang
+""",
+)
+def collapse_salted_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse on a HOT key via the salted two-phase path. ``lang`` is the
+    skew case (one value covers ~40% of docs — corpus.py's weights mirror a
+    real web corpus where one language dominates): the plain window sends
+    every row of that value to one partition; `salt=8` bounds the final
+    per-key partition to 8 rows. Results are provably identical to the
+    unsalted window (unique docid tiebreak → total order)."""
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return collapse(
+        d, "lang", [F.col("n_chars").desc(), F.col("doc_id").asc()], salt=8
+    ).orderBy("lang")
+
+
+@register(
     "expand_by_source",
     """
 SELECT source, doc_id, n_chars FROM documents

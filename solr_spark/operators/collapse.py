@@ -27,9 +27,44 @@ def _ordered_window(partition_col: str, order_by: list[Column]):
     return Window.partitionBy(partition_col).orderBy(*order_by)
 
 
+def _salted_top_n(
+    df: DataFrame, field: str, order_by: list[Column], n: int, salt: int
+) -> DataFrame:
+    """Two-phase salted top-n per ``field`` value (returns rows + ``_rn``).
+
+    The single-window shape shuffles EVERY row of a hot group value into one
+    window partition — on a web corpus where one collapse value covers 40%
+    of 10^12 docs that partition is the job. Salting bounds it: phase 1
+    partitions by (field, hash(row) % salt) and keeps each bucket's top-n,
+    so phase 2's per-key partition holds at most ``salt * n`` rows. Because
+    every spec ends in a unique tiebreak (module contract), the ordering is
+    total and the union of per-bucket top-n sets contains exactly the global
+    top-n — results are identical to the unsalted window at any parallelism.
+    This is the north-star "salted repartitioning for hot-term skew" applied
+    at the one place this engine still keys a per-row shuffle by a
+    potentially hot value (index build / term stats aggregate by
+    (term, docid) / associative sums, which partial-aggregate map-side and
+    need no salt).
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    )
+    w1 = Window.partitionBy(field, "_salt").orderBy(*order_by)
+    local = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= n)
+        .drop("_rn", "_salt")
+    )
+    w2 = _ordered_window(field, order_by)
+    return local.withColumn("_rn", F.row_number().over(w2)).where(
+        F.col("_rn") <= n
+    )
+
+
 def collapse(
     df: DataFrame, field: str, order_by: list[Column],
     keep_rank_col: bool = False, null_policy: str = "ignore",
+    salt: int | None = None,
 ) -> DataFrame:
     """`{!collapse field=f sort=... nullPolicy=...}`: one group-head row per
     value of ``field``.
@@ -39,12 +74,22 @@ def collapse(
     default), ``expand`` keeps every null-field doc as its own group,
     ``collapse`` treats null as one more group value (all nulls shuffle to
     one window partition — fine for sparse nulls, a skew hazard when most
-    docs lack the field; prefer expand/ignore there)."""
+    docs lack the field; prefer expand/ignore there, or pass ``salt``).
+
+    ``salt``: route hot collapse values through the two-phase salted
+    top-1 (see ``_salted_top_n``) — identical results, per-key window
+    partitions bounded at ``salt`` rows in the final phase. Use when a
+    single field value can dominate the corpus."""
     if null_policy not in ("ignore", "expand", "collapse"):
         raise ValueError(f"unknown nullPolicy {null_policy!r}")
     base = df if null_policy == "collapse" else df.where(F.col(field).isNotNull())
-    w = _ordered_window(field, order_by)
-    out = base.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    if salt and salt > 1:
+        out = _salted_top_n(base, field, order_by, 1, salt)
+    else:
+        w = _ordered_window(field, order_by)
+        out = base.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") == 1
+        )
     if null_policy == "expand":
         nulls = df.where(F.col(field).isNull()).withColumn("_rn", F.lit(1))
         out = out.unionByName(nulls)
@@ -52,21 +97,28 @@ def collapse(
 
 
 def expand(
-    df: DataFrame, field: str, order_by: list[Column], rows: int = 5
+    df: DataFrame, field: str, order_by: list[Column], rows: int = 5,
+    salt: int | None = None,
 ) -> DataFrame:
     """ExpandComponent: top-``rows`` NON-head members of each collapsed group."""
-    w = _ordered_window(field, order_by)
+    if salt and salt > 1:
+        ranked = _salted_top_n(df, field, order_by, rows + 1, salt)
+    else:
+        w = _ordered_window(field, order_by)
+        ranked = df.withColumn("_rn", F.row_number().over(w))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") > 1) & (F.col("_rn") <= rows + 1))
+        ranked.where((F.col("_rn") > 1) & (F.col("_rn") <= rows + 1))
         .drop("_rn")
     )
 
 
 def group_top_n(
-    df: DataFrame, field: str, order_by: list[Column], n: int = 1
+    df: DataFrame, field: str, order_by: list[Column], n: int = 1,
+    salt: int | None = None,
 ) -> DataFrame:
     """`group=true&group.field=f&group.limit=n`: top-n rows per group value."""
+    if salt and salt > 1:
+        return _salted_top_n(df, field, order_by, n, salt).drop("_rn")
     w = _ordered_window(field, order_by)
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -87,6 +87,24 @@ def test_collapse_single_shuffle(spark):
     assert "WindowGroupLimit" in plan or "Window" in plan
 
 
+def test_collapse_salted_two_phase(spark):
+    """salt=N compiles to exactly two bounded phases: a (field, salt)
+    window then a field window, each with the rank-limit pushed down
+    (WindowGroupLimit) so no full-group sort materializes anywhere."""
+    from solr_spark.operators.collapse import collapse
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = collapse(
+        docs.select("lang", "doc_id", "n_chars"),
+        "lang",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        salt=8,
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange") == 2
+    assert plan.count("WindowGroupLimit") >= 2
+
+
 def test_broadcast_dim_join(spark):
     c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")

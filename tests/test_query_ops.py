@@ -303,6 +303,39 @@ def test_collapse_null_policies(spark):
         collapse(df, "grp", order, null_policy="bogus")
 
 
+def test_salted_collapse_parity(spark):
+    """Salted two-phase collapse/group/expand == the unsalted window, row
+    for row, on skewed data (one group value covers ~half the rows)."""
+    from solr_spark.operators.collapse import collapse, expand, group_top_n
+
+    rows = [(i, "hot" if i % 2 == 0 else f"g{i % 7}", float(i % 13))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "docid long, grp string, score double")
+    order = [F.col("score").desc(), F.col("docid").asc()]
+
+    def key(frame):
+        return sorted((r.grp, r.docid) for r in frame.collect())
+
+    for s in (2, 8):
+        assert key(collapse(df, "grp", order, salt=s)) == key(
+            collapse(df, "grp", order))
+        assert key(group_top_n(df, "grp", order, n=3, salt=s)) == key(
+            group_top_n(df, "grp", order, n=3))
+        assert key(expand(df, "grp", order, rows=2, salt=s)) == key(
+            expand(df, "grp", order, rows=2))
+    # nullPolicy=collapse + salt: the all-null group is split too
+    dfn = df.withColumn(
+        "grp", F.when(F.col("docid") % 3 == 0, None).otherwise(F.col("grp"))
+    )
+    assert key(
+        collapse(dfn, "grp", order, null_policy="collapse", salt=4)
+        .fillna({"grp": "∅"})
+    ) == key(
+        collapse(dfn, "grp", order, null_policy="collapse")
+        .fillna({"grp": "∅"})
+    )
+
+
 def test_gather_nodes_traversal_filter_and_maxdf(spark):
     import math
 
