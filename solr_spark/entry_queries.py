@@ -2774,6 +2774,49 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", scaled("jaccard").alias("jaccard_x10k"))
 
 
+@register(
+    "duplicate_spans_k8",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+b AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) >= 8),
+w AS (
+  SELECT doc_id, u.s AS start, u.h AS h
+  FROM b, unnest(list_transform(range(1, n - 6),
+        i -> {{'s': i - 1,
+              'h': ('0x' || substring(md5(array_to_string(l[i:i+7], ' ')), 1, 15))::BIGINT}})) AS u_(u)),
+dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+ds AS (SELECT w.doc_id, w.start FROM w JOIN dup USING (h)),
+c1 AS (SELECT doc_id,
+              least(8, lead(start, 1, start + 8)
+                       OVER (PARTITION BY doc_id ORDER BY start) - start) AS c
+       FROM ds),
+cov AS (SELECT doc_id, count(*)::INT AS n_dup_windows, sum(c)::INT AS covered
+        FROM c1 GROUP BY doc_id)
+SELECT b.doc_id AS id, n::INT AS n_tokens, (n - 7)::INT AS n_windows,
+       coalesce(n_dup_windows, 0) AS n_dup_windows,
+       coalesce(covered, 0) AS covered_tokens,
+       {_sql_scaled('coalesce(covered, 0) * 1.0 / n')} AS dup_frac_x10k
+FROM b LEFT JOIN cov USING (doc_id) ORDER BY id
+""",
+)
+def duplicate_spans_k8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span coverage (Lee et al. 2021 ExactSubstr, span
+    granularity) at k=8 simple tokens: per doc, the fraction of token
+    positions covered by an 8-gram occurring >=2x corpus-wide."""
+    from solr_spark.functions.dedup import duplicate_span_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = duplicate_span_stats(d, "text", "doc_id", k=8, min_count=2)
+    return out.select(
+        "id", "n_tokens", "n_windows", "n_dup_windows", "covered_tokens",
+        scaled("dup_frac").alias("dup_frac_x10k"),
+    ).orderBy("id")
+
+
 def _minhash_params_sql(k: int = 32, seed: int = 1337) -> str:
     from solr_spark.functions.dedup import minhash_params
 

@@ -618,6 +618,102 @@ def contamination_scores(
     )
 
 
+# --- exact duplicate spans (Lee et al. 2021) ----------------------------------
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+    min_count: int = 2,
+    hash: str = "md5",
+) -> DataFrame:
+    """Exact duplicate-substring detection at span granularity — the
+    published ExactSubstr dedup of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed for Spark: the paper
+    builds one suffix array over the concatenated corpus and reports every
+    ``k``-token substring that occurs twice; an equivalent-by-construction
+    distributed form hashes EVERY k-token window (stride 1) and keeps the
+    hashes seen ≥ ``min_count`` times corpus-wide — each such window IS a
+    k-token substring occurring min_count times (md5 collisions aside).
+
+    Returns one row per doc with ≥ k tokens:
+    (id, n_tokens, n_windows, n_dup_windows, covered_tokens, dup_frac) where
+    ``covered_tokens`` is the union length of the duplicated windows'
+    [start, start+k) intervals and ``dup_frac`` = covered/n_tokens — the
+    per-doc "fraction of text that is duplicated elsewhere" a curation
+    pipeline thresholds on (the paper CUTS those spans; the fraction is the
+    decision signal).
+
+    Shape at scale: window hashes are built IN-ROW (one transform over the
+    token array — no per-window row until the explode), the corpus-wide
+    count is one groupBy on the hash (associative, map-side combine), dup
+    membership flows back as a semi-join on the hash, and the interval
+    union is a pure-JVM fold over each doc's sorted start array: with
+    starts sorted and every interval the same length k, union =
+    Σ min(k, next_start − start) + k for the last — no sweep-line state.
+    Nothing driver-side; no all-pairs anything.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    hf = {"md5": content_hash, "xxhash64": F.xxhash64}[hash]
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), F.size(toks).alias("n")
+    ).where(F.col("n") >= k)
+    win = base.select(
+        "id",
+        "n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - F.lit(k - 1)),
+                lambda i: hf(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+            )
+        ).alias("start", "h"),
+    )
+    dup_h = (
+        win.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    dup_starts = (
+        win.join(dup_h, "h", "left_semi")
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list("start")).alias("starts"),
+            F.count("*").cast("int").alias("n_dup_windows"),
+        )
+    )
+    # union of equal-length sorted intervals as a zip_with against the
+    # shifted starts (sentinel pads the tail so the last window adds k)
+    nexts = F.concat(
+        F.slice(F.col("starts"), 2, F.greatest(F.size("starts") - 1, F.lit(0))),
+        F.array(F.lit(2**31 - 1)),
+    )
+    covered = F.aggregate(
+        F.zip_with(
+            F.col("starts"), nexts,
+            lambda a, b: F.least(F.lit(k), b - a),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        base.select("id", "n")
+        .join(dup_starts, "id", "left")
+        .select(
+            "id",
+            F.col("n").cast("int").alias("n_tokens"),
+            (F.col("n") - F.lit(k - 1)).cast("int").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce(covered, F.lit(0)).cast("int").alias("covered_tokens"),
+            (F.coalesce(covered, F.lit(0)) / F.col("n")).alias("dup_frac"),
+        )
+    )
+
+
 # --- TextProfileSignature (reference parity) ---------------------------------
 
 

@@ -584,6 +584,34 @@ def test_minhash_xxhash_fast_path(spark, docs):
         shingle_hashes(F.col("text"), 3, hash="sha1")
 
 
+def test_duplicate_span_stats_hand_check(spark):
+    """Lee et al. ExactSubstr at span granularity, k=3: interval-union
+    coverage verified against a hand computation (overlapping windows
+    'a b c' x3 and 'b c d' x2; doc below k excluded; clean doc dup_frac 0)."""
+    from solr_spark.functions.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y a b c d q"), (3, "zz q"),
+         (4, "a b c x y z"), (5, "p q r s t")],
+        "id long, t string",
+    )
+    got = {r.id: r for r in duplicate_span_stats(df, "t", "id", k=3).collect()}
+    assert set(got) == {1, 2, 4, 5}        # doc 3 has < k tokens
+    # doc1: dup windows abc@0, bcd@1 -> union [0,4) = 4 of 6 tokens
+    assert (got[1].n_dup_windows, got[1].covered_tokens) == (2, 4)
+    assert abs(got[1].dup_frac - 4 / 6) < 1e-12
+    # doc2: abc@2, bcd@3 -> 4 of 7
+    assert (got[2].covered_tokens, got[2].n_tokens) == (4, 7)
+    # doc4: abc@0 only -> exactly k covered
+    assert (got[4].n_dup_windows, got[4].covered_tokens) == (1, 3)
+    # doc5 shares nothing
+    assert got[5].n_dup_windows == 0 and got[5].dup_frac == 0.0
+    # min_count=3: only the 'a b c' triple survives
+    got3 = {r.id: r for r in
+            duplicate_span_stats(df, "t", "id", k=3, min_count=3).collect()}
+    assert got3[1].n_dup_windows == 1 and got3[2].covered_tokens == 3
+
+
 def test_text_profile_signature_reference_semantics(spark):
     """TextProfileSignature.java semantics: rare tokens vanish after
     quantization, so boilerplate-equal docs hash identically even when
