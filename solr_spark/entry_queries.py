@@ -4774,6 +4774,95 @@ def cluster_results_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stc_clusters_window",
+    f"""
+WITH RECURSIVE
+win AS (SELECT doc_id, text FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 40),
+t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM win),
+g AS (
+  SELECT DISTINCT doc_id, phrase FROM (
+    SELECT doc_id, unnest(l) AS phrase FROM t
+    UNION ALL
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(l) - 1, 0) + 1),
+           i -> array_to_string(l[i:i+1], ' '))) FROM t
+    UNION ALL
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(l) - 2, 0) + 1),
+           i -> array_to_string(l[i:i+2], ' '))) FROM t)),
+base AS (
+  SELECT phrase, count(*) AS df, list_sort(list(doc_id)) AS docs,
+         count(*) * (CASE WHEN len(string_split(phrase, ' ')) = 1 THEN 0.5
+                          ELSE least(len(string_split(phrase, ' ')), 6)::DOUBLE
+                     END) AS score
+  FROM g GROUP BY phrase
+  HAVING count(*) >= 2 AND count(*) <= 32),
+topb AS (
+  SELECT * FROM (SELECT *, row_number() OVER (ORDER BY score DESC, phrase) AS bid
+                 FROM base) WHERE bid <= 500),
+ov AS (
+  SELECT a.bid AS ba, b.bid AS bb
+  FROM topb a JOIN topb b ON a.bid < b.bid
+  WHERE len(list_intersect(a.docs, b.docs)) > 0.5 * len(a.docs)
+    AND len(list_intersect(a.docs, b.docs)) > 0.5 * len(b.docs)),
+e AS (SELECT ba AS src, bb AS dst FROM ov UNION ALL SELECT bb, ba FROM ov),
+reach AS (
+  SELECT bid AS node, bid AS r FROM topb
+  UNION
+  SELECT e.src AS node, reach.r FROM e JOIN reach ON e.dst = reach.node),
+comp AS (SELECT node AS bid, min(r) AS comp FROM reach GROUP BY node),
+cl AS (SELECT comp.comp, sum(score) AS cscore
+       FROM comp JOIN topb USING (bid) GROUP BY comp.comp),
+lbl AS (
+  SELECT comp, phrase AS label FROM (
+    SELECT comp.comp, topb.phrase,
+           row_number() OVER (PARTITION BY comp.comp
+             ORDER BY topb.score DESC,
+                      len(string_split(topb.phrase, ' ')) DESC,
+                      topb.phrase) AS rn
+    FROM comp JOIN topb USING (bid)) WHERE rn = 1),
+rk AS (
+  SELECT * FROM (
+    SELECT cl.comp, cscore, label,
+           row_number() OVER (ORDER BY cscore DESC, label) AS cluster_rank
+    FROM cl JOIN lbl USING (comp)) WHERE cluster_rank <= 10),
+mem AS (
+  SELECT DISTINCT rk.cluster_rank, rk.label, rk.cscore, u.id
+  FROM rk JOIN comp ON comp.comp = rk.comp
+  JOIN topb ON topb.bid = comp.bid, unnest(topb.docs) AS u(id)),
+assigned AS (
+  SELECT id, label, cluster_rank::INT AS cluster_rank,
+         {_sql_scaled('cscore')} AS cluster_score_x10k
+  FROM mem
+  UNION ALL
+  SELECT doc_id, 'Other topics', 0, 0 FROM win
+  WHERE doc_id NOT IN (SELECT id FROM mem))
+SELECT * FROM assigned ORDER BY cluster_rank, id
+""",
+)
+def stc_clusters_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix Tree Clustering (Zamir & Etzioni SIGIR'98 — the published
+    algorithm behind Carrot2's STC engine, which the reference's
+    clustering contrib delegates to) over a deterministic top-40 result
+    window: overlapping phrase clusters, base-cluster merge at 0.5, ranked
+    by summed base scores."""
+    from solr_spark.operators.clustering import stc_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    win = docs.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(40)
+    out = stc_clusters(
+        win, "text", "doc_id", max_phrase=3, min_df=2, max_df_frac=0.8,
+        max_base=500, k_clusters=10,
+    )
+    return out.select(
+        "id", "label", "cluster_rank",
+        scaled("cluster_score").alias("cluster_score_x10k"),
+    ).orderBy("cluster_rank", "id")
+
+
 # A&S 7.1.26 erf constants — shared verbatim with
 # solr_spark.functions.mathstream.erf_col so both engines evaluate the
 # identical polynomial.

@@ -81,7 +81,11 @@ def shingle_hashes(text: Column, n: int = 3, hash: str = "md5") -> Column:
     """
     toks = tokens_col(text)
     n_sh = F.greatest(F.lit(0), F.size(toks) - F.lit(n - 1))
-    idx = F.sequence(F.lit(1), n_sh)
+    # sequence(1, 0) yields DESCENDING [1, 0] (and slice errors on start 0):
+    # docs shorter than n tokens must produce an explicitly empty index list
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     if hash == "xxhash64":
         hf = lambda s: F.xxhash64(s)  # noqa: E731 (varargs fn -> unary lambda)

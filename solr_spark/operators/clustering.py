@@ -5,9 +5,10 @@ Reference: the clustering search component
 ClusteringComponent.java`, ref guide `result-clustering.adoc`): cluster the
 documents of a single query's result window into labeled groups. The
 reference delegates the algorithm to the external Carrot2 library (Lingo's
-SVD phrase extraction, STC, bisecting k-means); those engines are not
-reimplemented here. This module ships the same component contract with a
-deterministic significant-terms labeling engine — the ref guide's own
+SVD phrase extraction, STC, bisecting k-means). This module ships the same
+component contract with two engines: ``stc_clusters`` — the published STC
+algorithm itself (Zamir & Etzioni, SIGIR 1998), implemented from the paper
+— and a deterministic significant-terms labeling engine — the ref guide's own
 framing ("clusters ... can be perceived as dynamic facets") — which is the
 part that matters for a distributed engine: it reads the RESULT SET's
 stored text (not the index), discovers k labels, assigns every hit to its
@@ -90,6 +91,169 @@ def cluster_results(
         )
     )
     return out
+
+
+def stc_clusters(
+    results: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_phrase: int = 4,
+    min_df: int = 2,
+    max_df_frac: float = 0.8,
+    max_base: int = 500,
+    merge_threshold: float = 0.5,
+    k_clusters: int = 10,
+) -> DataFrame:
+    """Suffix Tree Clustering — the published algorithm behind Carrot2's STC
+    engine (Zamir & Etzioni, "Web Document Clustering: A Feasibility
+    Demonstration", SIGIR 1998), which the reference's clustering component
+    delegates to (`contrib/clustering`, result-clustering.adoc).
+
+    Phase 1 (base clusters): every shared phrase (token n-gram, n ≤
+    ``max_phrase``) with document frequency ≥ ``min_df`` and ≤
+    ``max_df_frac``·N forms a base cluster scored ``|B| · f(|P|)`` with the
+    paper's length adjustment f(1)=0.5, f(m)=min(m, 6). The paper's suffix
+    tree is a single-machine device for enumerating shared phrases; the
+    same base-cluster set falls out of one distributed n-gram explode +
+    groupBy (phrases a suffix tree would merge — sub-phrases with identical
+    doc sets — are collapsed by phase 2 exactly as the paper describes).
+
+    Phase 2 (merge): base clusters a, b connect when |A∩B|/|A| and
+    |A∩B|/|B| both exceed ``merge_threshold`` (the paper's 0.5 binary
+    similarity); final clusters are the connected components, ranked by the
+    sum of member base-cluster scores, labeled by the best member phrase
+    (score desc, longer = more specific first, then lexicographic).
+
+    Scale shape: phase 1 is distributed (explode + one groupBy over the
+    top-N result window's text). Phase 2 runs on at most ``max_base``
+    base clusters (the paper caps at 500) — a driver-side union-find over a
+    bounded set, the appropriate shape for a per-query component whose
+    input is a result page, not the corpus.
+
+    Returns one row per (doc, cluster) membership — STC clusters OVERLAP by
+    design — plus (id, 'Other topics', 0) for docs in no cluster:
+    (id, label, cluster_rank, cluster_score).
+    """
+    ids = results.select(F.col(id_col).alias("id"))
+    n_r = ids.count()
+    toks = results.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    def _gram_fn(n: int):
+        # one-arg lambda via factory: pyspark HOFs treat a second lambda
+        # parameter as the array index, so `lambda i, n=n:` must not be used
+        return lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))
+
+    gram_arrays = [
+        F.transform(
+            # sequence(1, 0) would yield [1, 0] — emit an empty index list
+            # for docs shorter than n tokens
+            F.when(
+                F.size("toks") >= n,
+                F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+            ).otherwise(F.array().cast("array<int>")),
+            _gram_fn(n),
+        )
+        for n in range(1, max_phrase + 1)
+    ]
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.array_distinct(F.flatten(F.array(*gram_arrays)))
+        ).alias("phrase"),
+    ).where(F.col("phrase") != "")
+    plen = F.size(F.split(F.col("phrase"), " "))
+    base = (
+        grams.groupBy("phrase")
+        .agg(F.collect_set("id").alias("docs"), F.count("*").alias("df"))
+        .where(
+            (F.col("df") >= min_df) & (F.col("df") <= int(max_df_frac * n_r))
+        )
+        .select(
+            "phrase",
+            "docs",
+            "df",
+            (
+                F.col("df")
+                * F.when(plen == 1, F.lit(0.5)).otherwise(
+                    F.least(plen, F.lit(6)).cast("double")
+                )
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(max_base)
+    )
+    rows = base.collect()
+
+    # Driver-side union-find over <= max_base base clusters (paper phase 2).
+    parent = list(range(len(rows)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    docsets = [frozenset(r["docs"]) for r in rows]
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            inter = len(docsets[i] & docsets[j])
+            if (
+                inter > merge_threshold * len(docsets[i])
+                and inter > merge_threshold * len(docsets[j])
+            ):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+
+    comps: dict[int, list[int]] = {}
+    for i in range(len(rows)):
+        comps.setdefault(find(i), []).append(i)
+
+    def label_key(i: int):
+        return (-rows[i]["score"], -len(rows[i]["phrase"].split()),
+                rows[i]["phrase"])
+
+    clusters = sorted(
+        (
+            (
+                sum(rows[i]["score"] for i in members),
+                rows[min(members, key=label_key)]["phrase"],
+                frozenset().union(*(docsets[i] for i in members)),
+            )
+            for members in comps.values()
+        ),
+        key=lambda c: (-c[0], c[1]),
+    )[:k_clusters]
+
+    out_rows = [
+        (doc, label, rank, float(score))
+        for rank, (score, label, docs) in enumerate(clusters, start=1)
+        for doc in sorted(docs)
+    ]
+    covered = {doc for _, _, docs in clusters for doc in docs}
+    id_type = ids.schema[0].dataType.simpleString()
+    schema = f"id {id_type}, label string, cluster_rank int, cluster_score double"
+    spark = results.sparkSession
+    assigned = spark.createDataFrame(out_rows, schema) if out_rows else (
+        spark.createDataFrame([], schema)
+    )
+    other = (
+        ids.join(
+            spark.createDataFrame(
+                [(d,) for d in covered] or [(None,)], f"id {id_type}"
+            ),
+            "id",
+            "left_anti",
+        )
+        .select(
+            "id",
+            F.lit(OTHER_LABEL).alias("label"),
+            F.lit(0).alias("cluster_rank"),
+            F.lit(0.0).alias("cluster_score"),
+        )
+    )
+    return assigned.unionByName(other)
 
 
 def cluster_summary(assignments: DataFrame) -> DataFrame:

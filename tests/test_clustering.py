@@ -57,3 +57,42 @@ def test_cluster_label_significance_prefers_splitting_terms(spark):
     labels = {v[0] for v in got.values()}
     assert "ubiq" not in labels
     assert got[0][0] != got[3][0]  # the two halves split
+
+
+def test_stc_hand_case(spark):
+    """Zamir-Etzioni STC: base clusters 'new york'(df3·2=6), 'new york
+    times'(df2·3=6), 'york times'(4), singles(0.5·df) merge into one
+    component (overlap > 0.5 both ways); label = best score, longer phrase
+    on ties; clusters OVERLAP-capable; uncovered docs -> Other rank 0."""
+    from solr_spark.operators.clustering import stc_clusters
+
+    rows = [
+        (1, "new york times story about stuff"),
+        (2, "new york times report"),
+        (3, "new york city housing"),
+        (4, "quantum computing breakthrough lab"),
+        (5, "quantum computing hardware lab"),
+        (6, "totally unrelated lonely document"),
+        (7, "xy"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = stc_clusters(df, "t", "id", max_phrase=3, min_df=2).collect()
+    by_rank = {}
+    for r in got:
+        by_rank.setdefault(r.cluster_rank, (r.label, r.cluster_score, set()))
+        by_rank[r.cluster_rank][2].add(r.id)
+    assert by_rank[1][0] == "new york times"
+    # sum of member base scores: 6+6+4+1.5+1.5+1 ('new york', 'new york
+    # times', 'york times', 'new', 'york', 'times')
+    assert by_rank[1][1] == 20.0
+    assert by_rank[1][2] == {1, 2, 3}
+    assert by_rank[2][0] == "quantum computing"
+    # 'quantum computing'(4) + quantum(1) + computing(1) + lab(1)
+    assert by_rank[2][1] == 7.0 and by_rank[2][2] == {4, 5}
+    assert by_rank[0][2] == {6, 7}          # Other bucket
+
+    # merge threshold 1.0: nothing merges; top cluster is a lone base
+    lone = stc_clusters(df, "t", "id", max_phrase=3, min_df=2,
+                        merge_threshold=1.0).collect()
+    top = [r for r in lone if r.cluster_rank == 1]
+    assert {r.id for r in top} == {1, 2, 3} or len(top) <= 3

@@ -852,3 +852,21 @@ def test_poisson_and_binomial_columns_golden(spark):
         assert got[k].bp == pytest.approx(bpmf, rel=1e-12)
         assert got[k].bc == pytest.approx(bcum, rel=1e-12)
     assert got[20].bc == pytest.approx(1.0, rel=1e-9)
+
+
+def test_shingles_short_docs_no_crash(spark):
+    """Docs shorter than the shingle width produce EMPTY shingle sets:
+    sequence(1, 0) yields a descending [1, 0] in Spark and slice errors on
+    start 0, so the index list must be explicitly emptied (regression)."""
+    from solr_spark.functions.dedup import minhash_signatures, shingle_hashes
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "two tokens"), (3, ""), (4, "now three tokens")],
+        "doc_id long, text string",
+    )
+    ns = {r.doc_id: r.n for r in df.select(
+        "doc_id", F.size(shingle_hashes(F.col("text"), 3)).alias("n")
+    ).collect()}
+    assert ns == {1: 0, 2: 0, 3: 0, 4: 1}
+    # minhash silently drops shingle-less docs instead of crashing
+    assert minhash_signatures(df, "text", "doc_id", k=8).count() == 1
