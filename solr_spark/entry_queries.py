@@ -2817,6 +2817,54 @@ def duplicate_spans_k8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+@register(
+    "cut_duplicate_spans_k8",
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+b AS (SELECT doc_id, l, len(l) AS n FROM t),
+w AS (
+  SELECT doc_id, u.s AS start, u.h AS h
+  FROM b, unnest(list_transform(range(1, n - 6),
+        i -> {'s': i - 1,
+              'h': ('0x' || substring(md5(array_to_string(l[i:i+7], ' ')), 1, 15))::BIGINT})) AS u_(u)
+  WHERE n >= 8),
+r AS (SELECT doc_id, start,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn,
+             count(*) OVER (PARTITION BY h) AS cnt
+      FROM w),
+cuts AS (SELECT doc_id, start FROM r WHERE cnt >= 2 AND rn > 1),
+tok AS (SELECT doc_id, l[i] AS tok, i - 1 AS pos
+        FROM b, unnest(range(1, n + 1)) AS r_(i)),
+cov AS (SELECT DISTINCT tok.doc_id, pos
+        FROM tok JOIN cuts ON cuts.doc_id = tok.doc_id
+                          AND pos >= start AND pos < start + 8),
+kept AS (SELECT tok.doc_id, tok.tok, tok.pos
+         FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id
+                                AND cov.pos = tok.pos
+         WHERE cov.pos IS NULL),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id)
+SELECT b.doc_id AS id, n::INT AS n_tokens,
+       (n - coalesce(n_kept, 0))::INT AS n_cut_tokens,
+       coalesce(text_clean, '') AS text_clean
+FROM b LEFT JOIN agg USING (doc_id) ORDER BY id
+""",
+)
+def cut_duplicate_spans_k8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2021 ExactSubstr CUT: remove every duplicated 8-token
+    span, keeping only the corpus-wide canonical (minimal (id, start))
+    occurrence."""
+    from solr_spark.functions.dedup import cut_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return cut_duplicate_spans(d, "text", "doc_id", k=8).orderBy("id")
+
+
 def _minhash_params_sql(k: int = 32, seed: int = 1337) -> str:
     from solr_spark.functions.dedup import minhash_params
 

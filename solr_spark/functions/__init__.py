@@ -26,6 +26,7 @@ from solr_spark.functions.ann import (  # noqa: F401
     with_lsh_bucket,
 )
 from solr_spark.functions.dedup import (  # noqa: F401
+    cut_duplicate_spans,
     duplicate_span_stats,
     exact_dedup,
     minhash_lsh_pairs,

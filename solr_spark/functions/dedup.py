@@ -718,6 +718,81 @@ def duplicate_span_stats(
     )
 
 
+def cut_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+    hash: str = "md5",
+) -> DataFrame:
+    """The destructive half of Lee et al. 2021 ExactSubstr dedup: REMOVE
+    every duplicated k-token span, keeping exactly the canonical (first)
+    occurrence corpus-wide. Canonical = the minimal (id, start) pair per
+    window hash — deterministic at any parallelism; every other occurrence's
+    [start, start+k) token range is cut from its document. (The paper cuts
+    byte spans found via a suffix array; this is the same policy at token
+    granularity.)
+
+    Returns (id, n_tokens, n_cut_tokens, text_clean) for EVERY input doc
+    (docs shorter than k tokens, or with no duplicated window, pass through
+    with the token-normalized text — the transform's output space is
+    tokenized text, so untouched docs are re-joined from their tokens too,
+    keeping the output uniform).
+
+    Shape at scale: one window explode, one groupBy(h) min-struct to elect
+    canonicals, one semi-ish join back, one groupBy(id) to pack cut starts,
+    then a pure-JVM per-token filter (no Python, no driver). The per-token
+    coverage test is exists() over the doc's cut-start array — bounded by
+    the doc's own duplication, not the corpus.
+    """
+    hf = {"md5": content_hash, "xxhash64": F.xxhash64}[hash]
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), F.size(toks).alias("n")
+    )
+    eligible = base.where(F.col("n") >= k)
+    win = eligible.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - F.lit(k - 1)),
+                lambda i: hf(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+            )
+        ).alias("start", "h"),
+    )
+    canon = win.groupBy("h").agg(
+        F.min(F.struct("id", "start")).alias("c"),
+        F.count("*").alias("cnt"),
+    ).where(F.col("cnt") >= 2)
+    cuts = (
+        win.join(canon, "h")
+        .where(
+            (F.col("id") != F.col("c.id")) | (F.col("start") != F.col("c.start"))
+        )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("start")).alias("cut_starts"))
+    )
+    joined = base.join(cuts, "id", "left").withColumn(
+        "cut_starts",
+        F.coalesce("cut_starts", F.array().cast("array<int>")),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.exists(
+            F.col("cut_starts"),
+            lambda c: (c <= s["i"]) & (s["i"] < c + F.lit(k)),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.col("n").cast("int").alias("n_tokens"),
+        (F.col("n") - F.size(kept)).cast("int").alias("n_cut_tokens"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_clean"),
+    )
+
+
 # --- TextProfileSignature (reference parity) ---------------------------------
 
 

@@ -854,6 +854,33 @@ def test_poisson_and_binomial_columns_golden(spark):
     assert got[20].bc == pytest.approx(1.0, rel=1e-9)
 
 
+def test_cut_duplicate_spans_keeps_canonical(spark):
+    """ExactSubstr CUT policy: the minimal (id, start) occurrence of each
+    duplicated span survives; every other occurrence's tokens are removed."""
+    from solr_spark.functions.dedup import cut_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y a b c d q"), (3, "zz q"),
+         (4, "a b c x y z")],
+        "id long, t string",
+    )
+    got = {r.id: r for r in cut_duplicate_spans(df, "t", "id", k=3).collect()}
+    assert got[1].text_clean == "a b c d e f"      # canonical: untouched
+    assert got[1].n_cut_tokens == 0
+    assert got[2].text_clean == "x y q"            # abc@2+bcd@3 cut
+    assert got[2].n_cut_tokens == 4
+    assert got[4].text_clean == "x y z"            # abc@0 cut
+    assert got[3].text_clean == "zz q"             # below k: pass-through
+    # idempotence: a second pass over the cleaned text cuts nothing
+    again = cut_duplicate_spans(
+        spark.createDataFrame(
+            [(r.id, r.text_clean) for r in got.values()], "id long, t string"
+        ),
+        "t", "id", k=3,
+    )
+    assert again.agg(F.sum("n_cut_tokens")).first()[0] == 0
+
+
 def test_shingles_short_docs_no_crash(spark):
     """Docs shorter than the shingle width produce EMPTY shingle sets:
     sequence(1, 0) yields a descending [1, 0] in Spark and slice errors on
