@@ -4911,6 +4911,24 @@ def stc_clusters_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster_rank", "id")
 
 
+@register("lingo_clusters_window", None)  # SVD concepts: rows-only
+def lingo_clusters_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lingo (Osiński & Weiss 2005) — Carrot2's default result-clustering
+    algorithm — over the same deterministic top-40 window as the STC entry.
+    No SQL oracle: the concept vectors come from an SVD (like kmeans/loess,
+    driver-side numerics are not cross-engine comparable); golden behavior
+    is pytest-verified on a planted two-topic window."""
+    from solr_spark.operators.clustering import lingo_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    win = docs.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(40)
+    out = lingo_clusters(win, "text", "doc_id", k_clusters=5, max_phrase=3)
+    return out.select(
+        "id", "label", "cluster_rank",
+        scaled("cluster_score").alias("cluster_score_x10k"),
+    ).orderBy("cluster_rank", "id")
+
+
 # A&S 7.1.26 erf constants — shared verbatim with
 # solr_spark.functions.mathstream.erf_col so both engines evaluate the
 # identical polynomial.

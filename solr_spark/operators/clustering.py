@@ -256,6 +256,178 @@ def stc_clusters(
     return assigned.unionByName(other)
 
 
+def lingo_clusters(
+    results: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_clusters: int = 5,
+    max_phrase: int = 3,
+    min_df: int = 2,
+    max_df_frac: float = 0.8,
+    assign_threshold: float = 0.20,
+) -> DataFrame:
+    """Lingo — Carrot2's DEFAULT result-clustering algorithm (Osiński &
+    Weiss, "A Concept-Driven Algorithm for Clustering Search Results",
+    IEEE Intelligent Systems 2005), which the reference's clustering
+    contrib ships as its default engine.
+
+    Description-comes-first, per the paper:
+    1. term-document matrix A over the result window (tf-idf, unit doc
+       columns; terms with df ≥ ``min_df`` and ≤ ``max_df_frac``·N),
+    2. SVD of A; the top ``k_clusters`` left singular vectors are the
+       abstract concepts,
+    3. label induction: each concept is matched against the frequent-
+       phrase candidates (token n-grams, n ≤ ``max_phrase``, df ≥
+       ``min_df``) expressed as unit vectors in the same term space; the
+       phrase with the highest |cosine| becomes the concept's label,
+    4. cluster content: doc d joins label j when cos(label_j, doc_d) >
+       ``assign_threshold``; docs matching no label land in Other,
+    5. cluster score = label-concept cosine × member count (Carrot2's
+       size-weighted label score), rank by score desc then label.
+
+    Scale shape: term/phrase statistics and the (term, doc, tf) triples
+    come from distributed aggregations over the result window; the SVD
+    runs driver-side on the collected T×N matrix — N is the result page
+    (tens of docs) by construction, same scope as the reference component.
+    Clusters OVERLAP (a doc may match several labels), like the paper.
+
+    Returns (id, label, cluster_rank, cluster_score).
+    """
+    ids = results.select(F.col(id_col).alias("id"))
+    n_r = ids.count()
+    toks = results.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    triples = (
+        toks.select("id", F.explode("toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = triples.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    tstats = tstats.where(
+        (F.col("df") >= min_df) & (F.col("df") <= int(max_df_frac * n_r))
+    )
+    trows = (
+        triples.join(tstats, "term")
+        .select("id", "term", "tf", "df")
+        .collect()
+    )
+
+    def _gram_fn(n: int):
+        return lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))
+
+    gram_arrays = [
+        F.transform(
+            F.when(
+                F.size("toks") >= n,
+                F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+            ).otherwise(F.array().cast("array<int>")),
+            _gram_fn(n),
+        )
+        for n in range(2, max_phrase + 1)
+    ]
+    phrase_rows = (
+        toks.select(
+            "id",
+            F.explode(
+                F.array_distinct(F.flatten(F.array(*gram_arrays)))
+            ).alias("phrase"),
+        )
+        .where(F.col("phrase") != "")
+        .groupBy("phrase")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .collect()
+    ) if max_phrase >= 2 else []
+
+    import numpy as np
+
+    terms = sorted({r["term"] for r in trows})
+    docs = sorted({r["id"] for r in trows})
+    if not terms or not docs:
+        return ids.select(
+            "id",
+            F.lit(OTHER_LABEL).alias("label"),
+            F.lit(0).alias("cluster_rank"),
+            F.lit(0.0).alias("cluster_score"),
+        )
+    t_ix = {t: i for i, t in enumerate(terms)}
+    d_ix = {d: j for j, d in enumerate(docs)}
+    A = np.zeros((len(terms), len(docs)))
+    idf = {}
+    for r in trows:
+        idf[r["term"]] = np.log(n_r / r["df"])
+        A[t_ix[r["term"]], d_ix[r["id"]]] = r["tf"] * idf[r["term"]]
+    norms = np.linalg.norm(A, axis=0)
+    norms[norms == 0] = 1.0
+    A /= norms
+
+    # label candidates: qualifying single terms + frequent phrases whose
+    # member terms all survived the df filters, as unit term-space vectors
+    cand_labels: list[str] = list(terms)
+    cand_vecs = [np.eye(len(terms))[t_ix[t]] for t in terms]
+    for r in phrase_rows:
+        ws = r["phrase"].split(" ")
+        if all(w in t_ix for w in ws):
+            v = np.zeros(len(terms))
+            for w in ws:
+                v[t_ix[w]] += idf[w]
+            n = np.linalg.norm(v)
+            if n > 0:
+                cand_labels.append(r["phrase"])
+                cand_vecs.append(v / n)
+    P = np.column_stack(cand_vecs)
+
+    k = min(k_clusters, min(A.shape))
+    U, s, _ = np.linalg.svd(A, full_matrices=False)
+    chosen: list[tuple[str, np.ndarray, float]] = []
+    used: set[str] = set()
+    for i in range(k):
+        m = np.abs(U[:, i] @ P)
+        for j in np.argsort(-m, kind="stable"):
+            if cand_labels[j] not in used:
+                used.add(cand_labels[j])
+                chosen.append((cand_labels[j], P[:, j], float(m[j])))
+                break
+
+    out_rows = []
+    clusters = []
+    for label, vec, lscore in chosen:
+        sims = vec @ A
+        members = [docs[j] for j in range(len(docs))
+                   if sims[j] > assign_threshold]
+        if members:
+            clusters.append((lscore * len(members), label, members))
+    clusters.sort(key=lambda c: (-c[0], c[1]))
+    for rank, (score, label, members) in enumerate(clusters, start=1):
+        for d in sorted(members):
+            out_rows.append((d, label, rank, float(score)))
+
+    covered = {d for _, _, ms in clusters for d in ms}
+    id_type = ids.schema[0].dataType.simpleString()
+    schema = f"id {id_type}, label string, cluster_rank int, cluster_score double"
+    spark = results.sparkSession
+    assigned = spark.createDataFrame(out_rows, schema) if out_rows else (
+        spark.createDataFrame([], schema)
+    )
+    other = (
+        ids.join(
+            spark.createDataFrame(
+                [(d,) for d in covered] or [(None,)], f"id {id_type}"
+            ),
+            "id",
+            "left_anti",
+        )
+        .select(
+            "id",
+            F.lit(OTHER_LABEL).alias("label"),
+            F.lit(0).alias("cluster_rank"),
+            F.lit(0.0).alias("cluster_score"),
+        )
+    )
+    return assigned.unionByName(other)
+
+
 def cluster_summary(assignments: DataFrame) -> DataFrame:
     """(label, label_rank, n_docs) per discovered cluster, Other last."""
     return (

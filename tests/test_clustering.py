@@ -96,3 +96,35 @@ def test_stc_hand_case(spark):
                         merge_threshold=1.0).collect()
     top = [r for r in lone if r.cluster_rank == 1]
     assert {r.id for r in top} == {1, 2, 3} or len(top) <= 3
+
+
+def test_lingo_two_topic_window(spark):
+    """Lingo (Osinski & Weiss 2005) description-comes-first: on a planted
+    two-topic window the top concepts induce multi-word phrase labels and
+    split the docs; the off-topic doc lands in Other. Clusters may overlap."""
+    from solr_spark.operators.clustering import lingo_clusters
+
+    rows = [
+        (1, "apache spark shuffle join spark executor memory"),
+        (2, "spark shuffle partitions join executor"),
+        (3, "apache spark executor shuffle config"),
+        (4, "python pandas dataframe groupby merge pandas"),
+        (5, "pandas dataframe merge python numpy"),
+        (6, "python numpy pandas dataframe index"),
+        (7, "totally unrelated banana smoothie recipe"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = lingo_clusters(df, "t", "id", k_clusters=3).collect()
+    by_label = {}
+    for r in got:
+        by_label.setdefault(r.label, set()).add(r.id)
+    assert by_label["spark shuffle"] == {1, 2, 3}
+    assert by_label["pandas dataframe"] == {4, 5, 6}
+    assert 7 in by_label["Other topics"]
+    # phrase labels beat single terms for the top concepts
+    top = sorted((r.cluster_rank, r.label) for r in got if r.cluster_rank > 0)
+    assert " " in top[0][1]
+    # determinism
+    again = lingo_clusters(df, "t", "id", k_clusters=3).collect()
+    assert sorted((r.id, r.label, r.cluster_rank) for r in got) == \
+           sorted((r.id, r.label, r.cluster_rank) for r in again)
