@@ -4929,6 +4929,22 @@ def lingo_clusters_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster_rank", "id")
 
 
+@register("bisecting_kmeans_window", None)  # iterative clustering: rows-only
+def bisecting_kmeans_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisecting k-means (Steinbach et al. 2000) — the reference clustering
+    contrib's third engine — over the shared deterministic top-40 window;
+    deterministic seeding, hard assignment. Rows-only like kmeans/loess."""
+    from solr_spark.operators.clustering import bisecting_kmeans_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    win = docs.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(40)
+    out = bisecting_kmeans_clusters(win, "text", "doc_id", k_clusters=5)
+    return out.select(
+        "id", "label", "cluster_rank",
+        scaled("cluster_score").alias("cluster_score_x10k"),
+    ).orderBy("cluster_rank", "id")
+
+
 # A&S 7.1.26 erf constants — shared verbatim with
 # solr_spark.functions.mathstream.erf_col so both engines evaluate the
 # identical polynomial.

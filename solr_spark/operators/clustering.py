@@ -428,6 +428,141 @@ def lingo_clusters(
     return assigned.unionByName(other)
 
 
+def bisecting_kmeans_clusters(
+    results: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_clusters: int = 5,
+    min_df: int = 2,
+    max_df_frac: float = 0.8,
+    label_terms: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Bisecting k-means — the third clustering engine the reference's
+    contrib ships (result-clustering.adoc: Lingo, STC, Bisecting K-Means;
+    the algorithm is Steinbach/Karypis/Kumar, "A Comparison of Document
+    Clustering Techniques", KDD 2000 workshop).
+
+    Doc vectors are unit tf-idf columns (same preprocessing as Lingo).
+    Starting from one all-docs cluster, the largest cluster is repeatedly
+    split by 2-means until ``k_clusters`` exist. DETERMINISTIC
+    initialization replaces Carrot2's random restarts: seed A = the
+    cluster's lowest doc id, seed B = the doc with minimal cosine to A
+    (ties to lower id); Lloyd iterations then converge identically at any
+    parallelism. Labels are the top-``label_terms`` centroid terms
+    (comma-joined); score = mean member cosine to centroid × size.
+    Assignment is HARD (non-overlapping) — unlike Lingo/STC.
+
+    Same scope as the reference component: the distributed part feeds
+    (term, doc, tf/df) aggregates; the bisection loop runs driver-side on
+    the result page's T×N matrix.
+
+    Returns (id, label, cluster_rank, cluster_score).
+    """
+    ids = results.select(F.col(id_col).alias("id"))
+    n_r = ids.count()
+    toks = results.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    triples = (
+        toks.select("id", F.explode("toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tstats = triples.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    tstats = tstats.where(
+        (F.col("df") >= min_df) & (F.col("df") <= int(max_df_frac * n_r))
+    )
+    trows = triples.join(tstats, "term").select("id", "term", "tf", "df").collect()
+
+    import numpy as np
+
+    terms = sorted({r["term"] for r in trows})
+    docs = sorted({r["id"] for r in trows})
+    if not terms or not docs:
+        return ids.select(
+            "id",
+            F.lit(OTHER_LABEL).alias("label"),
+            F.lit(0).alias("cluster_rank"),
+            F.lit(0.0).alias("cluster_score"),
+        )
+    t_ix = {t: i for i, t in enumerate(terms)}
+    d_ix = {d: j for j, d in enumerate(docs)}
+    A = np.zeros((len(terms), len(docs)))
+    for r in trows:
+        A[t_ix[r["term"]], d_ix[r["id"]]] = r["tf"] * np.log(n_r / r["df"])
+    norms = np.linalg.norm(A, axis=0)
+    norms[norms == 0] = 1.0
+    A /= norms
+
+    def _two_means(members: list[int]) -> tuple[list[int], list[int]]:
+        a = members[0]                       # lowest doc index (docs sorted)
+        sims_a = A[:, a] @ A[:, members]
+        b = members[int(np.argmin(sims_a))]
+        if b == a:
+            return members, []
+        # Lloyd on unit vectors (spherical k-means): centroids renormalized
+        ca, cb = A[:, a].copy(), A[:, b].copy()
+        assign_prev = None
+        for _ in range(max_iter):
+            sa = ca @ A[:, members]
+            sb = cb @ A[:, members]
+            assign = sa >= sb                # ties to the A side
+            if assign_prev is not None and np.array_equal(assign, assign_prev):
+                break
+            assign_prev = assign
+            ga = [m for m, f in zip(members, assign) if f]
+            gb = [m for m, f in zip(members, assign) if not f]
+            if not ga or not gb:
+                return members, []
+            ca = A[:, ga].mean(axis=1)
+            cb = A[:, gb].mean(axis=1)
+            ca /= max(np.linalg.norm(ca), 1e-12)
+            cb /= max(np.linalg.norm(cb), 1e-12)
+        return ga, gb
+
+    clusters: list[list[int]] = [list(range(len(docs)))]
+    while len(clusters) < k_clusters:
+        clusters.sort(key=lambda c: (-len(c), c[0]))
+        target = clusters[0]
+        if len(target) < 2:
+            break
+        ga, gb = _two_means(target)
+        if not gb:
+            break
+        clusters = clusters[1:] + [ga, gb]
+
+    scored = []
+    for members in clusters:
+        c = A[:, members].mean(axis=1)
+        cn = max(np.linalg.norm(c), 1e-12)
+        cohesion = float(np.mean((c / cn) @ A[:, members]))
+        top = np.argsort(-c, kind="stable")[:label_terms]
+        label = ", ".join(terms[i] for i in top if c[i] > 0)
+        scored.append((cohesion * len(members), label or OTHER_LABEL, members))
+    scored.sort(key=lambda s: (-s[0], s[1]))
+
+    out_rows = [
+        (docs[m], label, rank, float(score))
+        for rank, (score, label, members) in enumerate(scored, start=1)
+        for m in sorted(members)
+    ]
+    id_type = ids.schema[0].dataType.simpleString()
+    schema = f"id {id_type}, label string, cluster_rank int, cluster_score double"
+    spark = results.sparkSession
+    assigned = spark.createDataFrame(out_rows, schema)
+    other = (
+        ids.join(assigned.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.lit(OTHER_LABEL).alias("label"),
+            F.lit(0).alias("cluster_rank"),
+            F.lit(0.0).alias("cluster_score"),
+        )
+    )
+    return assigned.unionByName(other)
+
+
 def cluster_summary(assignments: DataFrame) -> DataFrame:
     """(label, label_rank, n_docs) per discovered cluster, Other last."""
     return (

@@ -128,3 +128,33 @@ def test_lingo_two_topic_window(spark):
     again = lingo_clusters(df, "t", "id", k_clusters=3).collect()
     assert sorted((r.id, r.label, r.cluster_rank) for r in got) == \
            sorted((r.id, r.label, r.cluster_rank) for r in again)
+
+
+def test_bisecting_kmeans_two_topic_window(spark):
+    """Bisecting k-means (Steinbach et al. 2000): deterministic seeding
+    splits the planted two-topic window cleanly with HARD assignments;
+    df-filtered singleton-vocabulary docs land in Other."""
+    from solr_spark.operators.clustering import bisecting_kmeans_clusters
+
+    rows = [
+        (1, "apache spark shuffle join spark executor memory"),
+        (2, "spark shuffle partitions join executor"),
+        (3, "apache spark executor shuffle config"),
+        (4, "python pandas dataframe groupby merge pandas"),
+        (5, "pandas dataframe merge python numpy"),
+        (6, "python numpy pandas dataframe index"),
+        (7, "totally unrelated banana smoothie recipe"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = bisecting_kmeans_clusters(df, "t", "id", k_clusters=2).collect()
+    members = {}
+    for r in got:
+        members.setdefault(r.cluster_rank, set()).add(r.id)
+    assert members[0] == {7}
+    assert {frozenset(members[1]), frozenset(members[2])} == {
+        frozenset({1, 2, 3}), frozenset({4, 5, 6})}
+    # hard assignment: each doc appears exactly once
+    assert len(got) == 7
+    # determinism across runs
+    again = bisecting_kmeans_clusters(df, "t", "id", k_clusters=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
