@@ -897,3 +897,61 @@ def test_shingles_short_docs_no_crash(spark):
     assert ns == {1: 0, 2: 0, 3: 0, 4: 1}
     # minhash silently drops shingle-less docs instead of crashing
     assert minhash_signatures(df, "text", "doc_id", k=8).count() == 1
+
+
+def test_duplicate_spans_randomized_parity(spark):
+    """duplicate_span_stats + cut_duplicate_spans vs a brute-force Python
+    reference over random tiny-alphabet corpora (collisions everywhere):
+    coverage arithmetic, canonical election, and pass-through rows must all
+    agree exactly."""
+    import random
+    import re
+
+    from solr_spark.functions.dedup import (
+        cut_duplicate_spans,
+        duplicate_span_stats,
+    )
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        k = rng.choice([2, 3, 4])
+        docs = {
+            i: " ".join(rng.choice("ab cd ef gh".split())
+                        for _ in range(rng.randint(0, 12)))
+            for i in range(rng.randint(2, 10))
+        }
+        # brute force
+        from collections import defaultdict
+        occ = defaultdict(list)
+        for i, s in sorted(docs.items()):
+            tl = toks(s)
+            for st_ in range(len(tl) - k + 1):
+                occ[" ".join(tl[st_:st_ + k])].append((i, st_))
+        dup_cover, cut_cover = defaultdict(set), defaultdict(set)
+        for gram, places in occ.items():
+            if len(places) >= 2:
+                for (i, st_) in places:
+                    dup_cover[i].update(range(st_, st_ + k))
+                for (i, st_) in places[1:]:   # places sorted by (id, start)
+                    cut_cover[i].update(range(st_, st_ + k))
+        df = spark.createDataFrame(
+            sorted(docs.items()), "id long, t string")
+        got_stats = {r.id: r for r in
+                     duplicate_span_stats(df, "t", "id", k=k).collect()}
+        got_cut = {r.id: r for r in
+                   cut_duplicate_spans(df, "t", "id", k=k).collect()}
+        assert set(got_cut) == set(docs)
+        for i, s in docs.items():
+            tl = toks(s)
+            if len(tl) >= k:
+                assert got_stats[i].covered_tokens == len(dup_cover[i]), (
+                    seed, i, s)
+            else:
+                assert i not in got_stats
+            want_clean = " ".join(
+                t for p, t in enumerate(tl) if p not in cut_cover[i])
+            assert got_cut[i].text_clean == want_clean, (seed, i, s)
+            assert got_cut[i].n_cut_tokens == len(cut_cover[i])
