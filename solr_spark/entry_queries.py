@@ -4911,6 +4911,52 @@ def stc_clusters_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster_rank", "id")
 
 
+@register(
+    "dbscan_embeddings",
+    f"""
+WITH RECURSIVE
+e0 AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, 65),
+        i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+           * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))) <= {1.15 * 1.15!r}),
+sym AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+deg AS (SELECT id_a AS id, count(*) AS deg FROM sym GROUP BY id_a),
+core AS (SELECT id FROM deg WHERE deg >= 3),
+ce AS (SELECT id_a, id_b FROM p
+       WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)),
+se AS (SELECT id_a AS src, id_b AS dst FROM ce UNION ALL SELECT id_b, id_a FROM ce),
+reach AS (
+  SELECT id AS node, id AS r FROM core
+  UNION
+  SELECT se.src AS node, reach.r FROM se JOIN reach ON se.dst = reach.node),
+comp AS (SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node),
+border AS (
+  SELECT sym.id_a AS id, min(comp.cluster) AS cluster
+  FROM sym JOIN comp ON comp.id = sym.id_b
+  WHERE sym.id_a NOT IN (SELECT id FROM core)
+  GROUP BY sym.id_a),
+lab AS (
+  SELECT id, cluster, TRUE AS is_core FROM comp
+  UNION ALL SELECT id, cluster, FALSE AS is_core FROM border)
+SELECT e0.vec_id AS id, coalesce(lab.cluster, -1) AS cluster,
+       coalesce(lab.is_core, FALSE) AS is_core
+FROM e0 LEFT JOIN lab ON lab.id = e0.vec_id ORDER BY id
+""",
+)
+def dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dbscan(matrix, eps, minPts)` (solrj io/eval/DbscanEvaluator.java)
+    over the embeddings table at eps=1.15, minPts=3 — 20 density clusters
+    plus noise at sf0.01. Deterministic border/cluster-id policy documented
+    in functions/ann.py."""
+    from solr_spark.functions.ann import dbscan
+
+    e = _t(spark, sf_dir, "embeddings")
+    return dbscan(e, eps=1.15, min_pts=3).orderBy("id")
+
+
 @register("lingo_clusters_window", None)  # SVD concepts: rows-only
 def lingo_clusters_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lingo (Osiński & Weiss 2005) — Carrot2's default result-clustering

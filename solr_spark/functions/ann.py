@@ -345,3 +345,112 @@ def bq_topk(
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+# --- DBSCAN -------------------------------------------------------------------
+
+
+def dbscan(
+    vectors: DataFrame,
+    eps: float,
+    min_pts: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """DBSCAN (Ester et al., KDD 1996) — the reference exposes it as the
+    `dbscan(matrix, eps, minPts)` stream evaluator (solrj
+    io/eval/DbscanEvaluator.java, wrapping commons-math DBSCANClusterer):
+    core points have >= min_pts OTHER points within ``eps`` (euclidean,
+    commons-math's neighborhood convention); clusters are the connected
+    components of the core-core eps-graph; border points (non-core with a
+    core neighbor) attach to a cluster; the rest is noise (cluster = -1).
+
+    DETERMINISM: commons-math assigns a border point reachable from several
+    clusters to whichever it visits first (iteration-order-dependent); here
+    a border point joins the cluster with the SMALLEST cluster id, and a
+    cluster's id is the minimum id of its core points — reproducible at any
+    parallelism (the same documented-determinism policy as
+    TextProfileSignature's tie order).
+
+    Shape at scale: the only quadratic step is eps-pair discovery; by
+    default it is an exact self-join (right for evaluator-sized matrices,
+    and for the oracle). For corpus-scale inputs pass ``pairs`` — candidate
+    (id_a, id_b) pairs from a banded-LSH prefilter
+    (`hyperplane_band_sigs` / `cosine_neardup_pairs` machinery) — and only
+    candidates are distance-checked. Components run on dup_clusters'
+    iterative min-label propagation (O(diameter) rounds, distributed).
+
+    Returns (id, cluster, is_core).
+    """
+    from solr_spark.functions.dedup import dup_clusters
+
+    # double-precision distances so the <= eps decision is bit-identical to
+    # the SQL oracle (float32 subtraction would diverge near the boundary)
+    pts = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if pairs is None:
+        a = pts.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = pts.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        cand = (
+            pairs.select("id_a", "id_b")
+            .join(pts.select(F.col("id").alias("id_a"),
+                             F.col("v").alias("va")), "id_a")
+            .join(pts.select(F.col("id").alias("id_b"),
+                             F.col("v").alias("vb")), "id_b")
+        )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    edges = cand.where(dist2 <= float(eps) * float(eps)).select("id_a", "id_b")
+    edges = edges.persist()
+    sym = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    degree = sym.groupBy("id_a").agg(F.count("*").alias("deg"))
+    core = degree.where(F.col("deg") >= min_pts).select(
+        F.col("id_a").alias("id")
+    ).persist()
+
+    core_edges = (
+        edges.join(core.select(F.col("id").alias("id_a")), "id_a", "left_semi")
+        .join(core.select(F.col("id").alias("id_b")), "id_b", "left_semi")
+    )
+    comp = dup_clusters(core_edges).select(
+        F.col("node").alias("id"), F.col("cluster")
+    )
+    # isolated core points (>= min_pts border neighbors, no core neighbor)
+    # form their own singleton cluster, as in the reference
+    core_cl = (
+        core.join(comp, "id", "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("cluster"))
+        .persist()
+    )
+    border = (
+        sym.withColumnRenamed("id_a", "id")
+        .join(core_cl.select(F.col("id").alias("id_b"), "cluster"), "id_b")
+        .join(core_cl.select("id"), "id", "left_anti")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    out = (
+        pts.select("id")
+        .join(
+            core_cl.withColumn("is_core", F.lit(True))
+            .unionByName(border.withColumn("is_core", F.lit(False))),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce("cluster", F.lit(-1)).alias("cluster"),
+            F.coalesce("is_core", F.lit(False)).alias("is_core"),
+        )
+    )
+    return out

@@ -955,3 +955,44 @@ def test_duplicate_spans_randomized_parity(spark):
                 t for p, t in enumerate(tl) if p not in cut_cover[i])
             assert got_cut[i].text_clean == want_clean, (seed, i, s)
             assert got_cut[i].n_cut_tokens == len(cut_cover[i])
+
+
+def test_dbscan_core_border_noise(spark):
+    """DBSCAN hand case (Ester et al. 1996 semantics, commons-math
+    neighborhood convention): dense blob -> core, a point with one core
+    neighbor -> border (attached, not core), isolated point -> noise; a
+    border point reachable from TWO clusters joins the lower cluster id
+    (the documented deterministic policy)."""
+    from solr_spark.functions.ann import dbscan
+
+    rows = [
+        (1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.0, 0.1]), (4, [0.1, 0.1]),
+        (5, [0.4, 0.0]),          # only neighbor is 2 (d=0.3) -> border of A
+        (10, [5.0, 5.0]), (11, [5.1, 5.0]), (12, [5.0, 5.1]), (13, [5.1, 5.1]),
+        (20, [2.5, 2.5]),         # far from all -> noise
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.id: r for r in dbscan(df, eps=0.31, min_pts=3).collect()}
+    assert all(got[i].cluster == 1 and got[i].is_core for i in (1, 2, 3, 4))
+    assert got[5].cluster == 1 and not got[5].is_core       # border
+    assert all(got[i].cluster == 10 and got[i].is_core for i in (10, 11, 12, 13))
+    assert got[20].cluster == -1 and not got[20].is_core    # noise
+
+    # second blob + a 2-neighbor point: border via its CORE neighbor only
+    rows2 = rows + [
+        (30, [0.8, 0.0]), (31, [0.9, 0.0]), (32, [0.8, 0.1]), (33, [0.9, 0.1]),
+        (25, [0.55, -0.1]),  # neighbors: 5 (d=.18, border) and 30 (d=.269, core)
+    ]
+    df2 = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows2],
+        "vec_id long, embedding array<float>",
+    )
+    got2 = {r.id: r for r in dbscan(df2, eps=0.31, min_pts=3).collect()}
+    assert got2[30].cluster == 30 and got2[30].is_core
+    # 25's degree is 2 (< minPts) -> border; only core neighbor is 30;
+    # 5's degree is 2 as well -> stays a border of cluster A
+    assert got2[25].cluster == 30 and not got2[25].is_core
+    assert got2[5].cluster == 1 and not got2[5].is_core
