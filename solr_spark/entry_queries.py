@@ -4166,6 +4166,30 @@ def frequency_table_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "diff_daily_events",
+    f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts)::DATE AS day, sum(value) AS total
+  FROM events GROUP BY day),
+d AS (SELECT day, total - lag(total, 7) OVER (ORDER BY day) AS diff FROM daily)
+SELECT day, {_sql_scaled('diff', 2)} AS diff7_x100
+FROM d WHERE diff IS NOT NULL ORDER BY day
+""",
+)
+def diff_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`diff(values, 7)` (io/eval/TimeDifferencingEvaluator.java) — lag-7
+    seasonal differencing of the daily event-value series."""
+    from solr_spark.functions.mathstream import time_differencing
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum("value").alias("total"))
+    out = time_differencing(daily, "total", "day", lag=7)
+    return out.select("day", scaled("diff", 2).alias("diff7_x100")).orderBy("day")
+
+
+@register(
     "ema_daily_events",
     f"""
 WITH daily AS (
