@@ -1902,6 +1902,53 @@ def bool_query_parser_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_request_api",
+    f"""
+WITH {TOKS}, {TF}, {DL},
+qt(term) AS (VALUES ('data'), ('spark')),
+dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM dfs),
+sc AS (
+  SELECT tf.doc_id,
+         sum(w.w * tf.tf / (tf.tf + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL}))) AS s
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+filtered AS (
+  SELECT sc.doc_id, sc.s FROM sc
+  JOIN (SELECT DISTINCT doc_id FROM tf WHERE term = 'data') m USING (doc_id)
+  JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+        AND sc.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'))
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM filtered
+ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
+""",
+)
+def json_request_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Request API (json-request-api.adoc / json-query-dsl.adoc;
+    RequestUtil.java + JsonQueryConverter.java): the JSON body lowered onto
+    the shared bool/lucene engine. This request is the JSON spelling of the
+    `bool_query_parser` entry's string request — same oracle, proving the
+    two front-ends cannot drift."""
+    from solr_spark.query.jsonq import json_query_search
+
+    idx, _, _ = documents_index(spark, sf_dir)
+    out = json_query_search(idx, {
+        "query": {"bool": {
+            "must": ["data"],
+            "should": [{"lucene": {"query": "spark"}}],
+            "must_not": ["merge"],
+        }},
+        "filter": ["lang:en"],
+        "limit": 10,
+    })
+    return (
+        out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
+        .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
     "xml_query_parser",
     f"""
 WITH {TOKS}, {TF}, {DL},

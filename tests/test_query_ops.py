@@ -430,3 +430,46 @@ def test_payload_check_phrase_ops(spark):
         payload_check(pp, ["a", "b"], [1.0], op="eq")
     with _pt.raises(ValueError):
         payload_check(pp, ["a"], [1.0], op="between")
+
+
+def test_json_request_api_lowering(spark):
+    """JSON Request API == the string front-end, row for row; unsupported
+    nodes fail loudly rather than silently changing semantics."""
+    import pytest as _pt
+
+    from solr_spark.index.build import build_index
+    from solr_spark.query.boolq import bool_query
+    from solr_spark.query.jsonq import _lower_leaf, json_query_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(
+        docs.withColumn("docid", F.col("doc_id")), id_col="docid",
+        text_col="text", analyzer="simple", positions=False,
+    )
+    req = {
+        "query": {"bool": {"must": ["data"],
+                           "should": [{"lucene": {"query": "spark"}}],
+                           "must_not": ["merge"]}},
+        "filter": ["lang:en"],
+        "limit": 10,
+    }
+    got = [(r.docid, round(r.score, 9))
+           for r in json_query_search(idx, req).collect()]
+    want = [(r.docid, round(r.score, 9)) for r in bool_query(
+        idx, must=["data"], should=["spark"], must_not=["merge"],
+        filter=["lang:en"], k=10).collect()]
+    assert got == want and got
+    # bare-string query == single-must bool
+    got2 = {r.docid for r in json_query_search(
+        idx, {"query": "data", "limit": 5}).collect()}
+    want2 = {r.docid for r in bool_query(idx, must=["data"], k=5).collect()}
+    assert got2 == want2
+
+    assert _lower_leaf({"field": {"f": "lang", "query": "en"}}, "text") == 'lang:"en"'
+    assert _lower_leaf({"prefix": {"f": "text", "query": "spar"}}, "text") == "text:spar*"
+    with _pt.raises(NotImplementedError):
+        _lower_leaf({"bool": {"must": ["x"]}}, "text")
+    with _pt.raises(ValueError):
+        _lower_leaf({"frange": {}, "extra": {}}, "text")
+    with _pt.raises(ValueError):
+        json_query_search(idx, {"query": {"bool": {"mustnt": ["x"]}}})
