@@ -4213,7 +4213,7 @@ def frequency_table_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "diff_daily_events",
+    "diff7_daily_events",
     f"""
 WITH daily AS (
   SELECT date_trunc('day', ts)::DATE AS day, sum(value) AS total
@@ -4223,16 +4223,19 @@ SELECT day, {_sql_scaled('diff', 2)} AS diff7_x100
 FROM d WHERE diff IS NOT NULL ORDER BY day
 """,
 )
-def diff_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`diff(values, 7)` (io/eval/TimeDifferencingEvaluator.java) — lag-7
-    seasonal differencing of the daily event-value series."""
-    from solr_spark.functions.mathstream import time_differencing
+def diff7_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`diff(values, 7)` (io/eval/TimeDifferencingEvaluator.java) — the
+    TWO-argument seasonal form: weekly differencing of the daily
+    event-value series (the lag-1 serial form is `diff_daily_events`)."""
+    from solr_spark.functions.mathstream import diff_series
 
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(F.sum("value").alias("total"))
-    out = time_differencing(daily, "total", "day", lag=7)
+    out = diff_series(daily, "total", "day", lag=7).where(
+        F.col("diff").isNotNull()
+    )
     return out.select("day", scaled("diff", 2).alias("diff7_x100")).orderBy("day")
 
 

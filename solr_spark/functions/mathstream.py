@@ -458,21 +458,6 @@ def frequency_table(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def time_differencing(
-    df: DataFrame, value: str, order_by: str, lag: int = 1,
-    partition_by: str | None = None,
-) -> DataFrame:
-    """`diff(values[, lag])` (io/eval/TimeDifferencingEvaluator.java:69-71):
-    y[n] - y[n-lag] for n in [lag, size) — the standard pre-whitening /
-    seasonal-differencing step before fitting a time-series model. Exact
-    reference semantics: the first ``lag`` rows are dropped (the reference
-    returns a shorter list). One window shuffle, same shape as movingAvg."""
-    base = Window.partitionBy(partition_by) if partition_by else Window
-    w = base.orderBy(order_by)
-    out = df.withColumn("diff", F.col(value) - F.lag(F.col(value), lag).over(w))
-    return out.where(F.col("diff").isNotNull())
-
-
 def exp_moving_avg(
     df: DataFrame, value: str, order_by: str, window: int,
     alpha: float | None = None, partition_by: str | None = None,
