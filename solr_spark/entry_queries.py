@@ -165,6 +165,8 @@ CATALOG: dict[str, Entry] = {}
 
 def register(name: str, sql: Optional[str]):
     def deco(fn):
+        if name in CATALOG:  # a duplicate would silently shadow its twin
+            raise ValueError(f"duplicate catalog entry {name!r}")
         CATALOG[name] = Entry(fn=fn, sql=sql)
         return fn
 
