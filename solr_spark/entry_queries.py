@@ -2009,8 +2009,8 @@ WITH {TOKS}, {TF}, {DL},
 dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 cand AS (
   SELECT term, df FROM dfs
-  WHERE abs(length(term) - 5) <= 2 AND levenshtein(term, 'tabel') <= 2
-  ORDER BY levenshtein(term, 'tabel') ASC, df DESC, term ASC LIMIT 50),
+  WHERE abs(length(term) - 5) <= 2 AND damerau_levenshtein(term, 'tabel') <= 2
+  ORDER BY damerau_levenshtein(term, 'tabel') ASC, df DESC, term ASC LIMIT 50),
 w AS (SELECT term, ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5)) AS w FROM cand),
 scored AS (
   SELECT tf.doc_id,
@@ -2023,7 +2023,7 @@ ORDER BY score_x10k DESC, doc_id ASC LIMIT 10
 )
 def fuzzy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery `tabel~2`: bounded dictionary probe (length band +
-    thresholded Levenshtein) capped at maxExpansions=50 best terms
+    thresholded prefilter + exact Damerau, transpositions=1 edit) capped at maxExpansions=50 best terms
     (dist asc, df desc, term asc — Lucene's top-terms order), each
     BM25-scored (query/expand.py)."""
     from solr_spark.query.parser import search

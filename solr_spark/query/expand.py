@@ -34,6 +34,7 @@ DataFrame analogues:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,26 +42,92 @@ from pyspark.sql import functions as F
 MAX_EXPANSIONS = 50
 
 
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein (transposition = ONE edit), the
+    distance Lucene's FuzzyQuery counts by default (transpositions=true,
+    QueryParser.jj fuzzy slop) and the one DuckDB's damerau_levenshtein
+    implements — e.g. ('ca','abc') = 2, where restricted/OSA would say 3.
+    Wagner-Lowrance DP; terms are short, so O(|a||b|) per pair is fine on
+    the pruned candidate set this module feeds it."""
+    la, lb = len(a), len(b)
+    inf = la + lb
+    da: dict[str, int] = {}
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = inf
+    for i in range(la + 1):
+        d[i + 1][1] = i
+        d[i + 1][0] = inf
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+        d[0][j + 1] = inf
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            i1 = da.get(b[j - 1], 0)
+            j1 = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,              # substitution
+                d[i + 1][j] + 1,             # insertion
+                d[i][j + 1] + 1,             # deletion
+                d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),  # transposition
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
 def fuzzy_candidates_df(
     term_stats: DataFrame,
     base: str,
     max_edits: int,
     max_expansions: int = MAX_EXPANSIONS,
+    transpositions: bool = True,
 ) -> DataFrame:
     """The capped probe as a (term, df) DataFrame — ORDER BY/LIMIT compiles
     to TakeOrderedAndProject, so every partition ships at most
-    ``max_expansions`` rows to the driver."""
+    ``max_expansions`` rows to the driver.
+
+    ``transpositions=True`` (Lucene FuzzyQuery's default) counts a swap of
+    two adjacent characters as ONE edit. The JVM has no Damerau primitive,
+    so the pipeline stays pruned in codegen and pays Python only on
+    survivors: length band (sound for Damerau too — a transposition
+    preserves length), then thresholded plain Levenshtein at 2·max_edits
+    (sound superset: lev <= 2·damerau, every transposition being two plain
+    edits), then the exact Damerau distance via an Arrow-batched UDF on
+    what little remains."""
     qlen = len(base)
     tlen = F.length(F.col("term"))
-    return (
-        term_stats.where(
-            (tlen >= qlen - max_edits) & (tlen <= qlen + max_edits)
+    banded = term_stats.where(
+        (tlen >= qlen - max_edits) & (tlen <= qlen + max_edits)
+    )
+    if transpositions:
+        from pyspark.sql.functions import pandas_udf
+
+        def _dl_fn(terms: "pd.Series") -> "pd.Series":
+            return terms.map(lambda t: damerau_levenshtein(t, base))
+
+        _dl = pandas_udf(_dl_fn, "int")
+
+        cand = (
+            banded.withColumn(
+                "_lev", F.levenshtein(F.col("term"), F.lit(base), 2 * max_edits)
+            )
+            .where(F.col("_lev") >= 0)
+            .withColumn("_dist", _dl(F.col("term")))
+            .where(F.col("_dist") <= max_edits)
         )
-        .withColumn(
+    else:
+        cand = banded.withColumn(
             "_dist", F.levenshtein(F.col("term"), F.lit(base), max_edits)
+        ).where(F.col("_dist") >= 0)
+    return (
+        cand.orderBy(
+            F.col("_dist").asc(), F.col("df").desc(), F.col("term").asc()
         )
-        .where(F.col("_dist") >= 0)
-        .orderBy(F.col("_dist").asc(), F.col("df").desc(), F.col("term").asc())
         .limit(max_expansions)
         .select("term", "df")
     )
@@ -71,6 +138,7 @@ def fuzzy_candidates(
     base: str,
     max_edits: int,
     max_expansions: int = MAX_EXPANSIONS,
+    transpositions: bool = True,
 ) -> dict[str, int]:
     """Terms within ``max_edits`` of ``base``, best-first-capped.
 
@@ -80,7 +148,9 @@ def fuzzy_candidates(
     with one integer comparison and the thresholded Levenshtein
     early-exits at ``max_edits``.
     """
-    cand = fuzzy_candidates_df(term_stats, base, max_edits, max_expansions)
+    cand = fuzzy_candidates_df(
+        term_stats, base, max_edits, max_expansions, transpositions
+    )
     return {r["term"]: r["df"] for r in cand.collect()}
 
 

@@ -509,10 +509,10 @@ def search(
                     weights.append((t, c.boost, "must", gid))
         elif c.kind == "fuzzy":
             # FuzzyQuery: bounded dictionary probe (length band +
-            # thresholded Levenshtein) capped at maxExpansions best terms,
-            # each BM25-scored. Divergences from Lucene (documented): plain
-            # Levenshtein (Lucene defaults to Damerau, transpositions=1)
-            # and no edit-distance score damping.
+            # thresholded prefilter + exact Damerau-Levenshtein,
+            # transpositions = 1 edit like Lucene's default) capped at
+            # maxExpansions best terms, each BM25-scored. Remaining
+            # documented divergence: no edit-distance score damping.
             from solr_spark.query.expand import fuzzy_candidates
 
             base = analyze(c.text, index.analyzer)

@@ -384,3 +384,23 @@ def test_bool_query_should_optional_under_filter(spark, idx, term_docs):
             assert s == pytest.approx(base[d])
         else:
             assert s == 0.0
+
+
+def test_fuzzy_damerau_transposition(spark):
+    """Lucene FuzzyQuery counts adjacent transpositions as ONE edit
+    (transpositions=true default): 'sprak'~1 must match 'spark' (Damerau
+    1, plain Levenshtein 2); with transpositions=False it must not."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.query.expand import damerau_levenshtein, fuzzy_candidates
+
+    assert damerau_levenshtein("spark", "sprak") == 1
+    assert damerau_levenshtein("ca", "abc") == 2      # true DL, not OSA
+    stats = spark.createDataFrame(
+        [("spark", 10), ("spars", 3), ("sprat", 1), ("join", 5)],
+        "term string, df long",
+    )
+    with_t = fuzzy_candidates(stats, "sprak", 1)
+    assert "spark" in with_t
+    without = fuzzy_candidates(stats, "sprak", 1, transpositions=False)
+    assert "spark" not in without and "sprat" in without
