@@ -112,18 +112,24 @@ def fuzzy_candidates_df(
 
         _dl = pandas_udf(_dl_fn, "int")
 
-        cand = (
-            banded.withColumn(
-                "_lev", F.levenshtein(F.col("term"), F.lit(base), 2 * max_edits)
-            )
-            .where(F.col("_lev") >= 0)
-            .withColumn("_dist", _dl(F.col("term")))
-            .where(F.col("_dist") <= max_edits)
-        )
-    else:
         cand = banded.withColumn(
-            "_dist", F.levenshtein(F.col("term"), F.lit(base), max_edits)
-        ).where(F.col("_dist") >= 0)
+            "_lev", F.levenshtein(F.col("term"), F.lit(base), 2 * max_edits)
+        ).where(F.col("_lev") >= 0).withColumn("_dist", _dl(F.col("term")))
+        # the <= max_edits cut applies ABOVE the top-50: dist-ascending
+        # order puts every true match before any over-distance row, so the
+        # result set is identical and the Python UDF evaluates ONCE (a
+        # pre-limit filter on the UDF column makes Catalyst re-evaluate it)
+        return (
+            cand.orderBy(
+                F.col("_dist").asc(), F.col("df").desc(), F.col("term").asc()
+            )
+            .limit(max_expansions)
+            .where(F.col("_dist") <= max_edits)
+            .select("term", "df")
+        )
+    cand = banded.withColumn(
+        "_dist", F.levenshtein(F.col("term"), F.lit(base), max_edits)
+    ).where(F.col("_dist") >= 0)
     return (
         cand.orderBy(
             F.col("_dist").asc(), F.col("df").desc(), F.col("term").asc()

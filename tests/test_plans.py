@@ -174,7 +174,11 @@ def test_fuzzy_probe_pruned_and_capped(spark, tmp_path_factory):
     plan = _plan(q)
     assert "TakeOrderedAndProject" in plan  # expansion cap
     assert "length(term" in plan  # band prune precedes the edit distance
-    assert "levenshtein" in plan and "Some(2)" in plan  # thresholded variant
+    # thresholded prefilter at 2x the edit budget (Damerau superset bound)
+    assert "levenshtein" in plan and "Some(4)" in plan
+    # transpositions=False keeps the pure-JVM single-threshold path
+    plain = _plan(fuzzy_candidates_df(ts, "tabel", 2, transpositions=False))
+    assert "Some(2)" in plain and "ArrowEvalPython" not in plain
 
 
 def test_prefix_stream_pushdown_no_expansion(idx_parquet):
@@ -329,3 +333,22 @@ def test_bq_rerank_cosine_above_join(spark):
     ix_join = plan.find("BroadcastHashJoin")
     ix_cos = plan.find("aggregate(zip_with")
     assert 0 <= ix_cos < ix_join
+
+
+def test_fuzzy_damerau_probe_plan(spark):
+    """The Damerau probe's plan: the length-band + thresholded-Levenshtein
+    prefilter sits BELOW a single ArrowEvalPython stage (exact Damerau runs
+    once, only on JVM-pruned survivors), capped by TakeOrderedAndProject."""
+    from solr_spark.query.expand import fuzzy_candidates_df
+
+    stats = spark.createDataFrame(
+        [("spark", 10), ("join", 5)], "term string, df long")
+    plan = fuzzy_candidates_df(
+        stats, "sprak", 1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "levenshtein" in plan and "length" in plan
+    assert "TakeOrderedAndProject" in plan
+    # prefilter below the Python stage: the JVM filter line appears after
+    # (deeper than) the ArrowEvalPython line in the tree dump
+    assert plan.index("ArrowEvalPython") < plan.index("levenshtein")
