@@ -4242,6 +4242,62 @@ def diff7_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "moving_mad_daily",
+    f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts)::DATE AS day, sum(value) AS total
+  FROM events GROUP BY day),
+lw AS (SELECT day, list(total) OVER (ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS l FROM daily),
+m AS (SELECT day, l, list_sum(l) / len(l) AS mean FROM lw WHERE len(l) >= 7)
+SELECT day,
+       {_sql_scaled('list_sum(list_transform(l, v -> abs(v - mean))) / len(l)', 2)} AS mad7_x100
+FROM m ORDER BY day
+""",
+)
+def moving_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`movingMAD(values, 7)` (io/eval/MovingMADEvaluator.java) — trailing
+    mean absolute deviation around the window mean, daily event values."""
+    from solr_spark.functions.mathstream import moving_mad
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum("value").alias("total"))
+    out = moving_mad(daily, "total", "day", window=7)
+    return (
+        out.where(F.col("moving_mad").isNotNull())
+        .select("day", scaled("moving_mad", 2).alias("mad7_x100"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "spearman_qty_price",
+    f"""
+WITH f AS (SELECT l_quantity AS a, l_extendedprice AS b FROM lineitem),
+ra AS (SELECT a, sum(count(*)) OVER (ORDER BY a) - count(*)
+              + (count(*) + 1) / 2.0 AS _ra
+       FROM f GROUP BY a),
+rb AS (SELECT b, sum(count(*)) OVER (ORDER BY b) - count(*)
+              + (count(*) + 1) / 2.0 AS _rb
+       FROM f GROUP BY b)
+SELECT {_sql_scaled('corr(_ra, _rb)', 6)} AS spearman_x1m
+FROM f JOIN ra USING (a) JOIN rb USING (b)
+""",
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`corr(a, b, type=spearmans)` (io/eval/CorrelationEvaluator.java:89)
+    — rank correlation of lineitem quantity vs extended price, fractional
+    ranks from a distinct-value dictionary (never a full-table window)."""
+    from solr_spark.functions.mathstream import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    out = spearman_corr(li, "l_quantity", "l_extendedprice")
+    return out.select(scaled("spearman", 6).alias("spearman_x1m"))
+
+
+@register(
     "ema_daily_events",
     f"""
 WITH daily AS (

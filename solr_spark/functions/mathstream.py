@@ -458,6 +458,58 @@ def frequency_table(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def moving_mad(
+    df: DataFrame, value: str, order_by: str, window: int,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """`movingMAD(values, n)` (io/eval/MovingMADEvaluator.java:52-65):
+    trailing-window mean absolute deviation around the WINDOW MEAN (the
+    reference's definition — not the median-based MAD). Rows whose frame
+    holds fewer than ``window`` values get NULL (the reference emits a
+    shorter list). One window shuffle; the per-row frame array is tiny, so
+    mean + deviation fold are plain JVM expressions."""
+    base = Window.partitionBy(partition_by) if partition_by else Window
+    w = base.orderBy(order_by).rowsBetween(-(window - 1), 0)
+    vals = F.collect_list(F.col(value).cast("double")).over(w)
+    n = F.size(vals)
+    mean = (
+        F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / n
+    )
+    mad = (
+        F.aggregate(
+            F.transform(vals, lambda x: F.abs(x - mean)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ) / n
+    )
+    return df.withColumn(
+        "moving_mad", F.when(n >= window, mad)
+    )
+
+
+def spearman_corr(df: DataFrame, a: str, b: str) -> DataFrame:
+    """`corr(a, b, type=spearmans)` (io/eval/CorrelationEvaluator.java:89;
+    commons-math SpearmansCorrelation with NaturalRanking TIES_AVERAGED):
+    Pearson correlation of the fractional-rank transforms. The average rank
+    of a tie group ending at cumulative count c with t members is
+    c − t + (t+1)/2. Ranks come from a DICTIONARY, never a full-table
+    window: one groupBy to distinct values + counts, a window over that
+    (distinct-value-sized, the same shape ord()/rord() use), broadcast
+    back. One corr aggregate on top — no O(n²) anything, no
+    single-partition global sort of the fact table. (kendalls is
+    documented out of scope: tau-b needs pairwise concordance counting.)"""
+    out = df.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+    for col, rname in (("_a", "_ra"), ("_b", "_rb")):
+        vc = out.groupBy(col).agg(F.count("*").alias("_t"))
+        wv = Window.orderBy(F.col(col))
+        ranks = vc.withColumn("_c", F.sum("_t").over(wv)).select(
+            col,
+            (F.col("_c") - F.col("_t") + (F.col("_t") + 1) / 2.0).alias(rname),
+        )
+        out = out.join(F.broadcast(ranks), col)
+    return out.agg(F.corr("_ra", "_rb").alias("spearman"))
+
+
 def exp_moving_avg(
     df: DataFrame, value: str, order_by: str, window: int,
     alpha: float | None = None, partition_by: str | None = None,

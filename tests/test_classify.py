@@ -124,3 +124,30 @@ def test_hist_empty_input_returns_empty(spark):
     # all-null column behaves the same
     df2 = spark.createDataFrame([(None,), (None,)], "x double")
     assert hist(df2, "x", 5).collect() == []
+
+
+def test_moving_mad_and_spearman(spark):
+    """movingMAD hand value (reference: MAD around the WINDOW MEAN) and
+    Spearman with ties vs a hand-computed fractional-rank correlation."""
+    from solr_spark.functions.mathstream import moving_mad, spearman_corr
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([1.0, 5.0, 3.0, 7.0])], "t long, x double")
+    got = {r.t: r.moving_mad for r in moving_mad(df, "x", "t", window=3).collect()}
+    assert got[0] is None and got[1] is None       # frame shorter than window
+    # window [1,5,3]: mean 3, MAD = (2+2+0)/3
+    assert abs(got[2] - 4.0 / 3.0) < 1e-12
+    # window [5,3,7]: mean 5, MAD = (0+2+2)/3
+    assert abs(got[3] - 4.0 / 3.0) < 1e-12
+
+    # monotone -> spearman exactly 1 even though pearson < 1
+    mono = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 100.0), (3.0, 101.0), (4.0, 5000.0)], "a double, b double")
+    assert abs(spearman_corr(mono, "a", "b").first()["spearman"] - 1.0) < 1e-12
+    # ties: a=[1,1,2], ranks a -> [1.5,1.5,3]; b=[4,5,6] ranks [1,2,3]
+    # pearson([1.5,1.5,3],[1,2,3]) = (by hand) sqrt(3)/2
+    import math
+    ties = spark.createDataFrame(
+        [(1.0, 4.0), (1.0, 5.0), (2.0, 6.0)], "a double, b double")
+    got_s = spearman_corr(ties, "a", "b").first()["spearman"]
+    assert abs(got_s - math.sqrt(3) / 2) < 1e-12
