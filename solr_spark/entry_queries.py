@@ -4273,6 +4273,25 @@ def moving_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corr_significance_qty_price",
+    f"""
+SELECT {_sql_scaled('corr(l_quantity, l_extendedprice)', 6)} AS corr_x1m,
+       count(*) AS n
+FROM lineitem
+""",
+)
+def corr_significance_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`corrSignificance` (io/eval/CorrelationSignificanceEvaluator.java):
+    Pearson r + n oracle-checked; the two-sided p-value (Student-t tail,
+    SQL lacks the CDF) is pytest-verified like welch_ttest's."""
+    from solr_spark.functions.mathstream import corr_significance
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = corr_significance(li, "l_quantity", "l_extendedprice")
+    return out.select(scaled("corr", 6).alias("corr_x1m"), "n")
+
+
+@register(
     "spearman_qty_price",
     f"""
 WITH f AS (SELECT l_quantity AS a, l_extendedprice AS b FROM lineitem),

