@@ -5150,6 +5150,127 @@ _SQL_ERF_POLY = ("(0.254829592*t - 0.284496736*t*t + 1.421413741*t*t*t "
 
 
 @register(
+    "weibull_cdf_totalprice",
+    f"""
+WITH m AS (SELECT avg(o_totalprice) / gamma(1.0 + 1.0 / 1.5) AS lam FROM orders),
+p(probe) AS (VALUES (100000.0), (200000.0), (300000.0), (450000.0))
+SELECT probe::DOUBLE AS probe,
+       {_sql_scaled('1.0 - exp(-pow(probe / lam, 1.5))', 6)} AS cdf_x1m
+FROM p, m ORDER BY probe
+""",
+)
+def weibull_cdf_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`weibullDistribution(shape, scale)` + `cumulativeProbability`
+    (io/eval/WeibullDistributionEvaluator.java): shape fixed at 1.5, scale
+    moment-matched to the order-total mean (λ = mean / Γ(1 + 1/k)); closed
+    form, so the SQL oracle agrees to machine precision."""
+    import math
+
+    from solr_spark.functions.mathstream import weibull_cdf_col
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.agg(
+        (F.avg("o_totalprice") / math.gamma(1.0 + 1.0 / 1.5)).alias("lam")
+    )
+    probes = spark.createDataFrame(
+        [(x,) for x in (100000.0, 200000.0, 300000.0, 450000.0)],
+        "probe double")
+    return (
+        probes.crossJoin(F.broadcast(m))
+        .select(
+            "probe",
+            scaled(
+                weibull_cdf_col(F.col("probe"), 1.5, F.col("lam")), 6
+            ).alias("cdf_x1m"),
+        )
+        .orderBy("probe")
+    )
+
+
+@register(
+    "lognormal_cdf_totalprice",
+    f"""
+WITH m AS (SELECT avg(ln(o_totalprice)) AS mu, stddev_samp(ln(o_totalprice)) AS s
+           FROM orders),
+p(probe) AS (VALUES (100000.0), (200000.0), (300000.0), (450000.0)),
+z AS (SELECT probe, (ln(probe) - mu) / (s * sqrt(2.0)) AS x FROM p, m),
+tt AS (SELECT probe, x, 1.0 / (1.0 + 0.3275911 * abs(x)) AS t FROM z),
+e AS (SELECT probe, x, 1.0 - {_SQL_ERF_POLY} * exp(-x * x) AS mag FROM tt)
+SELECT probe::DOUBLE AS probe,
+       {_sql_scaled('0.5 * (1.0 + CASE WHEN x < 0 THEN -mag ELSE mag END)', 6)} AS cdf_x1m
+FROM e ORDER BY probe
+""",
+)
+def lognormal_cdf_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`logNormalDistribution(mu, sigma)` + `cumulativeProbability`
+    (io/eval/LogNormalDistributionEvaluator.java): (mu, sigma) fit to
+    ln(order totals); Φ over the shared A&S erf polynomial constants."""
+    from solr_spark.functions.mathstream import lognormal_cdf_col
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.agg(
+        F.avg(F.log("o_totalprice")).alias("mu"),
+        F.stddev_samp(F.log("o_totalprice")).alias("s"),
+    )
+    probes = spark.createDataFrame(
+        [(x,) for x in (100000.0, 200000.0, 300000.0, 450000.0)],
+        "probe double")
+    return (
+        probes.crossJoin(F.broadcast(m))
+        .select(
+            "probe",
+            scaled(
+                lognormal_cdf_col(F.col("probe"), F.col("mu"), F.col("s")), 6
+            ).alias("cdf_x1m"),
+        )
+        .orderBy("probe")
+    )
+
+
+@register(
+    "triangular_cdf_totalprice",
+    f"""
+WITH m AS (SELECT min(o_totalprice) AS a, avg(o_totalprice) AS c,
+                  max(o_totalprice) AS b FROM orders),
+p(probe) AS (VALUES (100000.0), (200000.0), (300000.0), (450000.0))
+SELECT probe::DOUBLE AS probe,
+       {_sql_scaled('''CASE WHEN probe <= a THEN 0.0
+            WHEN probe >= b THEN 1.0
+            WHEN probe <= c THEN pow(probe - a, 2) / ((b - a) * (c - a))
+            ELSE 1.0 - pow(b - probe, 2) / ((b - a) * (b - c)) END''', 6)} AS cdf_x1m
+FROM p, m ORDER BY probe
+""",
+)
+def triangular_cdf_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`triangularDistribution(a, c, b)` + `cumulativeProbability`
+    (io/eval/TriangularDistributionEvaluator.java): bounds = data min/max,
+    mode = mean; the piecewise closed form, exact in both engines."""
+    from solr_spark.functions.mathstream import triangular_cdf_col
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.agg(
+        F.min("o_totalprice").cast("double").alias("a"),
+        F.avg("o_totalprice").alias("c"),
+        F.max("o_totalprice").cast("double").alias("b"),
+    )
+    probes = spark.createDataFrame(
+        [(x,) for x in (100000.0, 200000.0, 300000.0, 450000.0)],
+        "probe double")
+    return (
+        probes.crossJoin(F.broadcast(m))
+        .select(
+            "probe",
+            scaled(
+                triangular_cdf_col(
+                    F.col("probe"), F.col("a"), F.col("c"), F.col("b")
+                ), 6,
+            ).alias("cdf_x1m"),
+        )
+        .orderBy("probe")
+    )
+
+
+@register(
     "normal_cdf_totalprice",
     f"""
 WITH m AS (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS s

@@ -862,6 +862,45 @@ def norm_cdf_col(x: Column, mu: Column | float, sigma: Column | float) -> Column
     return 0.5 * (1.0 + erf_col(z))
 
 
+def weibull_cdf_col(x: Column, shape: Column | float, scale: Column | float) -> Column:
+    """`weibullDistribution(shape, scale)` + `cumulativeProbability(x)`
+    (io/eval/WeibullDistributionEvaluator.java, commons-math
+    WeibullDistribution): closed form 1 − exp(−(x/λ)^k) for x ≥ 0, 0
+    below support — pure JVM arithmetic, identical in SQL."""
+    k_c = F.lit(float(shape)) if isinstance(shape, (int, float)) else shape
+    l_c = F.lit(float(scale)) if isinstance(scale, (int, float)) else scale
+    cdf = 1.0 - F.exp(-F.pow(x / l_c, k_c))
+    return F.when(x <= 0, F.lit(0.0)).otherwise(cdf)
+
+
+def lognormal_cdf_col(x: Column, mu: Column | float, sigma: Column | float) -> Column:
+    """`logNormalDistribution(mu, sigma)` + `cumulativeProbability(x)`
+    (io/eval/LogNormalDistributionEvaluator.java): Φ((ln x − μ)/σ) via the
+    shared A&S erf polynomial (same constants as the SQL oracle), 0 at or
+    below the support boundary."""
+    cdf = norm_cdf_col(F.log(x), mu, sigma)
+    return F.when(x <= 0, F.lit(0.0)).otherwise(cdf)
+
+
+def triangular_cdf_col(
+    x: Column, a: Column | float, c: Column | float, b: Column | float
+) -> Column:
+    """`triangularDistribution(a, c, b)` + `cumulativeProbability(x)`
+    (io/eval/TriangularDistributionEvaluator.java): the piecewise closed
+    form with lower bound a, mode c, upper bound b."""
+    a_c = F.lit(float(a)) if isinstance(a, (int, float)) else a
+    c_c = F.lit(float(c)) if isinstance(c, (int, float)) else c
+    b_c = F.lit(float(b)) if isinstance(b, (int, float)) else b
+    left = F.pow(x - a_c, 2) / ((b_c - a_c) * (c_c - a_c))
+    right = 1.0 - F.pow(b_c - x, 2) / ((b_c - a_c) * (b_c - c_c))
+    return (
+        F.when(x <= a_c, F.lit(0.0))
+        .when(x >= b_c, F.lit(1.0))
+        .when(x <= c_c, left)
+        .otherwise(right)
+    )
+
+
 def poisson_pmf_col(k: Column, lam: Column | float) -> Column:
     """P(X = k) for Poisson(lam): the multiplicative recurrence
     term_i = term_{i-1} * lam / i folded over 1..k — exact in the same

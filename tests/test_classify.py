@@ -172,3 +172,41 @@ def test_corr_significance_pvalue(spark):
     perf = spark.createDataFrame([(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)],
                                  "a double, b double")
     assert corr_significance(perf, "a", "b").first()["p_value"] == 0.0
+
+
+def test_closed_form_distribution_cdfs(spark):
+    """weibull/lognormal/triangular CDF columns vs python closed forms."""
+    import math
+
+    from solr_spark.functions.mathstream import (
+        lognormal_cdf_col,
+        triangular_cdf_col,
+        weibull_cdf_col,
+    )
+
+    df = spark.createDataFrame([(x,) for x in (-1.0, 0.5, 2.0, 10.0)], "x double")
+    got = df.select(
+        "x",
+        weibull_cdf_col(F.col("x"), 1.5, 2.0).alias("w"),
+        lognormal_cdf_col(F.col("x"), 0.0, 1.0).alias("l"),
+        triangular_cdf_col(F.col("x"), 0.0, 1.0, 4.0).alias("t"),
+    ).collect()
+    for r in got:
+        x = r.x
+        ww = 0.0 if x <= 0 else 1 - math.exp(-((x / 2.0) ** 1.5))
+        assert abs(r.w - ww) < 1e-12
+        if x <= 0:
+            assert r.l == 0.0
+        else:
+            # erf polynomial: |err| < 1.5e-7
+            ln = 0.5 * (1 + math.erf(math.log(x) / math.sqrt(2)))
+            assert abs(r.l - ln) < 2e-7
+        if x <= 0:
+            tt = 0.0
+        elif x >= 4:
+            tt = 1.0
+        elif x <= 1:
+            tt = x * x / (4.0 * 1.0)
+        else:
+            tt = 1 - (4 - x) ** 2 / (4.0 * 3.0)
+        assert abs(r.t - tt) < 1e-12
