@@ -5311,6 +5311,66 @@ def normal_cdf_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zipf_term_rank_pmf",
+    f"""
+WITH h AS (SELECT list_sum(list_transform(range(1, 101),
+             i -> 1.0 / pow(i::DOUBLE, 1.1))) AS hn),
+ks(k) AS (SELECT unnest(range(1, 11)))
+SELECT k::BIGINT AS k,
+       {_sql_scaled('(1.0 / pow(k::DOUBLE, 1.1)) / hn', 6)} AS pmf_x1m
+FROM ks, h ORDER BY k
+""",
+)
+def zipf_term_rank_pmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`zipFDistribution(100, 1.1)` pmf at ranks 1..10
+    (io/eval/ZipFDistributionEvaluator.java) — the rank-frequency model the
+    synthetic corpus itself is drawn from; harmonic normalizer folded in
+    identical order in both engines."""
+    from solr_spark.functions.mathstream import zipf_pmf_col
+
+    ks = spark.range(1, 11).select(F.col("id").alias("k"))
+    return ks.select(
+        "k", scaled(zipf_pmf_col(F.col("k"), 100, 1.1), 6).alias("pmf_x1m")
+    ).orderBy("k")
+
+
+@register(
+    "geometric_sessions_pmf",
+    f"""
+WITH p AS (
+  SELECT (count(*) FILTER (event_type = 'purchase')) * 1.0 / count(*) AS pr
+  FROM events),
+ks(k) AS (SELECT unnest(range(0, 8)))
+SELECT k::BIGINT AS k,
+       {_sql_scaled('pow(1.0 - pr, k::DOUBLE) * pr', 6)} AS pmf_x1m
+FROM ks, p ORDER BY k
+""",
+)
+def geometric_sessions_pmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`geometricDistribution(p)` pmf (io/eval/
+    GeometricDistributionEvaluator.java): p = empirical purchase rate per
+    event; P(k failures before the first purchase) at k = 0..7."""
+    from solr_spark.functions.mathstream import geometric_pmf_col
+
+    e = _t(spark, sf_dir, "events")
+    p = e.agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            / F.count("*")
+        ).alias("pr")
+    )
+    ks = spark.range(0, 8).select(F.col("id").alias("k"))
+    return (
+        ks.crossJoin(F.broadcast(p))
+        .select(
+            "k",
+            scaled(geometric_pmf_col(F.col("k"), F.col("pr")), 6).alias("pmf_x1m"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
     "poisson_purchases_pmf",
     f"""
 WITH lam AS (

@@ -901,6 +901,31 @@ def triangular_cdf_col(
     )
 
 
+def zipf_pmf_col(k: Column, n: int, s: float) -> Column:
+    """`zipFDistribution(size, exponent)` pmf
+    (io/eval/ZipFDistributionEvaluator.java, commons-math
+    ZipfDistribution): P(X=k) = (1/k^s) / H_{n,s}, the generalized harmonic
+    number folded as a sequence in the SAME left-to-right order the SQL
+    oracle uses, so the engines agree bit-for-bit. 0 outside 1..n."""
+    h = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(n))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.pow(i.cast("double"), F.lit(float(s))),
+    )
+    pmf = (1.0 / F.pow(k.cast("double"), F.lit(float(s)))) / h
+    return F.when((k >= 1) & (k <= n), pmf).otherwise(F.lit(0.0))
+
+
+def geometric_pmf_col(k: Column, p: Column | float) -> Column:
+    """`geometricDistribution(p)` pmf (io/eval/
+    GeometricDistributionEvaluator.java, commons-math GeometricDistribution
+    — number of FAILURES before the first success, support k >= 0):
+    P(X=k) = (1-p)^k * p."""
+    p_c = F.lit(float(p)) if isinstance(p, (int, float)) else p
+    pmf = F.pow(1.0 - p_c, k.cast("double")) * p_c
+    return F.when(k >= 0, pmf).otherwise(F.lit(0.0))
+
+
 def poisson_pmf_col(k: Column, lam: Column | float) -> Column:
     """P(X = k) for Poisson(lam): the multiplicative recurrence
     term_i = term_{i-1} * lam / i folded over 1..k — exact in the same

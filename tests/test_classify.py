@@ -210,3 +210,25 @@ def test_closed_form_distribution_cdfs(spark):
         else:
             tt = 1 - (4 - x) ** 2 / (4.0 * 3.0)
         assert abs(r.t - tt) < 1e-12
+
+
+def test_zipf_and_geometric_pmf(spark):
+    """zipf pmf sums to 1 over its support and matches the closed form;
+    geometric pmf matches (1-p)^k * p with 0 below support."""
+    import math
+
+    from solr_spark.functions.mathstream import geometric_pmf_col, zipf_pmf_col
+
+    ks = spark.range(0, 6).select(F.col("id").alias("k"))
+    got = {r.k: (r.z, r.g) for r in ks.select(
+        "k",
+        zipf_pmf_col(F.col("k"), 5, 1.0).alias("z"),
+        geometric_pmf_col(F.col("k"), 0.25).alias("g"),
+    ).collect()}
+    h5 = sum(1.0 / i for i in range(1, 6))
+    assert got[0][0] == 0.0                       # k=0 outside zipf support
+    for k in range(1, 6):
+        assert abs(got[k][0] - (1.0 / k) / h5) < 1e-12
+    assert abs(sum(z for z, _ in got.values()) - 1.0) < 1e-12
+    for k in range(0, 6):
+        assert abs(got[k][1] - (0.75 ** k) * 0.25) < 1e-12
