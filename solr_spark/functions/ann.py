@@ -409,14 +409,19 @@ def dbscan(
         lambda acc, d: acc + d,
     )
     edges = cand.where(dist2 <= float(eps) * float(eps)).select("id_a", "id_b")
-    edges = edges.persist()
+    # eager localCheckpoint, not persist: it materializes once (edges feed
+    # sym, core_edges AND the iterative dup_clusters) but its storage is
+    # released when the DataFrame is GC'd — an explicit persist here is
+    # pinned in the session CacheManager until unpersist, so repeated
+    # dbscan() calls would accumulate cached RDDs for the session lifetime.
+    edges = edges.localCheckpoint(eager=True)
     sym = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
     degree = sym.groupBy("id_a").agg(F.count("*").alias("deg"))
     core = degree.where(F.col("deg") >= min_pts).select(
         F.col("id_a").alias("id")
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     core_edges = (
         edges.join(core.select(F.col("id").alias("id_a")), "id_a", "left_semi")
@@ -430,7 +435,7 @@ def dbscan(
     core_cl = (
         core.join(comp, "id", "left")
         .select("id", F.coalesce("cluster", F.col("id")).alias("cluster"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     border = (
         sym.withColumnRenamed("id_a", "id")

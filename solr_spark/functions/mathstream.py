@@ -930,10 +930,11 @@ def poisson_pmf_col(k: Column, lam: Column | float) -> Column:
     """P(X = k) for Poisson(lam): the multiplicative recurrence
     term_i = term_{i-1} * lam / i folded over 1..k — exact in the same
     operation order in Spark and the SQL oracle, O(k) per row, no
-    factorial overflow (terms stay in pmf scale)."""
+    factorial overflow (terms stay in pmf scale). 0 for k < 0 (the
+    otherwise-branch would fold sequence(1, k) DESCENDING through i=0)."""
     lam_c = F.lit(float(lam)) if isinstance(lam, (int, float)) else lam
     init = F.exp(-lam_c)  # P(X=0)
-    return F.when(k == 0, init).otherwise(
+    return F.when(k < 0, F.lit(0.0)).when(k == 0, init).otherwise(
         F.aggregate(
             F.sequence(F.lit(1), k.cast("int")),
             init,
@@ -956,7 +957,7 @@ def poisson_cdf_col(k: Column, lam: Column | float) -> Column:
         ),
         lambda acc: acc["cum"],
     )
-    return F.when(k == 0, p0).otherwise(folded)
+    return F.when(k < 0, F.lit(0.0)).when(k == 0, p0).otherwise(folded)
 
 
 def binom_pmf_col(k: Column, n: int, p: Column | float) -> Column:
@@ -965,7 +966,7 @@ def binom_pmf_col(k: Column, n: int, p: Column | float) -> Column:
     p_c = F.lit(float(p)) if isinstance(p, (int, float)) else p
     init = F.pow(1.0 - p_c, float(n))
     ratio = p_c / (1.0 - p_c)
-    return F.when(k == 0, init).otherwise(
+    return F.when(k < 0, F.lit(0.0)).when(k == 0, init).otherwise(
         F.aggregate(
             F.sequence(F.lit(1), k.cast("int")),
             init,
@@ -990,4 +991,4 @@ def binom_cdf_col(k: Column, n: int, p: Column | float) -> Column:
         ),
         lambda acc: acc["cum"],
     )
-    return F.when(k == 0, p0).otherwise(folded)
+    return F.when(k < 0, F.lit(0.0)).when(k == 0, p0).otherwise(folded)

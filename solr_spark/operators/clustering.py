@@ -64,7 +64,12 @@ def cluster_results(
     if stop_terms:
         scored = scored.where(~F.col("term").isin(*stop_terms))
     labels = (
-        scored.where(F.col("df_r") >= min_df)
+        # score > 0 excludes terms present in EVERY doc (df_r == N_r →
+        # score exactly 0): the docstring's "they can't split the set"
+        # must hold even with sparse vocabularies / large k_labels, where
+        # a 0-scored term could otherwise win a label slot and absorb all
+        # docs.
+        scored.where((F.col("df_r") >= min_df) & (F.col("score") > 0))
         .withColumn(
             "label_rank",
             F.row_number().over(

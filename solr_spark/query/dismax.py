@@ -127,6 +127,7 @@ def dismax_search(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     boosts: Sequence[DataFrame] = (),
+    filter_sets: Sequence[DataFrame] = (),
 ) -> DataFrame:
     """Top-k (docid, score) under DisMax combination.
 
@@ -152,4 +153,8 @@ def dismax_search(
             )
             .drop(bcol)
         )
+    # fq restriction (FilterQuery: restricts, never scores) — semi-join each
+    # filter's docid set BEFORE the top-k so the limit sees only survivors.
+    for fset in filter_sets:
+        scored = scored.join(fset.select("docid"), "docid", "left_semi")
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

@@ -27,6 +27,8 @@ matching their terms — no new scan shapes beyond the phrase operator.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -125,6 +127,7 @@ def edismax_search(
     k: int = 10,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    filter_sets: "Sequence[DataFrame]" = (),
 ) -> DataFrame:
     """Top-k (docid, score) under edismax combination.
 
@@ -231,4 +234,7 @@ def edismax_search(
             "docid", (F.col("score") * F.col("_mboost")).alias("score")
         )
 
+    # fq restriction (FilterQuery semantics) before the top-k.
+    for fset in filter_sets:
+        scored = scored.join(fset.select("docid"), "docid", "left_semi")
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)

@@ -473,3 +473,104 @@ def test_json_request_api_lowering(spark):
         _lower_leaf({"frange": {}, "extra": {}}, "text")
     with _pt.raises(ValueError):
         json_query_search(idx, {"query": {"bool": {"mustnt": ["x"]}}})
+
+
+def test_json_single_string_filter_and_literal_guard(spark):
+    """A top-level single-string filter is ONE filter node (RequestUtil
+    flattens bare node / list alike) — not iterated character-by-character;
+    field/prefix literal values reject grammar metacharacters loudly."""
+    import pytest as _pt
+
+    from solr_spark.index.build import build_index
+    from solr_spark.query.jsonq import _lower_leaf, json_query_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(
+        docs.withColumn("docid", F.col("doc_id")), id_col="docid",
+        text_col="text", analyzer="simple", positions=False,
+    )
+    as_str = [(r.docid, round(r.score, 9)) for r in json_query_search(
+        idx, {"query": "data", "filter": "lang:en", "limit": 10}).collect()]
+    as_list = [(r.docid, round(r.score, 9)) for r in json_query_search(
+        idx, {"query": "data", "filter": ["lang:en"], "limit": 10}).collect()]
+    assert as_str == as_list and as_str
+
+    with _pt.raises(ValueError):
+        _lower_leaf({"field": {"f": "lang", "query": 'e"n'}}, "text")
+    with _pt.raises(ValueError):
+        _lower_leaf({"prefix": {"f": "text", "query": "spa:r"}}, "text")
+    with _pt.raises(ValueError):
+        _lower_leaf({"prefix": {"f": "text", "query": "spa*"}}, "text")
+
+
+def test_json_dismax_edismax_nodes(spark):
+    """JSON dismax/edismax query nodes == the dedicated engines
+    (JsonQueryConverter routes any registered parser), including the
+    "field^boost" qf string form and fq filter restriction."""
+    from solr_spark.index.build import build_index
+    from solr_spark.query.dismax import build_multi_index, dismax_search
+    from solr_spark.query.edismax import edismax_search
+    from solr_spark.query.jsonq import json_query_search
+    from solr_spark.query.parser import search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = docs.withColumn("docid", F.col("doc_id"))
+    idx = build_index(
+        d, id_col="docid", text_col="text", analyzer="simple", positions=True,
+    )
+    idxs = build_multi_index(d, {"text": "text", "source": "source"},
+                             analyzer="simple")
+
+    got = [(r.docid, round(r.score, 9)) for r in json_query_search(
+        idx,
+        {"query": {"dismax": {"query": "spark src3",
+                              "qf": "text source^2.0", "tie": 0.3}},
+         "filter": "lang:en", "limit": 10},
+        indexes=idxs,
+    ).collect()]
+    fset = search(idx, "lang:en", _scores_only=True).select("docid")
+    want = [(r.docid, round(r.score, 9)) for r in dismax_search(
+        idxs, "spark src3", qf={"text": 1.0, "source": 2.0}, tie=0.3,
+        k=10, filter_sets=[fset]).collect()]
+    assert got == want and got
+
+    got_e = [(r.docid, round(r.score, 9)) for r in json_query_search(
+        idx,
+        {"query": {"edismax": {"query": "part filter scan", "qf": "text",
+                               "pf": "text^2.0", "pf2": "text^1.5"}},
+         "limit": 10},
+    ).collect()]
+    want_e = [(r.docid, round(r.score, 9)) for r in edismax_search(
+        {"text": idx}, "part filter scan", qf={"text": 1.0},
+        pf={"text": 2.0}, pf2={"text": 1.5}, k=10).collect()]
+    assert got_e == want_e and got_e
+
+
+def test_distribution_negative_k_guard(spark):
+    """pmf/cdf evaluators return 0 for k < 0 — the otherwise-branch folds
+    sequence(1, k), which is DESCENDING through i=0 for negative k
+    (division by zero / garbage)."""
+    from solr_spark.functions.mathstream import (
+        binom_cdf_col,
+        binom_pmf_col,
+        poisson_cdf_col,
+        poisson_pmf_col,
+    )
+
+    df = spark.createDataFrame([(-3,), (-1,), (0,), (2,)], ["k"])
+    out = df.select(
+        "k",
+        poisson_pmf_col(F.col("k"), 2.0).alias("pp"),
+        poisson_cdf_col(F.col("k"), 2.0).alias("pc"),
+        binom_pmf_col(F.col("k"), 10, 0.3).alias("bp"),
+        binom_cdf_col(F.col("k"), 10, 0.3).alias("bc"),
+    ).orderBy("k").collect()
+    for r in out:
+        if r.k < 0:
+            assert r.pp == 0.0 and r.pc == 0.0 and r.bp == 0.0 and r.bc == 0.0
+        else:
+            assert r.pp > 0 and r.pc > 0 and r.bp > 0 and r.bc > 0
+    import math
+    r2 = out[-1]
+    assert abs(r2.pp - math.exp(-2.0) * 2.0 ** 2 / 2) < 1e-12
+    assert abs(r2.bp - 45 * 0.3 ** 2 * 0.7 ** 8) < 1e-12
