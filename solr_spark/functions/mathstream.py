@@ -710,6 +710,44 @@ def g_test_datasets(df: DataFrame, count_a: str, count_b: str) -> DataFrame:
     )
 
 
+def _ecdf_gap_frame(
+    df: DataFrame, value: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """The LAZY (d, na, nb) one-row frame behind ks_two_sample — exposed
+    so plan tests can assert the fact table never crosses a
+    single-partition window (only distributed_prefix_sum's <= n_buckets
+    totals window is unpartitioned)."""
+    from solr_spark.functions.curation import distributed_prefix_sum
+
+    c = F.col(value).cast("double")
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        c.alias("v"), (F.col(group_col) == group_a).alias("is_a")
+    )
+    dic = two.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cb"),
+    )
+    dic = distributed_prefix_sum(dic, "ca", "v", out_col="cum_a")
+    dic = distributed_prefix_sum(dic, "cb", "v", out_col="cum_b")
+    tot = dic.groupBy().agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    return (
+        dic.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")
+            ).alias("gap"),
+            "na", "nb",
+        )
+        .agg(
+            F.max("gap").alias("d"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+
+
 def ks_two_sample(
     df: DataFrame, value: str, group_col: str, group_a, group_b
 ) -> DataFrame:
@@ -721,24 +759,15 @@ def ks_two_sample(
     "d-statistic" (KolmogorovSmirnovEvaluator.java:63-66); this
     implementation reports both values under honest names.
 
-    Distributed D: one range-frame window over the union of both samples
-    sorted by value (RANGE includes ties, giving the right-continuous
-    ECDF after each distinct value), then a max aggregate."""
-    c = F.col(value).cast("double")
-    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
-        c.alias("v"), (F.col(group_col) == group_a).alias("is_a")
-    )
-    w_all = Window.partitionBy()
-    na = F.sum(F.when(F.col("is_a"), 1).otherwise(0)).over(w_all)
-    nb = F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).over(w_all)
-    w_ecdf = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
-    fa = F.sum(F.when(F.col("is_a"), 1).otherwise(0)).over(w_ecdf) / na
-    fb = F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).over(w_ecdf) / nb
-    m = (
-        two.select(F.abs(fa - fb).alias("gap"), na.alias("na"), nb.alias("nb"))
-        .agg(F.max("gap").alias("d"), F.max("na").alias("na"), F.max("nb").alias("nb"))
-        .collect()[0]
-    )
+    Distributed D: the ECDF only moves at DISTINCT values, so the fact
+    table is first collapsed to a per-value dictionary (one groupBy with
+    map-side combine — the only shuffle that sees every row), then the
+    cumulative counts run over the dictionary via the bucket-parallel
+    prefix sum (distributed_prefix_sum: windows partitioned by range
+    bucket; the only unpartitioned window is over <= n_buckets totals).
+    No row of the raw table ever crosses a single-partition window —
+    same discipline as spearman_corr's rank dictionary."""
+    m = _ecdf_gap_frame(df, value, group_col, group_a, group_b).collect()[0]
     import math
 
     d, n_a, n_b = float(m["d"]), int(m["na"]), int(m["nb"])
@@ -757,6 +786,37 @@ def ks_two_sample(
     )
 
 
+def _midrank_sum_frame(
+    df: DataFrame, value: str, group_col: str, group_a, group_b
+) -> DataFrame:
+    """The LAZY (ra, na, nb) one-row frame behind mann_whitney_u —
+    exposed for the same plan-test reason as _ecdf_gap_frame."""
+    from solr_spark.functions.curation import distributed_prefix_sum
+
+    c = F.col(value).cast("double")
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        c.alias("v"), (F.col(group_col) == group_a).alias("is_a")
+    )
+    dic = two.groupBy("v").agg(
+        F.count("*").alias("t"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ta"),
+    )
+    dic = distributed_prefix_sum(dic, "t", "v", out_col="cum")
+    midrank = F.col("cum_before") + (F.col("t") + 1) / 2.0
+    return (
+        dic.select(
+            (F.col("ta") * midrank).alias("ra_part"),
+            F.col("ta").alias("na_part"),
+            (F.col("t") - F.col("ta")).alias("nb_part"),
+        )
+        .agg(
+            F.sum("ra_part").alias("ra"),
+            F.sum("na_part").alias("na"),
+            F.sum("nb_part").alias("nb"),
+        )
+    )
+
+
 def mann_whitney_u(
     df: DataFrame, value: str, group_col: str, group_a, group_b
 ) -> DataFrame:
@@ -765,24 +825,16 @@ def mann_whitney_u(
     commons-math returns) from average-tie midranks, p-value via the
     normal approximation on min(U_a,U_b) without tie/continuity
     correction — exactly commons-math's calculateAsymptoticPValue.
-    Midranks are one rank window + arithmetic (rank + (ties-1)/2), so the
-    whole thing is one sort-shuffle plus a tiny aggregate."""
-    c = F.col(value).cast("double")
-    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
-        c.alias("v"), (F.col(group_col) == group_a).alias("is_a")
-    )
-    w_ord = Window.orderBy("v")
-    ties = F.count("*").over(Window.partitionBy("v"))
-    midrank = F.rank().over(w_ord) + (ties - 1) / 2.0
-    m = (
-        two.select("is_a", midrank.alias("r"))
-        .agg(
-            F.sum(F.when(F.col("is_a"), F.col("r"))).alias("ra"),
-            F.count(F.when(F.col("is_a"), 1)).alias("na"),
-            F.count(F.when(~F.col("is_a"), 1)).alias("nb"),
-        )
-        .collect()[0]
-    )
+
+    Midranks come from a distinct-value DICTIONARY, never a full-table
+    rank window: one groupBy collapses the two samples to per-value
+    (ties, a-count) rows — the only shuffle that sees every row, with
+    map-side combine — then the tie group's midrank is
+    cum_before + (t+1)/2 where cum_before is the bucket-parallel prefix
+    sum of tie counts (distributed_prefix_sum). The rank-sum of group A
+    is then sum(ta * midrank) over the dictionary; no row of the raw
+    table crosses a single-partition window."""
+    m = _midrank_sum_frame(df, value, group_col, group_a, group_b).collect()[0]
     import math
 
     ra, na, nb = float(m["ra"]), int(m["na"]), int(m["nb"])

@@ -352,3 +352,32 @@ def test_fuzzy_damerau_probe_plan(spark):
     # prefilter below the Python stage: the JVM filter line appears after
     # (deeper than) the ArrowEvalPython line in the tree dump
     assert plan.index("ArrowEvalPython") < plan.index("levenshtein")
+
+
+def test_ks_mannwhitney_windows_are_bucket_partitioned(spark):
+    """ks/mannWhitney rank machinery: the fact table collapses to a
+    distinct-value dictionary (one groupBy) and every window over it is
+    PARTITIONED by the prefix-sum range bucket; the only unpartitioned
+    window is distributed_prefix_sum's <= n_buckets totals frame. The old
+    shape (an unpartitioned windowspecdefinition ordered directly on v)
+    must not reappear."""
+    from solr_spark.functions.mathstream import (
+        _ecdf_gap_frame,
+        _midrank_sum_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 37), "a" if i % 3 else "b") for i in range(500)],
+        "v double, g string",
+    )
+    for frame in (
+        _ecdf_gap_frame(df, "v", "g", "a", "b"),
+        _midrank_sum_frame(df, "v", "g", "a", "b"),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        # full-data windows keyed on the bucket -> parallel across buckets
+        assert "hashpartitioning(_psum_bucket" in plan
+        # an unpartitioned window whose FIRST spec column is the value
+        # column would be the old single-partition ECDF/rank funnel
+        assert "windowspecdefinition(v#" not in plan
+        assert "BatchEvalPython" not in plan
