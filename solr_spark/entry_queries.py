@@ -2198,6 +2198,115 @@ ORDER BY score_x10k DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _sloppyn_sql(terms: list[str], slop: int, k: int = 10) -> str:
+    """Oracle for an n-DISTINCT-term SLOPPY PhraseQuery — the same greedy
+    sweep as ``_sloppy2_sql`` generalized to n iterators: every head is
+    carried explicitly in the recursive state and the priority-queue pop
+    becomes an argmin CASE over the heads (offsets are the slot order
+    0..n-1, so PhraseQueue.lessThan's offset tiebreak == lowest slot
+    index). Verifies the engine's n-iterator JVM fold (sloppyn_tf_expr)
+    and the physical path's batched numpy sweep end-to-end."""
+    n = len(terms)
+    assert n >= 3, "use _sloppy2_sql for the 2-term case"
+    hs = [f"h{i}" for i in range(n)]
+    ls = [f"p{i}" for i in range(n)]
+    ptr = [f"i{i}" for i in range(n)]
+    lists = ",\n".join(
+        f"{ls[i]}_t AS (SELECT doc_id, list(pos - {i} ORDER BY pos) AS {ls[i]} "
+        f"FROM tokp WHERE term = '{terms[i]}' GROUP BY doc_id)"
+        for i in range(n)
+    )
+    alln = "alln AS (SELECT " + ls[0] + "_t.doc_id, " + ", ".join(ls) + \
+        " FROM " + ls[0] + "_t " + " ".join(
+            f"JOIN {ls[i]}_t USING (doc_id)" for i in range(1, n)) + ")"
+
+    def argmin(names: list[str]) -> str:
+        # index of the minimum head, lowest slot on ties
+        cases = []
+        for i in range(n - 1):
+            conds = " AND ".join(
+                f"{names[i]} <= {names[j]}" for j in range(i + 1, n)
+            )
+            cases.append(f"WHEN {conds} THEN {i}")
+        return "CASE " + " ".join(cases) + f" ELSE {n - 1} END"
+
+    def minof(names: list[str]) -> str:
+        return "least(" + ", ".join(names) + ")"
+
+    heads0 = [f"{ls[i]}[1]" for i in range(n)]
+    anchor = (
+        "SELECT doc_id, " + ", ".join(ls) + ", "
+        + ", ".join(f"1 AS {p}" for p in ptr) + ", "
+        + ", ".join(f"{heads0[i]} AS {hs[i]}" for i in range(n)) + ", "
+        + f"greatest({', '.join(heads0)}) AS e, "
+        + f"({argmin(heads0)}) AS cur, "
+        + f"greatest({', '.join(heads0)}) - {minof(heads0)} AS ml, "
+        + "0.0::DOUBLE AS freq, FALSE AS done FROM alln"
+    )
+    adv = ("CASE cur " + " ".join(
+        f"WHEN {i} THEN {ls[i]}[{ptr[i]} + 1]" for i in range(n - 1)
+    ) + f" ELSE {ls[n - 1]}[{ptr[n - 1]} + 1] END")
+    nxt = ("CASE cur " + " ".join(
+        f"WHEN {i} THEN {minof([hs[j] for j in range(n) if j != i])}"
+        for i in range(n - 1)
+    ) + f" ELSE {minof([hs[j] for j in range(n - 1)])} END")
+    nhs = [f"nh{i}" for i in range(n)]
+    nh_defs = ", ".join(
+        f"CASE WHEN adv IS NOT NULL AND cur = {i} THEN adv ELSE {hs[i]} END"
+        f" AS {nhs[i]}"
+        for i in range(n)
+    )
+    newmin = argmin(nhs)
+    newminval = ("CASE " + " ".join(
+        f"WHEN ({newmin}) = {i} THEN {nhs[i]}" for i in range(n - 1)
+    ) + f" ELSE {nhs[n - 1]} END")
+    add = f"CASE WHEN ml <= {slop} THEN 1.0 / (1.0 + ml) ELSE 0.0 END"
+    recur = (
+        "SELECT doc_id, " + ", ".join(ls) + ", "
+        + ", ".join(
+            f"CASE WHEN adv IS NOT NULL AND cur = {i} THEN {ptr[i]} + 1 "
+            f"ELSE {ptr[i]} END" for i in range(n)
+        ) + ", "
+        + ", ".join(nhs) + ", ne AS e, "
+        + ("CASE WHEN adv IS NULL THEN cur "
+           f"WHEN adv > nxt THEN ({newmin}) ELSE cur END") + ", "
+        + ("CASE WHEN adv IS NULL THEN ml "
+           f"WHEN adv > nxt THEN ne - ({newminval}) "
+           "ELSE least(ml, ne - adv) END") + ", "
+        + f"CASE WHEN adv IS NULL OR adv > nxt THEN freq + {add} "
+          "ELSE freq END, "
+        + "(adv IS NULL) "
+        + "FROM (SELECT *, "
+        + nh_defs + ", "
+        + "CASE WHEN adv IS NULL THEN e ELSE greatest(e, adv) END AS ne "
+        + f"FROM (SELECT *, {adv} AS adv, {nxt} AS nxt "
+          "FROM step WHERE NOT done))"
+    )
+    tlist = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH RECURSIVE {TOKS}, {TF}, {DL}, {TOKP},
+{lists},
+{alln},
+step AS (
+  {anchor}
+  UNION ALL
+  {recur}
+),
+matches AS (SELECT doc_id, freq AS tfp FROM step WHERE done AND freq > 0),
+qt(term) AS (VALUES {tlist}),
+dfs AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+w AS (SELECT sum(ln(1 + ({NDOCS} - df + 0.5) / (df + 0.5))) AS w FROM dfs),
+scored AS (
+  SELECT m.doc_id,
+         (SELECT w FROM w) * m.tfp /
+         (m.tfp + {K1_DEFAULT} * ({1.0 - B_DEFAULT} + {B_DEFAULT} * dl.dl / {AVGDL})) AS s
+  FROM matches m JOIN dl ON dl.doc_id = m.doc_id)
+SELECT doc_id, {_sql_scaled('s')} AS score_x10k FROM scored
+ORDER BY score_x10k DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _mk_phrase(qs: str, slop: int):
     def _fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from solr_spark.query.phrase import phrase_topk
@@ -2272,6 +2381,13 @@ for _qname, _qstr, _slop in [
         fn=_mk_phrase(_qstr, _slop),
         sql=_sloppy2_sql(analyze(_qstr, "simple"), _slop),
     )
+
+# 3-term sloppy phrase: exercises the n-iterator JVM fold (logical path)
+# against the n-iterator recursive-CTE sweep oracle.
+CATALOG["phrase_slop_3term"] = Entry(
+    fn=_mk_phrase("part filter scan", 2),
+    sql=_sloppyn_sql(analyze("part filter scan", "simple"), 2),
+)
 
 
 _IDF = f"ln(1 + ({NDOCS} - {{d}} + 0.5) / ({{d}} + 0.5))"

@@ -131,19 +131,32 @@ def phrase_match_df(
     if slop > 0 and sloppy:
         import numpy as np
 
-        from solr_spark.query.sloppy import sloppy2_tf_expr, sloppy_freq
+        from solr_spark.query.sloppy import (
+            sloppy2_tf_expr,
+            sloppy_freq,
+            sloppyn_tf_expr,
+        )
 
         offs = offsets if offsets is not None else list(range(len(terms)))
         idents = [t if isinstance(t, str) else tuple(sorted(set(t))) for t in terms]
-        if (
-            len(terms) == 2
-            and isinstance(terms[0], str)
-            and isinstance(terms[1], str)
-            and terms[0] != terms[1]
+        if all(isinstance(t, str) for t in terms) and len(set(terms)) == len(
+            terms
         ):
-            # The dominant sloppy shape runs PURE JVM (whole-stage codegen,
-            # no Python workers / Arrow) — see sloppy2_tf_expr.
-            tf_p = F.expr(sloppy2_tf_expr("pos_0", "pos_1", offs[0], offs[1], slop))
+            # DISTINCT-term phrases run PURE JVM (whole-stage codegen, no
+            # Python workers / Arrow): the dominant 2-term shape via the
+            # two-pointer fold, 3+-term via the n-iterator argmin fold.
+            # Only repeated-term phrases (Lucene's repeat-group machinery)
+            # keep the Python sweep below.
+            if len(terms) == 2:
+                tf_p = F.expr(
+                    sloppy2_tf_expr("pos_0", "pos_1", offs[0], offs[1], slop)
+                )
+            else:
+                tf_p = F.expr(
+                    sloppyn_tf_expr(
+                        [f"pos_{i}" for i in range(len(terms))], offs, slop
+                    )
+                )
             return (
                 joined.withColumn("tf_p", tf_p)
                 .where(F.col("tf_p") > 0)

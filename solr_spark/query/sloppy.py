@@ -262,3 +262,193 @@ def sloppy_freq(
     if match_len <= slop:
         freq += 1.0 / (1.0 + match_len)
     return freq
+
+
+def sloppyn_tf_expr(
+    pos_cols: list[str], offsets: list[int], slop: int
+) -> str:
+    """SQL expression computing the n-DISTINCT-term sloppy freq PURE JVM —
+    the generalization of ``sloppy2_tf_expr`` that retires the per-candidate
+    Python sweep for 3+-term slop phrases ("new york times"-class hot
+    phrases pay no Python worker / Arrow transfer).
+
+    The heap machine becomes a left fold whose accumulator carries every
+    iterator's state: ``ix`` (consumed count per iterator), ``h`` (current
+    adjusted head per iterator), ``c`` (the popped minimum iterator), plus
+    end/matchLength/freq/done. The priority queue is replaced by argmin
+    over the heads — ``array_min`` over (position, query-offset, slot)
+    structs reproduces PhraseQueue.lessThan's offset tiebreak exactly.
+    ``nxt`` (the heap's peek-after-pop) is the min over the OTHER heads,
+    computed on the fly; on the tighten branch the current iterator is
+    necessarily still the minimum (its new position <= nxt), so ``c`` is
+    unchanged — the same invariant the two-pointer version exploits.
+
+    O(sum of position-list sizes) steps per doc, each step O(n) array
+    work; requires all phrase slots to be DISTINCT terms (repeated-term
+    phrases keep the Python repeat-group path, same rule as the 2-term
+    specialization). Parity with ``sloppy_freq`` is asserted by the
+    randomized suite in tests/test_phrase.py."""
+    n = len(pos_cols)
+    if n < 2:
+        raise ValueError("sloppyn_tf_expr needs >= 2 position columns")
+    offs_arr = "array(" + ", ".join(str(int(o)) for o in offsets) + ")"
+
+    def rd(i: int, k: str) -> str:
+        # adjusted 1-based read of iterator i's k-th position, INT-typed
+        return (
+            f"CAST(try_element_at({pos_cols[i]}, {k}) - {offsets[i]} AS INT)"
+        )
+
+    heads = [rd(i, "1") for i in range(n)]
+    h0 = "array(" + ", ".join(heads) + ")"
+    e0 = "greatest(" + ", ".join(heads) + ")"
+    argmin0 = (
+        f"array_min(transform({h0}, (v, i) -> named_struct("
+        f"'p', v, 'o', element_at({offs_arr}, i + 1), 'ii', i)))"
+    )
+    init = (
+        f"named_struct("
+        f"'ix', array({', '.join(['1'] * n)}), "
+        f"'h', {h0}, "
+        f"'c', {argmin0}.ii, "
+        f"'e', {e0}, "
+        f"'m', {e0} - {argmin0}.p, "
+        f"'f', CAST(0.0 AS DOUBLE), 'd', false)"
+    )
+    # newpos for the active iterator (NULL <=> it exhausted)
+    np_ = (
+        "CASE acc.c "
+        + " ".join(
+            f"WHEN {i} THEN {rd(i, f'element_at(acc.ix, {i + 1}) + 1')}"
+            for i in range(n)
+        )
+        + " END"
+    )
+    add = (
+        f"IF(acc.m <= {slop}, 1.0 / (1.0 + CAST(acc.m AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE))"
+    )
+    ix2 = "transform(acc.ix, (v, i) -> IF(i = acc.c, v + 1, v))"
+    h2 = f"transform(acc.h, (v, i) -> IF(i = acc.c, {np_}, v))"
+    e2 = f"greatest(acc.e, {np_})"
+    nxt = (
+        "array_min(filter(transform(acc.h, (v, i) -> "
+        "IF(i = acc.c, CAST(NULL AS INT), v)), x -> x IS NOT NULL))"
+    )
+    argmin2 = (
+        f"array_min(transform({h2}, (v, i) -> named_struct("
+        f"'p', v, 'o', element_at({offs_arr}, i + 1), 'ii', i)))"
+    )
+    step = (
+        "(acc, _k) -> CASE "
+        "WHEN acc.d THEN acc "
+        f"WHEN {np_} IS NULL THEN named_struct("
+        f"'ix', acc.ix, 'h', acc.h, 'c', acc.c, 'e', acc.e, 'm', acc.m, "
+        f"'f', acc.f + {add}, 'd', true) "
+        f"WHEN {np_} > {nxt} THEN named_struct("
+        f"'ix', {ix2}, 'h', {h2}, 'c', {argmin2}.ii, "
+        f"'e', {e2}, 'm', {e2} - {argmin2}.p, "
+        f"'f', acc.f + {add}, 'd', false) "
+        f"ELSE named_struct("
+        f"'ix', {ix2}, 'h', {h2}, 'c', acc.c, "
+        f"'e', acc.e, 'm', least(acc.m, acc.e - {np_}), "
+        f"'f', acc.f, 'd', false) END"
+    )
+    seq = "sequence(1, " + " + ".join(f"size({p})" for p in pos_cols) + ")"
+    return f"aggregate({seq}, {init}, {step}, acc -> acc.f)"
+
+
+def sloppy_freq_batch(
+    slots: list[tuple[np.ndarray, np.ndarray, np.ndarray, int]],
+    slop: int,
+) -> np.ndarray:
+    """Lucene sloppy phrase freq for a BATCH of candidate documents at once
+    — the physical path's replacement for calling ``sloppy_freq`` in a
+    per-candidate Python loop (a hot 3-term phrase has 10^4-10^5
+    conjunction candidates per partition; the per-candidate heap sweep
+    pays Python bytecode per position, this pays one numpy pass per sweep
+    STEP across all still-running candidates).
+
+    ``slots[i] = (flat, starts, lens, offset)`` describes phrase slot i
+    over C candidates: candidate c's positions for slot i are
+    ``flat[starts[c] : starts[c] + lens[c]]`` (the segment codec's
+    flat+starts decode, no per-candidate slicing). Requires DISTINCT-term
+    slots (repeated-term phrases keep the per-candidate repeat-group
+    path). Returns float64[C] of Σ 1/(1+matchLength) freqs.
+
+    The machine is ``sloppy_freq``'s greedy sweep with every scalar
+    promoted to a C-vector and the priority queue replaced by a keyed
+    argmin over the n heads (key = position ⊕ query offset ⊕ slot index,
+    encoding PhraseQueue.lessThan's tiebreak); each loop iteration
+    advances every still-running candidate by exactly one step, so the
+    iteration count is max steps over the batch, not the sum."""
+    n = len(slots)
+    c_n = len(slots[0][1])
+    if c_n == 0:
+        return np.zeros(0, dtype=np.float64)
+    offs = np.asarray([s[3] for s in slots], dtype=np.int64)
+    # tiebreak key: (adjusted position, query offset, slot) packed into one
+    # int64 — positions dominate, then offset, then slot index
+    tie = offs * np.int64(n + 1) + np.arange(n, dtype=np.int64)
+    kmul = np.int64(int(tie.max()) + 1)
+
+    h = np.empty((c_n, n), dtype=np.int64)
+    lens = np.empty((c_n, n), dtype=np.int64)
+    starts = np.empty((c_n, n), dtype=np.int64)
+    for i, (flat, st, ln, off) in enumerate(slots):
+        starts[:, i] = st
+        lens[:, i] = ln
+        h[:, i] = flat[st] - off
+    ix = np.ones((c_n, n), dtype=np.int64)
+
+    e = h.max(axis=1)
+    c = (h * kmul + tie).argmin(axis=1)
+    rows_all = np.arange(c_n)
+    m = e - h[rows_all, c]
+    f = np.zeros(c_n, dtype=np.float64)
+    done = (lens == 0).any(axis=1)  # empty slot: no match possible
+    f[done] = 0.0
+
+    big = np.iinfo(np.int64).max
+    while True:
+        rows = np.nonzero(~done)[0]
+        if rows.size == 0:
+            break
+        cc = c[rows]
+        exhausted = ix[rows, cc] >= lens[rows, cc]
+        ex = rows[exhausted]
+        if ex.size:
+            mm = m[ex]
+            f[ex] += np.where(mm <= slop, 1.0 / (1.0 + mm), 0.0)
+            done[ex] = True
+        go = rows[~exhausted]
+        if go.size == 0:
+            continue
+        cg = c[go]
+        npos = np.empty(go.size, dtype=np.int64)
+        for i, (flat, _st, _ln, off) in enumerate(slots):
+            sel = cg == i
+            if sel.any():
+                g = go[sel]
+                npos[sel] = flat[starts[g, i] + ix[g, i]] - off
+        ix[go, cg] += 1
+        # nxt = min position among the OTHER heads (the heap's peek)
+        hs = h[go]
+        saved = hs[np.arange(go.size), cg]
+        hs[np.arange(go.size), cg] = big
+        nxt = hs.min(axis=1)
+        hs[np.arange(go.size), cg] = saved
+        h[go, cg] = npos
+        e[go] = np.maximum(e[go], npos)
+        reseat = npos > nxt
+        tg = go[~reseat]
+        if tg.size:
+            m[tg] = np.minimum(m[tg], e[tg] - npos[~reseat])
+        rs = go[reseat]
+        if rs.size:
+            mm = m[rs]
+            f[rs] += np.where(mm <= slop, 1.0 / (1.0 + mm), 0.0)
+            cnew = (h[rs] * kmul + tie).argmin(axis=1)
+            c[rs] = cnew
+            m[rs] = e[rs] - h[rs, cnew]
+    return f

@@ -251,26 +251,53 @@ def _phrase_partition(
             common = np.intersect1d(common, dec[t][0], assume_unique=True)
         if common.size == 0:
             continue
-        docs_scored: list[int] = []
-        scores: list[float] = []
         o0, _, _, _, nrm0 = dec[uniq[0]]
         idx0 = np.searchsorted(o0, common)
-        for ci, ordv in enumerate(common):
-            pls = []
-            for t in terms:  # phrase order (duplicates share the decode)
+        if slop > 0 and len(uniq) == len(terms):
+            # distinct-term sloppy phrase: ONE batched numpy sweep over
+            # every conjunction candidate (sloppy_freq_batch) instead of a
+            # per-candidate Python heap loop — the 3+-term hot-phrase path.
+            from solr_spark.query.sloppy import sloppy_freq_batch
+
+            slots = []
+            for i, t in enumerate(terms):
                 o, tf, flat, starts, _ = dec[t]
-                j = int(np.searchsorted(o, ordv))
-                s = int(starts[j])
-                pls.append(flat[s : s + int(tf[j])])
-            tf_p = _phrase_count(pls, offsets, slop, terms)
-            if tf_p:
-                dl = float(DECODE_TABLE[nrm0[idx0[ci]]])
-                scores.append(w * tf_p / (tf_p + k1 * (1.0 - b + b * dl / avgdl)))
-                docs_scored.append(int(ordv))
-        if not docs_scored:
-            continue
-        acc = np.asarray(scores)
-        ords_arr = np.asarray(docs_scored, dtype=np.int64)
+                j = np.searchsorted(o, common)
+                slots.append((
+                    flat,
+                    starts[j].astype(np.int64),
+                    tf[j].astype(np.int64),
+                    offsets[i],
+                ))
+            freqs = sloppy_freq_batch(slots, slop)
+            msel = freqs > 0
+            if not msel.any():
+                continue
+            tfv = freqs[msel]
+            dlv = DECODE_TABLE[nrm0[idx0[msel]]].astype(np.float64)
+            acc = w * tfv / (tfv + k1 * (1.0 - b + b * dlv / avgdl))
+            ords_arr = common[msel].astype(np.int64)
+        else:
+            docs_scored: list[int] = []
+            scores: list[float] = []
+            for ci, ordv in enumerate(common):
+                pls = []
+                for t in terms:  # phrase order (dupes share the decode)
+                    o, tf, flat, starts, _ = dec[t]
+                    j = int(np.searchsorted(o, ordv))
+                    s = int(starts[j])
+                    pls.append(flat[s : s + int(tf[j])])
+                tf_p = _phrase_count(pls, offsets, slop, terms)
+                if tf_p:
+                    dl = float(DECODE_TABLE[nrm0[idx0[ci]]])
+                    scores.append(
+                        w * tf_p / (tf_p + k1 * (1.0 - b + b * dl / avgdl))
+                    )
+                    docs_scored.append(int(ordv))
+            if not docs_scored:
+                continue
+            acc = np.asarray(scores)
+            ords_arr = np.asarray(docs_scored, dtype=np.int64)
         if acc.size > k:
             kth = np.partition(acc, -k)[-k]
             keep = acc >= kth  # keep boundary ties (rank-identity)

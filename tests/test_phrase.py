@@ -230,3 +230,98 @@ def test_sloppy2_plan_is_jvm_only(idx):
     plan = phrase_match_df(idx, ["fast", "merge"], slop=2)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sloppyn_jvm_fold_parity(spark):
+    """The n-iterator JVM sloppy fold (sloppyn_tf_expr) must agree with the
+    Python reference matcher bit-for-bit for 3-5 distinct-term phrases,
+    including offset gaps (dropped stopwords) and position ties."""
+    import random
+    from collections import defaultdict
+
+    import numpy as np
+
+    from solr_spark.query.sloppy import sloppy_freq, sloppyn_tf_expr
+
+    random.seed(23)
+    cases = []
+    for _ in range(400):
+        n = random.choice([3, 3, 4, 5])
+        lists = [
+            sorted(random.sample(range(25), random.randint(1, 6)))
+            for _ in range(n)
+        ]
+        offs = [0]
+        for _i in range(1, n):
+            offs.append(offs[-1] + random.randint(1, 2))
+        cases.append((lists, tuple(offs), random.randint(0, 6)))
+
+    groups = defaultdict(list)
+    for i, (lists, offs, slop) in enumerate(cases):
+        groups[(len(lists), offs, slop)].append(i)
+    for (n, offs, slop), ids in groups.items():
+        df = spark.createDataFrame(
+            [(i, *cases[i][0]) for i in ids],
+            "id long, " + ", ".join(f"pos_{j} array<long>" for j in range(n)),
+        )
+        expr = sloppyn_tf_expr(
+            [f"pos_{j}" for j in range(n)], list(offs), slop
+        )
+        got = {r.id: r.tf for r in
+               df.select("id", F.expr(expr).alias("tf")).collect()}
+        for i in ids:
+            lists, _, _ = cases[i]
+            want = sloppy_freq(
+                [np.array(x) for x in lists], list(offs), slop
+            )
+            assert abs(got[i] - want) < 1e-9, (cases[i], got[i], want)
+
+
+def test_sloppyn_plan_is_jvm_only(idx):
+    """The 3+-distinct-term sloppy path must not contain a Python/Arrow
+    eval node (the n-iterator fold runs in whole-stage codegen)."""
+    from solr_spark.query.phrase import phrase_match_df
+
+    plan = phrase_match_df(
+        idx, ["part", "filter", "scan"], slop=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sloppy_batch_matches_per_candidate():
+    """sloppy_freq_batch (the physical path's one-pass numpy sweep over all
+    conjunction candidates) == sloppy_freq per candidate, for random
+    batches of 2-5 distinct-term phrases."""
+    import random
+
+    import numpy as np
+
+    from solr_spark.query.sloppy import sloppy_freq, sloppy_freq_batch
+
+    rng = random.Random(31)
+    for _trial in range(60):
+        n = rng.choice([2, 3, 3, 4, 5])
+        cands = rng.randint(1, 30)
+        offs = [0]
+        for _i in range(1, n):
+            offs.append(offs[-1] + rng.randint(1, 2))
+        slop = rng.randint(0, 6)
+        slots, per_cand = [], [[] for _ in range(cands)]
+        for i in range(n):
+            flat, starts, lens = [], [], []
+            for ci in range(cands):
+                pl = sorted(rng.sample(range(25), rng.randint(1, 6)))
+                starts.append(len(flat))
+                lens.append(len(pl))
+                flat.extend(pl)
+                per_cand[ci].append(np.asarray(pl, dtype=np.int64))
+            slots.append((
+                np.asarray(flat, dtype=np.int64),
+                np.asarray(starts, dtype=np.int64),
+                np.asarray(lens, dtype=np.int64),
+                offs[i],
+            ))
+        got = sloppy_freq_batch(slots, slop)
+        for ci in range(cands):
+            want = sloppy_freq(per_cand[ci], offs, slop)
+            assert abs(got[ci] - want) < 1e-12

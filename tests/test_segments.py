@@ -185,7 +185,11 @@ def test_assume_partitioned_violation_raises(spark, tmp_path_factory):
                        text_col="text", assume_partitioned=True)
 
 
-PHRASES = [("part filter scan", 0), ("spark join", 0), ("spark join", 2)]
+PHRASES = [("part filter scan", 0), ("spark join", 0), ("spark join", 2),
+           # 3-term sloppy: physical = batched numpy sweep, logical = the
+           # n-iterator JVM fold — rank/score identity closes the loop on
+           # both new paths at once
+           ("part filter scan", 2), ("part filter scan", 5)]
 
 
 @pytest.mark.parametrize("q,slop", PHRASES)
