@@ -4536,6 +4536,42 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kendall_qty_price",
+    f"""
+WITH cells AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS a,
+         CAST(floor(l_extendedprice / 10000.0) AS DOUBLE) AS b,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM lineitem GROUP BY 1, 2),
+cd AS (SELECT sum(p.c * q.c * sign(q.b - p.b)) AS cd
+       FROM cells p JOIN cells q ON p.a < q.a),
+tot AS (SELECT sum(c) AS n FROM cells),
+t1 AS (SELECT sum(t * (t - 1)) / 2.0 AS n1
+       FROM (SELECT sum(c) AS t FROM cells GROUP BY a)),
+t2 AS (SELECT sum(u * (u - 1)) / 2.0 AS n2
+       FROM (SELECT sum(c) AS u FROM cells GROUP BY b))
+SELECT {_sql_scaled(
+    'cd / sqrt((n * (n - 1) / 2.0 - n1) * (n * (n - 1) / 2.0 - n2))', 6
+)} AS tau_x1m
+FROM cd, tot, t1, t2
+""",
+)
+def kendall_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`corr(a, b, type=kendalls)` (io/eval/CorrelationEvaluator.java:91,
+    commons-math KendallsCorrelation tau-b) — lineitem quantity vs the
+    10k-bucketed extended price: C - D folded over joint-dictionary cell
+    pairs (broadcast self-join of distinct cells, never row pairs)."""
+    from solr_spark.functions.mathstream import kendall_tau
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        F.floor(F.col("l_extendedprice") / 10000.0).alias("price_bucket"),
+    )
+    out = kendall_tau(li, "l_quantity", "price_bucket")
+    return out.select(scaled("kendall_tau", 6).alias("tau_x1m"))
+
+
+@register(
     "ema_daily_events",
     f"""
 WITH daily AS (
@@ -5710,6 +5746,106 @@ def loess_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled("y", 2).alias("y_x100"),
         scaled("smoothed", 2).alias("smoothed_x100"),
     ).orderBy("day_idx")
+
+
+def _akima_sql(kind: str) -> str:
+    """DuckDB oracle for the Akima spline evaluators over the daily event
+    series — the identical difference/weight/three-point formulas as
+    akima_derivatives/akima_integrals, so engine and oracle agree to the
+    scaled fixed point."""
+
+    def tp(x0, y0, x1, y1, x2, y2, xi):
+        a = (f"(({y2} - {y0} - (({x2} - {x0}) / ({x1} - {x0}) "
+             f"* ({y1} - {y0}))) / (({x2} - {x0}) * ({x2} - {x0}) "
+             f"- ({x1} - {x0}) * ({x2} - {x0})))")
+        b = f"(({y1} - {y0} - {a} * ({x1} - {x0}) * ({x1} - {x0})) / ({x1} - {x0}))"
+        return f"(2 * {a} * ({xi} - {x0}) + {b})"
+
+    deriv_case = f"""CASE
+    WHEN rn = 1 THEN {tp('x', 'y', 'x1f', 'y1f', 'x2f', 'y2f', 'x')}
+    WHEN rn = 2 OR rn = n - 1 THEN {tp('xm1', 'ym1', 'x', 'y', 'x1f', 'y1f', 'x')}
+    WHEN rn = n THEN {tp('xm2', 'ym2', 'xm1', 'ym1', 'x', 'y', 'x')}
+    WHEN wp = 0 AND wm = 0 THEN ((x1f - x) * diffm1 + (x - xm1) * diff) / (x1f - xm1)
+    ELSE (wp * diffm1 + wm * diff) / (wp + wm) END"""
+    base = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+s AS (SELECT x, y,
+        row_number() OVER w AS rn, count(*) OVER () AS n,
+        lead(x, 1) OVER w AS x1f, lead(x, 2) OVER w AS x2f,
+        lag(x, 1) OVER w AS xm1, lag(x, 2) OVER w AS xm2,
+        lead(y, 1) OVER w AS y1f, lead(y, 2) OVER w AS y2f,
+        lag(y, 1) OVER w AS ym1, lag(y, 2) OVER w AS ym2
+      FROM daily WINDOW w AS (ORDER BY x)),
+d AS (SELECT *, (y1f - y) / (x1f - x) AS diff FROM s),
+d2 AS (SELECT *, lag(diff) OVER w AS diffm1,
+              abs(diff - lag(diff) OVER w) AS wgt
+       FROM d WINDOW w AS (ORDER BY x)),
+d3 AS (SELECT *, lead(wgt) OVER w AS wp, lag(wgt) OVER w AS wm
+       FROM d2 WINDOW w AS (ORDER BY x)),
+deriv AS (SELECT x, y, {deriv_case} AS dy FROM d3)"""
+    if kind == "derivative":
+        return base + f"""
+SELECT CAST(x AS INT) AS day_idx, {_sql_scaled('dy')} AS dy_x10k
+FROM deriv ORDER BY day_idx"""
+    return base + f""",
+nxt AS (SELECT x, y, dy,
+          lead(x) OVER w AS xn, lead(y) OVER w AS yn, lead(dy) OVER w AS dyn
+        FROM deriv WINDOW w AS (ORDER BY x)),
+segs AS (SELECT x, (xn - x) * (y + yn) / 2
+                 + (xn - x) * (xn - x) * (dy - dyn) / 12 AS seg FROM nxt),
+cum AS (SELECT x, coalesce(sum(seg) OVER
+          (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) AS c FROM segs)
+SELECT CAST(x AS INT) AS day_idx, {_sql_scaled('c', 2)} AS cum_x100
+FROM cum ORDER BY day_idx"""
+
+
+def _daily_events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("double").alias("x")
+    ).agg(F.count("*").cast("double").alias("y"))
+
+
+@register("derivative_daily_events", None)  # sql attached below
+def derivative_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`derivative(spline)` (solrj io/eval/DerivativeEvaluator.java +
+    commons-math AkimaSplineInterpolator): Akima first derivative of the
+    daily event-count series at every knot, as lag/lead window expressions
+    over the aggregated series (no driver-side array)."""
+    from solr_spark.functions.mathstream import akima_derivatives
+
+    out = akima_derivatives(_daily_events_series(spark, sf_dir), "x", "y")
+    return out.select(
+        F.col("x").cast("int").alias("day_idx"),
+        scaled("dy").alias("dy_x10k"),
+    ).orderBy("day_idx")
+
+
+CATALOG["derivative_daily_events"].sql = _akima_sql("derivative")
+
+
+@register("integrate_daily_events", None)  # sql attached below
+def integrate_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`integrate(spline)` (solrj io/eval/IntegrateEvaluator.java): the
+    cumulative Akima-spline integral from the first knot to each knot.
+    The reference runs commons-math RombergIntegrator (rel tol 1e-6)
+    against the spline; the piecewise Hermite cubic integrates in closed
+    form, which is the value Romberg converges to."""
+    from solr_spark.functions.mathstream import akima_integrals
+
+    out = akima_integrals(_daily_events_series(spark, sf_dir), "x", "y")
+    return out.select(
+        F.col("x").cast("int").alias("day_idx"),
+        scaled("cum", 2).alias("cum_x100"),
+    ).orderBy("day_idx")
+
+
+CATALOG["integrate_daily_events"].sql = _akima_sql("integrate")
 
 
 @register("kmeans_embeddings", None)  # iterative clustering: rows-only

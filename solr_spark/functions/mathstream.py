@@ -520,8 +520,8 @@ def spearman_corr(df: DataFrame, a: str, b: str) -> DataFrame:
     window: one groupBy to distinct values + counts, a window over that
     (distinct-value-sized, the same shape ord()/rord() use), broadcast
     back. One corr aggregate on top — no O(n²) anything, no
-    single-partition global sort of the fact table. (kendalls is
-    documented out of scope: tau-b needs pairwise concordance counting.)"""
+    single-partition global sort of the fact table. (kendalls: see
+    kendall_tau — tau-b over the joint distinct-value dictionary.)"""
     out = df.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
     for col, rname in (("_a", "_ra"), ("_b", "_rb")):
         vc = out.groupBy(col).agg(F.count("*").alias("_t"))
@@ -1044,3 +1044,189 @@ def binom_cdf_col(k: Column, n: int, p: Column | float) -> Column:
         lambda acc: acc["cum"],
     )
     return F.when(k < 0, F.lit(0.0)).when(k == 0, p0).otherwise(folded)
+
+
+def _three_point_deriv(x0, y0, x1, y1, x2, y2, xi) -> Column:
+    """commons-math AkimaSplineInterpolator.differentiateThreePoint: the
+    derivative at ``xi`` of the quadratic through three samples."""
+    t = xi - x0
+    t1 = x1 - x0
+    t2 = x2 - x0
+    a = (y2 - y0 - (t2 / t1 * (y1 - y0))) / (t2 * t2 - t1 * t2)
+    b = (y1 - y0 - a * t1 * t1) / t1
+    return 2.0 * a * t + b
+
+
+def akima_derivatives(df: DataFrame, x: str, y: str) -> DataFrame:
+    """`derivative(spline)` (solrj io/eval/DerivativeEvaluator.java +
+    commons-math AkimaSplineInterpolator): the Akima-spline first
+    derivative evaluated at every knot of the (x, y) series. The Akima
+    construction makes the spline's derivative at knot i exactly the
+    weighted-difference estimate, so no spline needs materializing:
+
+      d_i   = (y_{i+1} - y_i) / (x_{i+1} - x_i)           (differences)
+      w_i   = |d_i - d_{i-1}|                              (weights)
+      dy_i  = (w_{i+1} d_{i-1} + w_{i-1} d_i) / (w_{i+1} + w_{i-1})
+              — or the midpoint form when both weights vanish —
+      endpoints (first/last TWO knots): the three-point quadratic
+      derivative, exactly commons-math's differentiateThreePoint.
+
+    Lag/lead windows over the AGGREGATED series (the same bounded-series
+    precedent as movingAvg/ema — the input here is a per-day rollup, not
+    the fact table). Requires >= 5 knots like the reference. Returns
+    (x, y, dy) ordered by x."""
+    w = Window.orderBy(x)
+    xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
+    s = df.select(xc.alias("x"), yc.alias("y")).withColumns({
+        "rn": F.row_number().over(w.orderBy("x")),
+        "n": F.count("*").over(
+            Window.orderBy("x").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+        "x1f": F.lead("x", 1).over(Window.orderBy("x")),
+        "x2f": F.lead("x", 2).over(Window.orderBy("x")),
+        "xm1": F.lag("x", 1).over(Window.orderBy("x")),
+        "xm2": F.lag("x", 2).over(Window.orderBy("x")),
+        "y1f": F.lead("y", 1).over(Window.orderBy("x")),
+        "y2f": F.lead("y", 2).over(Window.orderBy("x")),
+        "ym1": F.lag("y", 1).over(Window.orderBy("x")),
+        "ym2": F.lag("y", 2).over(Window.orderBy("x")),
+    })
+    s = s.withColumn(
+        "diff", (F.col("y1f") - F.col("y")) / (F.col("x1f") - F.col("x"))
+    )
+    s = s.withColumns({
+        "diffm1": F.lag("diff", 1).over(Window.orderBy("x")),
+        "wgt": F.abs(
+            F.col("diff") - F.lag("diff", 1).over(Window.orderBy("x"))
+        ),
+    })
+    s = s.withColumns({
+        "wp": F.lead("wgt", 1).over(Window.orderBy("x")),
+        "wm": F.lag("wgt", 1).over(Window.orderBy("x")),
+    })
+    c = {k: F.col(k) for k in
+         ("x", "y", "x1f", "x2f", "xm1", "xm2", "y1f", "y2f", "ym1", "ym2")}
+    dy = (
+        F.when(
+            F.col("rn") == 1,
+            _three_point_deriv(c["x"], c["y"], c["x1f"], c["y1f"],
+                               c["x2f"], c["y2f"], c["x"]),
+        )
+        .when(
+            (F.col("rn") == 2) | (F.col("rn") == F.col("n") - 1),
+            _three_point_deriv(c["xm1"], c["ym1"], c["x"], c["y"],
+                               c["x1f"], c["y1f"], c["x"]),
+        )
+        .when(
+            F.col("rn") == F.col("n"),
+            _three_point_deriv(c["xm2"], c["ym2"], c["xm1"], c["ym1"],
+                               c["x"], c["y"], c["x"]),
+        )
+        .when(
+            (F.col("wp") == 0.0) & (F.col("wm") == 0.0),
+            ((c["x1f"] - c["x"]) * F.col("diffm1")
+             + (c["x"] - c["xm1"]) * F.col("diff"))
+            / (c["x1f"] - c["xm1"]),
+        )
+        .otherwise(
+            (F.col("wp") * F.col("diffm1") + F.col("wm") * F.col("diff"))
+            / (F.col("wp") + F.col("wm"))
+        )
+    )
+    return s.select("x", "y", dy.alias("dy")).orderBy("x")
+
+
+def akima_integrals(df: DataFrame, x: str, y: str) -> DataFrame:
+    """`integrate(spline)` (solrj io/eval/IntegrateEvaluator.java): the
+    cumulative integral of the Akima spline from x[0] to each knot —
+    out[0] = 0, out[i] = ∫_{x0}^{xi}, exactly the reference's one-arg
+    form. The reference runs commons-math RombergIntegrator (rel tol
+    1e-6) against the spline; a piecewise cubic Hermite integrates in
+    CLOSED FORM — segment i contributes h(y_i+y_{i+1})/2 +
+    h²(dy_i−dy_{i+1})/12 — so this computes the exact value Romberg
+    converges to (documented divergence: within Romberg's tolerance).
+    Returns (x, cum) ordered by x."""
+    d = akima_derivatives(df, x, y)
+    wo = Window.orderBy("x")
+    h = F.lead("x", 1).over(wo) - F.col("x")
+    seg = (
+        h * (F.col("y") + F.lead("y", 1).over(wo)) / 2.0
+        + h * h * (F.col("dy") - F.lead("dy", 1).over(wo)) / 12.0
+    )
+    s = d.withColumn("seg", seg)
+    cum = F.coalesce(
+        F.sum("seg").over(
+            Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0.0),
+    )
+    return s.select("x", cum.alias("cum")).orderBy("x")
+
+
+def kendall_tau(df: DataFrame, a: str, b: str) -> DataFrame:
+    """`corr(a, b, type=kendalls)` (io/eval/CorrelationEvaluator.java:91,
+    commons-math KendallsCorrelation): tau-b,
+
+        tau_b = (C - D) / sqrt((n0 - n1) (n0 - n2))
+
+    with n0 = n(n-1)/2 and n1/n2 the tied-pair counts per variable.
+
+    Distributed shape: the fact table collapses to the JOINT distinct-value
+    dictionary (one groupBy (a, b) with map-side combine — the only
+    shuffle that sees every row), then C - D folds over CELL PAIRS:
+    Σ_{cell p, cell q : p.a < q.a} n_p n_q · sign(q.b - p.b), a broadcast
+    self-join of the dictionary. Tied-x pairs never enter the sum, tied-y
+    pairs contribute 0 — exactly tau-b's numerator. n1/n2 come from two
+    marginal aggregations of the same dictionary.
+
+    The cell-pair join is O(D²) in DISTINCT CELLS, not rows — the right
+    trade for the dictionary-compressible columns the evaluator contract
+    targets (the reference itself is an in-memory array evaluator);
+    quantize or sample genuinely continuous columns first, as with
+    dbscan's pair discovery."""
+    cells = (
+        df.select(F.col(a).cast("double").alias("_a"),
+                  F.col(b).cast("double").alias("_b"))
+        .where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("_a", "_b")
+        .agg(F.count("*").alias("_c"))
+    )
+    cells = cells.localCheckpoint(eager=True)  # reused 4x below
+    p = cells.select(F.col("_a").alias("pa"), F.col("_b").alias("pb"),
+                     F.col("_c").alias("pc"))
+    q = cells.select(F.col("_a").alias("qa"), F.col("_b").alias("qb"),
+                     F.col("_c").alias("qc"))
+    cd = (
+        p.join(F.broadcast(q), F.col("pa") < F.col("qa"))
+        .agg(
+            F.sum(
+                F.col("pc") * F.col("qc")
+                * F.signum(F.col("qb") - F.col("pb"))
+            ).alias("cd")
+        )
+    )
+    tot = cells.agg(F.sum("_c").alias("n"))
+    t1 = (
+        cells.groupBy("_a").agg(F.sum("_c").alias("t"))
+        .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2.0).alias("n1"))
+    )
+    t2 = (
+        cells.groupBy("_b").agg(F.sum("_c").alias("u"))
+        .agg((F.sum(F.col("u") * (F.col("u") - 1)) / 2.0).alias("n2"))
+    )
+    return (
+        cd.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            (
+                F.col("cd")
+                / F.sqrt(
+                    (F.col("n") * (F.col("n") - 1) / 2.0 - F.col("n1"))
+                    * (F.col("n") * (F.col("n") - 1) / 2.0 - F.col("n2"))
+                )
+            ).alias("kendall_tau")
+        )
+    )

@@ -996,3 +996,113 @@ def test_dbscan_core_border_noise(spark):
     # 5's degree is 2 as well -> stays a border of cluster A
     assert got2[25].cluster == 30 and not got2[25].is_core
     assert got2[5].cluster == 1 and not got2[5].is_core
+
+
+def test_akima_derivative_and_integral_parity(spark):
+    """akima_derivatives == a direct numpy transcription of commons-math
+    AkimaSplineInterpolator (weights, vanishing-weight midpoint branch,
+    three-point endpoints); akima_integrals == the exact piecewise Hermite
+    integral; integrating a linear series reproduces the quadratic."""
+    import numpy as np
+
+    from solr_spark.functions.mathstream import (
+        akima_derivatives,
+        akima_integrals,
+    )
+
+    def akima_ref(xv, yv):
+        n = len(xv)
+        d = np.diff(yv) / np.diff(xv)
+        w = np.empty(n - 1)
+        w[0] = np.nan
+        w[1:] = np.abs(np.diff(d))
+        fd = np.empty(n)
+
+        def tp(i, i0, i1, i2):
+            x0, x1, x2 = xv[i0], xv[i1], xv[i2]
+            y0, y1, y2 = yv[i0], yv[i1], yv[i2]
+            t, t1, t2 = xv[i] - x0, x1 - x0, x2 - x0
+            a = (y2 - y0 - (t2 / t1 * (y1 - y0))) / (t2 * t2 - t1 * t2)
+            b = (y1 - y0 - a * t1 * t1) / t1
+            return 2 * a * t + b
+
+        for i in range(2, n - 2):
+            wp, wm = w[i + 1], w[i - 1]
+            if wp == 0.0 and wm == 0.0:
+                fd[i] = (
+                    (xv[i + 1] - xv[i]) * d[i - 1]
+                    + (xv[i] - xv[i - 1]) * d[i]
+                ) / (xv[i + 1] - xv[i - 1])
+            else:
+                fd[i] = (wp * d[i - 1] + wm * d[i]) / (wp + wm)
+        fd[0] = tp(0, 0, 1, 2)
+        fd[1] = tp(1, 0, 1, 2)
+        fd[n - 2] = tp(n - 2, n - 3, n - 2, n - 1)
+        fd[n - 1] = tp(n - 1, n - 3, n - 2, n - 1)
+        return fd
+
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        n = int(rng.integers(5, 30))
+        xv = np.sort(
+            rng.choice(np.arange(100), size=n, replace=False)
+        ).astype(float)
+        yv = rng.normal(size=n) * 10 + np.sin(xv / 5) * 4
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(xv, yv)],
+            "x double, y double",
+        )
+        fd = akima_ref(xv, yv)
+        gd = np.array([r.dy for r in akima_derivatives(df, "x", "y").collect()])
+        assert np.allclose(gd, fd, atol=1e-9)
+        segs = (
+            np.diff(xv) * (yv[:-1] + yv[1:]) / 2
+            + np.diff(xv) ** 2 * (fd[:-1] - fd[1:]) / 12
+        )
+        ci = np.concatenate([[0.0], np.cumsum(segs)])
+        gc = np.array([r.cum for r in akima_integrals(df, "x", "y").collect()])
+        assert np.allclose(gc, ci, atol=1e-9)
+
+    # exactness check: a linear series integrates to its quadratic
+    xv = np.arange(0, 20, dtype=float)
+    df = spark.createDataFrame(
+        [(float(a), float(3 * a + 1)) for a in xv], "x double, y double"
+    )
+    gc = np.array([r.cum for r in akima_integrals(df, "x", "y").collect()])
+    want = 1.5 * xv**2 + xv
+    assert np.allclose(gc, want - want[0], atol=1e-9)
+
+
+def test_kendall_tau_matches_brute_force(spark):
+    """kendall_tau (joint-dictionary cell-pair fold) == O(n²) tau-b with
+    tie corrections, on integer-valued columns with heavy ties."""
+    from collections import Counter
+
+    import numpy as np
+
+    from solr_spark.functions.mathstream import kendall_tau
+
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        n = 150
+        x = rng.integers(0, 10, n).astype(float)
+        y = (x * 2 + rng.integers(0, 12, n)).astype(float)
+        c_n = d_n = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx, dy = x[j] - x[i], y[j] - y[i]
+                if dx != 0 and dy != 0:
+                    if np.sign(dx) * np.sign(dy) > 0:
+                        c_n += 1
+                    else:
+                        d_n += 1
+        n0 = n * (n - 1) / 2
+        n1 = sum(t * (t - 1) // 2 for t in Counter(x).values())
+        n2 = sum(t * (t - 1) // 2 for t in Counter(y).values())
+        want = (c_n - d_n) / np.sqrt((n0 - n1) * (n0 - n2))
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)],
+            "a double, b double",
+        )
+        got = kendall_tau(df, "a", "b").collect()[0].kendall_tau
+        assert abs(got - want) < 1e-12
