@@ -5,9 +5,23 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": <sf>,
    "index_build_sec": ..., "index_docs_per_sec": ...}
 
+Protocol (round 4, VERDICT r3 task #4): every headline query and every
+index build is timed min-of-2 after a steady-state warmup pass — the same
+discipline ``tools/bench_scaling.py`` uses — so BENCH_rN.json is comparable
+across rounds instead of carrying one-shot host-contention noise (the r2→r3
+"phantom drift"). The warmup pass absorbs JVM codegen + Python-worker-pool
+startup; min-of-2 absorbs transient host contention. ``value`` therefore
+reads as steady-state latency, not cold-start.
+
+A 10x series (``queries_sf1``) runs a representative subset once over the
+sf0.1 documents table replicated 10x (50k docs, deterministic doc_id
+remap) so the "survives a scale-up" claim has a measured decade behind it:
+a query whose sf1/sf0.1 ratio far exceeds ~12x indicates a super-linear
+plan (see BASELINE.md round-4 notes). Single-run by design — it is a
+growth-rate probe, not a latency benchmark.
+
 The index build over the documents table is timed separately (it is the
-"indexing throughput" half of BASELINE.md); each headline query is then
-timed end-to-end (plan + execute + collect). Run
+"indexing throughput" half of BASELINE.md). Run
 ``python tools/bench_scaling.py`` for the N-vs-4N-cores scaling protocol.
 """
 
@@ -15,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -33,6 +48,45 @@ BM25_QUERIES = [
     ("bm25_hot", "table"),
     ("bm25_4term", "customer query fast line"),
 ]
+
+RUNS = 2  # min-of-N: every timed unit runs N times, best is reported
+
+
+def best_of(fn, runs: int = RUNS) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _materialize_index(idx) -> None:
+    """Force full materialization: analyzed intermediate + postings +
+    doclens + global term stats (finalize_index's role — ExactStatsCache)."""
+    idx.postings = idx.postings.persist()
+    idx.doclens = idx.doclens.persist()
+    idx.postings.count()
+    idx.doclens.count()
+    idx.corpus_stats()
+    idx.term_stats().count()
+
+
+def timed_build(docs, positions: bool = True, runs: int = RUNS):
+    """Min-of-N index build. Each run is a fresh build fully materialized;
+    intermediate runs are unpersisted so runs don't feed each other."""
+    best = float("inf")
+    idx = None
+    for i in range(runs):
+        if idx is not None:
+            idx.postings.unpersist()
+            idx.doclens.unpersist()
+        t0 = time.perf_counter()
+        idx = build_index(docs, id_col="doc_id", text_col="text",
+                          analyzer="simple", positions=positions)
+        _materialize_index(idx)
+        best = min(best, time.perf_counter() - t0)
+    return idx, best
 
 
 def main() -> None:
@@ -56,49 +110,30 @@ def main() -> None:
     warm.postings.count()
     warm.doclens.count()
 
-    t0 = time.perf_counter()
-    idx = build_index(docs, id_col="doc_id", text_col="text", analyzer="simple")
-    # Force full materialization of the index tables (the persisted analyzed
-    # intermediate + postings + doclens), like a real index build would.
-    idx.postings = idx.postings.persist()
-    idx.doclens = idx.doclens.persist()
-    idx.postings.count()
-    idx.doclens.count()
+    idx, build_sec = timed_build(docs, positions=True)
     n, avgdl = idx.corpus_stats()
-    # Global term stats are part of the build (finalize_index's role —
-    # ExactStatsCache); materializing here keeps per-query timings about
-    # query work.
-    idx.term_stats().count()
-    build_sec = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
     for name, q in BM25_QUERIES:
-        t0 = time.perf_counter()
         terms = sorted(set(analyze(q, "simple")))
-        bm25_topk(idx, terms, k=10, quantize_norms=False).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = best_of(
+            lambda t=terms: bm25_topk(idx, t, k=10,
+                                      quantize_norms=False).collect()
+        )
 
     # Positions-OFF control series: same logical build + the same BM25
-    # queries over a positions-free index, so the round-1 -> round-2 drift
-    # decomposes into the positions tax (postings rows carry position
-    # arrays even for term-only queries) vs noise. Reported separately —
-    # NOT part of the headline total.
-    t0 = time.perf_counter()
-    idx_off = build_index(docs, id_col="doc_id", text_col="text",
-                          analyzer="simple", positions=False)
-    idx_off.postings = idx_off.postings.persist()
-    idx_off.doclens = idx_off.doclens.persist()
-    idx_off.postings.count()
-    idx_off.doclens.count()
-    idx_off.corpus_stats()
-    idx_off.term_stats().count()
-    build_off_sec = time.perf_counter() - t0
+    # queries over a positions-free index, so build-cost drift decomposes
+    # into the positions tax (postings rows carry position arrays even for
+    # term-only queries) vs noise. Reported separately — NOT part of the
+    # headline total.
+    idx_off, build_off_sec = timed_build(docs, positions=False)
     timings_off: dict[str, float] = {}
     for name, q in BM25_QUERIES:
-        t0 = time.perf_counter()
         terms = sorted(set(analyze(q, "simple")))
-        bm25_topk(idx_off, terms, k=10, quantize_norms=False).collect()
-        timings_off[name] = round(time.perf_counter() - t0, 3)
+        timings_off[name] = best_of(
+            lambda t=terms: bm25_topk(idx_off, t, k=10,
+                                      quantize_norms=False).collect()
+        )
     idx_off.postings.unpersist()
     idx_off.doclens.unpersist()
 
@@ -106,7 +141,7 @@ def main() -> None:
     from solr_spark.entry_queries import CATALOG, _IDX_CACHE
 
     _IDX_CACHE[(id(spark), sf_dir)] = (idx, n, avgdl)  # reuse the built index
-    for name in [
+    HEADLINERS = [
         "facet_terms_source_matching",
         "collapse_by_source",
         "significant_terms_spark",
@@ -118,10 +153,11 @@ def main() -> None:
         "edismax_pf",
         "facet_nested_stats",
         "facet_subfacet_top_sources",
-    ]:
-        t0 = time.perf_counter()
-        CATALOG[name].fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    ]
+    for name in HEADLINERS:
+        timings[name] = best_of(
+            lambda nm=name: CATALOG[nm].fn(spark, sf_dir).collect()
+        )
 
     # Training-data pipeline headliners over the FULL documents table
     # (the catalog entries slice to doc_id < 60 for oracle hashing; the
@@ -130,58 +166,135 @@ def main() -> None:
     from solr_spark.functions.dedup import minhash_signatures
     from solr_spark.functions.textstats import chunk_tokens
 
-    t0 = time.perf_counter()
-    gopher_repetition(docs, "text", "doc_id").agg(
-        F.sum("top_frac_2"), F.sum("dup_frac_10")
-    ).collect()
-    timings["gopher_repetition_full"] = round(time.perf_counter() - t0, 3)
+    def _gopher_job(d):
+        gopher_repetition(d, "text", "doc_id").agg(
+            F.sum("top_frac_2"), F.sum("dup_frac_10")
+        ).collect()
 
-    t0 = time.perf_counter()
-    chunks = chunk_tokens(docs, "text", "doc_id", size=64, overlap=0) \
-        .withColumn("k", F.col("id") * 1000 + F.col("chunk_id"))
-    pack_concat(chunks, "n_tokens", "k", seq_len=2048).agg(
-        F.max("last_bin"), F.count("*")
-    ).collect()
-    timings["pack_chunks_full"] = round(time.perf_counter() - t0, 3)
+    def _pack_job(d):
+        chunks = chunk_tokens(d, "text", "doc_id", size=64, overlap=0) \
+            .withColumn("k", F.col("id") * 1000 + F.col("chunk_id"))
+        pack_concat(chunks, "n_tokens", "k", seq_len=2048).agg(
+            F.max("last_bin"), F.count("*")
+        ).collect()
 
-    t0 = time.perf_counter()
-    minhash_signatures(docs, "text", "doc_id", k=32).agg(
-        F.count("*")
-    ).collect()
-    timings["minhash_sigs_full"] = round(time.perf_counter() - t0, 3)
+    def _minhash_job(d):
+        minhash_signatures(d, "text", "doc_id", k=32).agg(
+            F.count("*")
+        ).collect()
+
+    timings["gopher_repetition_full"] = best_of(lambda: _gopher_job(docs))
+    timings["pack_chunks_full"] = best_of(lambda: _pack_job(docs))
+    timings["minhash_sigs_full"] = best_of(lambda: _minhash_job(docs))
 
     # Physical path: segment build + block-max WAND queries.
-    import shutil
-
     from solr_spark.index.segments import build_index_dir
     from solr_spark.query.wand import open_index
 
     phys_dir = f"/tmp/solr_spark_bench_phys_{os.getpid()}"
-    shutil.rmtree(phys_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    build_index_dir(docs, phys_dir, n_partitions=32, analyzer="simple",
-                    id_col="doc_id", text_col="text")
-    phys_build_sec = time.perf_counter() - t0
+    phys_build_sec = float("inf")
+    for _ in range(RUNS):
+        shutil.rmtree(phys_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index_dir(docs, phys_dir, n_partitions=32, analyzer="simple",
+                        id_col="doc_id", text_col="text")
+        phys_build_sec = min(phys_build_sec, time.perf_counter() - t0)
     ix = open_index(spark, phys_dir)
     for name, q in BM25_QUERIES:
-        t0 = time.perf_counter()
-        ix.topk(q, k=10).collect()
-        timings[f"wand_{name}"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    ix.phrase_topk("spark join", k=10).collect()
-    timings["wand_phrase"] = round(time.perf_counter() - t0, 3)
+        timings[f"wand_{name}"] = best_of(
+            lambda qq=q: ix.topk(qq, k=10).collect()
+        )
+    timings["wand_phrase"] = best_of(
+        lambda: ix.phrase_topk("spark join", k=10).collect()
+    )
     # Hot sloppy-phrase micro-bench pair (VERDICT r2 task #3): the same
-    # slop-2 phrase on the physical (numpy two-pointer sweep) and logical
-    # (JVM HOF) matchers — the physical one should be within ~2x.
-    t0 = time.perf_counter()
-    ix.phrase_topk("spark data", k=10, slop=2).collect()
-    timings["wand_phrase_slop2"] = round(time.perf_counter() - t0, 3)
+    # slop-2 phrase on the physical (numpy sweep) and logical (JVM HOF)
+    # matchers — the physical one should be within ~2x.
+    timings["wand_phrase_slop2"] = best_of(
+        lambda: ix.phrase_topk("spark data", k=10, slop=2).collect()
+    )
+    # 3-term sloppy phrase (VERDICT r3 task #3): exercises the n>=3
+    # vectorized matchers on both paths — should sit within ~2x of the
+    # 2-term numbers, not the old per-candidate-Python cliff.
+    timings["wand_phrase3_slop2"] = best_of(
+        lambda: ix.phrase_topk("spark data table", k=10, slop=2).collect()
+    )
     shutil.rmtree(phys_dir, ignore_errors=True)
     from solr_spark.query.phrase import phrase_topk as logical_phrase_topk
 
+    timings["phrase_slop2_logical"] = best_of(
+        lambda: logical_phrase_topk(idx, "spark data", k=10, slop=2).collect()
+    )
+    timings["phrase3_slop2_logical"] = best_of(
+        lambda: logical_phrase_topk(idx, "spark data table", k=10,
+                                    slop=2).collect()
+    )
+
+    # ------------------------------------------------------------------
+    # 10x growth-rate series (VERDICT r3 task #8): the documents table
+    # replicated 10x with deterministic doc_id remapping (sf1-class, 50k
+    # docs at the default sf0.1). Representative subset, single run each.
+    # ------------------------------------------------------------------
+    sf1_dir = f"/tmp/solr_spark_bench_sf1_{os.getpid()}"
+    shutil.rmtree(sf1_dir, ignore_errors=True)
+    os.makedirs(sf1_dir)
+    rep = spark.range(10).select(F.col("id").alias("rep"))
+    (docs.crossJoin(rep)
+         .select((F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+                 "text", "lang", "source", "n_chars")
+         .repartition(64)
+         .write.mode("overwrite").parquet(f"{sf1_dir}/documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(src):
+            os.symlink(os.path.abspath(src), f"{sf1_dir}/{t}.parquet")
+    docs1 = spark.read.parquet(f"{sf1_dir}/documents.parquet")
+    n1 = docs1.count()
+
     t0 = time.perf_counter()
-    logical_phrase_topk(idx, "spark data", k=10, slop=2).collect()
-    timings["phrase_slop2_logical"] = round(time.perf_counter() - t0, 3)
+    idx1 = build_index(docs1, id_col="doc_id", text_col="text",
+                       analyzer="simple")
+    _materialize_index(idx1)
+    sf1_build_sec = time.perf_counter() - t0
+    n1_corpus, avgdl1 = idx1.corpus_stats()
+    _IDX_CACHE[(id(spark), sf1_dir)] = (idx1, n1_corpus, avgdl1)
+
+    timings_sf1: dict[str, float] = {}
+    for name, q in BM25_QUERIES[:2]:  # bm25_3term, bm25_window
+        terms = sorted(set(analyze(q, "simple")))
+        t0 = time.perf_counter()
+        bm25_topk(idx1, terms, k=10, quantize_norms=False).collect()
+        timings_sf1[name] = round(time.perf_counter() - t0, 3)
+    for name in ["facet_terms_source_matching", "collapse_by_source",
+                 "significant_terms_spark", "terms_dictionary_top20",
+                 "phrase_adjacency", "phrase_slop", "edismax_pf"]:
+        t0 = time.perf_counter()
+        CATALOG[name].fn(spark, sf1_dir).collect()
+        timings_sf1[name] = round(time.perf_counter() - t0, 3)
+    for name, job in [("gopher_repetition_full", _gopher_job),
+                      ("pack_chunks_full", _pack_job),
+                      ("minhash_sigs_full", _minhash_job)]:
+        t0 = time.perf_counter()
+        job(docs1)
+        timings_sf1[name] = round(time.perf_counter() - t0, 3)
+    # physical build + WAND at 10x
+    phys1_dir = f"{sf1_dir}/phys"
+    t0 = time.perf_counter()
+    build_index_dir(docs1, phys1_dir, n_partitions=32, analyzer="simple",
+                    id_col="doc_id", text_col="text")
+    sf1_phys_build_sec = time.perf_counter() - t0
+    ix1 = open_index(spark, phys1_dir)
+    t0 = time.perf_counter()
+    ix1.topk("spark join data", k=10).collect()
+    timings_sf1["wand_bm25_3term"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ix1.phrase_topk("spark data", k=10, slop=2).collect()
+    timings_sf1["wand_phrase_slop2"] = round(time.perf_counter() - t0, 3)
+    idx1.postings.unpersist()
+    idx1.doclens.unpersist()
+    del _IDX_CACHE[(id(spark), sf1_dir)]
+    shutil.rmtree(sf1_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -193,6 +306,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_docs": n_docs,
+                # min-of-2 steady-state protocol (see module docstring) —
+                # totals are comparable to BENCH_r4 onward, not to the
+                # one-shot r1-r3 numbers.
+                "protocol": {"runs": RUNS, "agg": "min", "warmup": True},
                 # Since round 2 both index builds store term positions
                 # (Lucene DOCS_AND_FREQS_AND_POSITIONS parity) — build
                 # throughput is not comparable to the round-1 positions-off
@@ -205,6 +322,13 @@ def main() -> None:
                 "index_build_sec_positions_off": round(build_off_sec, 3),
                 "phys_index_build_sec": round(phys_build_sec, 3),
                 "phys_docs_per_sec": round(n_docs / phys_build_sec, 1),
+                # 10x growth-rate series (single-run; see module docstring)
+                "queries_sf1": timings_sf1,
+                "sf1_n_docs": n1,
+                "sf1_index_build_sec": round(sf1_build_sec, 3),
+                "sf1_docs_per_sec": round(n1 / sf1_build_sec, 1),
+                "sf1_phys_build_sec": round(sf1_phys_build_sec, 3),
+                "sf1_phys_docs_per_sec": round(n1 / sf1_phys_build_sec, 1),
             }
         )
     )
