@@ -7190,6 +7190,273 @@ def dismax_bq_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 evaluator batch: convolution/cross-correlation, paired tests,
+# distance measures, vector scaling, interpolation, ranking
+# ---------------------------------------------------------------------------
+
+
+_DAILY_X_SQL = (
+    "CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE)"
+)
+
+
+def _daily_type_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day counts of two event types as aligned series (a=click,
+    b=view; days where a type is absent count 0, so the x domains match)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("double").alias("x")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double").alias("a"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double").alias("b"),
+    )
+
+
+_DAILY_AB_SQL = f"""
+  SELECT {_DAILY_X_SQL} AS x,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS b
+  FROM events GROUP BY 1"""
+
+
+@register(
+    "convolve_daily_events",
+    f"""
+WITH daily AS (
+  SELECT {_DAILY_X_SQL} AS x, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+ranked AS (SELECT y, row_number() OVER (ORDER BY x) - 1 AS r FROM daily),
+kernel(i, kv) AS (VALUES (0, 0.25), (1, 0.5), (2, 0.25))
+SELECT CAST(r + i AS BIGINT) AS k, {_sql_scaled('sum(y * kv)')} AS conv_x10k
+FROM ranked, kernel GROUP BY 1 ORDER BY k
+""",
+)
+def convolve_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`conv(a, b)` (io/eval/ConvolutionEvaluator.java, MathArrays
+    .convolve): the daily event-count series convolved with a 1-2-1
+    smoothing kernel. The kernel is a 3-row broadcast; the only full
+    shuffle is the groupBy on the output index (map-side combine)."""
+    from solr_spark.functions.mathstream import convolve
+
+    out = convolve(_daily_events_series(spark, sf_dir), "x", "y",
+                   [0.25, 0.5, 0.25])
+    return out.select(
+        F.col("k").cast("long").alias("k"),
+        scaled("conv").alias("conv_x10k"),
+    ).orderBy("k")
+
+
+@register(
+    "finddelay_daily_types",
+    f"""
+WITH daily AS ({_DAILY_AB_SQL}),
+ranked AS (SELECT a, b, row_number() OVER (ORDER BY x) - 1 AS r,
+                  count(*) OVER () AS n
+           FROM daily),
+conv AS (SELECT p.r + (q.n - 1 - q.r) AS k, sum(p.a * q.b) AS c
+         FROM ranked p CROSS JOIN ranked q GROUP BY 1)
+SELECT CAST(k + 1 - (SELECT max(n) FROM ranked) AS DOUBLE) AS delay
+FROM conv ORDER BY abs(c) DESC, k ASC LIMIT 1
+""",
+)
+def finddelay_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`finddelay(a, b)` (io/eval/FindDelayEvaluator.java): cross-correlate
+    the click and view daily series (convolve a with REVERSED b), take the
+    first index of max |value| — the reference's strict-> scan — and return
+    (index + 1) - len(b). Pair frame is over the aggregated series."""
+    from solr_spark.functions.mathstream import find_delay
+
+    return find_delay(_daily_type_series(spark, sf_dir), "x", "a", "b")
+
+
+@register(
+    "paired_ttest_daily",
+    f"""
+WITH daily AS ({_DAILY_AB_SQL}),
+s AS (SELECT count(*) AS n, avg(a - b) AS md, var_samp(a - b) AS vd
+      FROM daily)
+SELECT {_sql_scaled('md')} AS mean_diff_x10k,
+       {_sql_scaled('md / sqrt(vd / n)')} AS t_x10k,
+       n
+FROM s
+""",
+)
+def paired_ttest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pairedTtest(a, b)` (io/eval/PairedTTestEvaluator.java, commons-math
+    TTest.pairedTTest): daily click vs view counts. One aggregation pass;
+    the p-value (incomplete-beta t tail, golden-tested in pytest) is
+    excluded from the SQL oracle because DuckDB lacks the t CDF."""
+    from solr_spark.functions.mathstream import paired_ttest
+
+    out = paired_ttest(_daily_type_series(spark, sf_dir), "a", "b")
+    return out.select(
+        scaled("mean_diff").alias("mean_diff_x10k"),
+        scaled("t_stat").alias("t_x10k"),
+        "n",
+    )
+
+
+@register(
+    "distance_daily_types",
+    f"""
+WITH daily AS ({_DAILY_AB_SQL})
+SELECT {_sql_scaled('sqrt(sum((a - b) * (a - b)))', 2)} AS euclidean_x100,
+       {_sql_scaled('sum(abs(a - b))', 2)} AS manhattan_x100,
+       {_sql_scaled(
+           "sum(CASE WHEN abs(a) + abs(b) = 0 THEN 0 "
+           "ELSE abs(a - b) / (abs(a) + abs(b)) END)")} AS canberra_x10k,
+       {_sql_scaled('max(abs(a - b))', 2)} AS chebyshev_x100,
+       {_sql_scaled('sum(a * b)', 0)} AS dot_x1,
+       {_sql_scaled(
+           'sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b)))', 6
+       )} AS cosine_x1m
+FROM daily
+""",
+)
+def distance_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distance-evaluator family (io/eval/{Euclidean,Manhattan,
+    Canberra,Chebyshev}DistanceEvaluator.java + CosineSimilarity/
+    DotProduct): all six measures between the click and view daily series
+    in ONE partial-aggregable fold — a handful of doubles in the shuffle
+    regardless of row count."""
+    from solr_spark.functions.mathstream import series_distances
+
+    out = series_distances(_daily_type_series(spark, sf_dir), "a", "b")
+    return out.select(
+        scaled("euclidean", 2).alias("euclidean_x100"),
+        scaled("manhattan", 2).alias("manhattan_x100"),
+        scaled("canberra").alias("canberra_x10k"),
+        scaled("chebyshev", 2).alias("chebyshev_x100"),
+        scaled("dot_product", 0).alias("dot_x1"),
+        scaled("cosine_sim", 6).alias("cosine_x1m"),
+    )
+
+
+@register(
+    "scale_series_daily",
+    f"""
+WITH daily AS (
+  SELECT {_DAILY_X_SQL} AS x, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1)
+SELECT CAST(x AS INT) AS day_idx,
+       {_sql_scaled(
+           '(y - min(y) OVER ()) / (max(y) OVER () - min(y) OVER ())'
+       )} AS minmax_x10k,
+       {_sql_scaled('y / sqrt(sum(y * y) OVER ())', 6)} AS unit_x1m,
+       {_sql_scaled('y / sum(y) OVER ()', 6)} AS normsum_x1m
+FROM daily ORDER BY day_idx
+""",
+)
+def scale_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-scaling evaluators (io/eval/MinMaxScaleEvaluator.java
+    [0,1] default, UnitEvaluator.java, NormalizeSumEvaluator.java) over
+    the daily event-count series: ONE tiny aggregate (min/max/l2/sum)
+    broadcast back via crossJoin — never a global window over the data."""
+    from solr_spark.functions.mathstream import scale_series
+
+    out = scale_series(_daily_events_series(spark, sf_dir), "y")
+    return out.select(
+        F.col("x").cast("int").alias("day_idx"),
+        scaled("minmax").alias("minmax_x10k"),
+        scaled("unit", 6).alias("unit_x1m"),
+        scaled("normsum", 6).alias("normsum_x1m"),
+    ).orderBy("day_idx")
+
+
+@register(
+    "lerp_daily_events",
+    f"""
+WITH daily AS (
+  SELECT {_DAILY_X_SQL} AS x, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+s AS (SELECT x, y, lead(x) OVER (ORDER BY x) AS x1,
+             lead(y) OVER (ORDER BY x) AS y1 FROM daily)
+SELECT CAST(x + x1 AS BIGINT) AS xm2,
+       {_sql_scaled('(y + y1) / 2.0', 1)} AS ym_x10
+FROM s WHERE x1 IS NOT NULL ORDER BY xm2
+""",
+)
+def lerp_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`predict(lerp(x, y), midpoints)` (io/eval/LerpEvaluator.java,
+    commons-math LinearInterpolator): the piecewise-linear interpolant of
+    the daily series evaluated at every inter-knot midpoint — a lead
+    window over the AGGREGATED series (series-evaluator contract)."""
+    from solr_spark.functions.mathstream import lerp_midpoints
+
+    out = lerp_midpoints(_daily_events_series(spark, sf_dir), "x", "y")
+    return out.select(
+        (F.col("xm") * 2).cast("long").alias("xm2"),
+        scaled("ym", 1).alias("ym_x10"),
+    ).orderBy("xm2")
+
+
+@register(
+    "polyfit_derivative_daily",
+    f"""
+WITH daily AS (
+  SELECT {_DAILY_X_SQL} AS x, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+m AS (SELECT count(*)::DOUBLE AS s0, sum(x) AS s1, sum(x*x) AS s2,
+             sum(x*x*x) AS s3, sum(x*x*x*x) AS s4,
+             sum(y) AS t0, sum(x*y) AS t1, sum(x*x*y) AS t2
+      FROM daily),
+d AS (SELECT s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2) AS det,
+             s0*(t1*s4 - s3*t2) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2) AS d1,
+             s0*(s2*t2 - t1*s3) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2) AS d2
+      FROM m)
+SELECT CAST(x AS INT) AS day_idx,
+       {_sql_scaled('d1 / det + 2.0 * (d2 / det) * x', 2)} AS dy_x100
+FROM daily, d ORDER BY day_idx
+""",
+)
+def polyfit_derivative_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`polyfitDerivative(x, y, 2)` (io/eval/PolyFitDerivativeEvaluator
+    .java): derivative of the least-squares quadratic of the daily series,
+    evaluated at every sample day. Fit = polyfit's one-pass moments +
+    driver solve; the oracle Cramer-solves the same normal equations in
+    SQL and applies dy = c1 + 2*c2*x."""
+    from solr_spark.functions.mathstream import polyfit_derivative
+
+    out = polyfit_derivative(_daily_events_series(spark, sf_dir), "x", "y",
+                             degree=2)
+    return out.select(
+        F.col("x").cast("int").alias("day_idx"),
+        scaled("dy", 2).alias("dy_x100"),
+    ).orderBy("day_idx")
+
+
+@register(
+    "rank_quantity_lineitem",
+    """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor((rank() OVER (ORDER BY l_quantity)
+             + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0)
+            * 10 + 0.5) AS BIGINT) AS rank_x10
+FROM lineitem WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def rank_quantity_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rank(v)` (io/eval/RankEvaluator.java, commons-math NaturalRanking
+    TiesStrategy.AVERAGE): 1-based midranks of l_quantity over an order
+    slice. Ranks come from the distinct-value dictionary + bucket-parallel
+    prefix sum (the spearman/mannWhitney shape) — never a full-table rank
+    window."""
+    from solr_spark.functions.mathstream import natural_ranking
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    out = natural_ranking(li, "l_quantity",
+                          keys=["l_orderkey", "l_linenumber"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        scaled("rank", 1).alias("rank_x10"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
 

@@ -1230,3 +1230,238 @@ def kendall_tau(df: DataFrame, a: str, b: str) -> DataFrame:
             ).alias("kendall_tau")
         )
     )
+
+
+def convolve(
+    df: DataFrame, x: str, y: str, kernel: Sequence[float]
+) -> DataFrame:
+    """`conv(a, b)` (io/eval/ConvolutionEvaluator.java, commons-math
+    MathArrays.convolve): full discrete convolution of the series with a
+    small kernel, output length n + m - 1,
+
+        out[k] = Σ_i kernel[i] · y[k - i].
+
+    Distributed shape: the kernel is a LITERAL broadcast (m rows from a
+    tiny crossJoin — the series never replicates more than m×), the
+    output index k = x_rank + i shuffles once on k with map-side combine.
+    The series is addressed by the RANK of x (0-based, like the
+    reference's positional arrays), so gaps in x don't corrupt alignment.
+
+    Returns (k, conv) for k in [0, n+m-2]."""
+    ks = df.sparkSession.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(kernel)], "i long, kv double"
+    )
+    pos = df.select(F.col(x).cast("double").alias("_x"),
+                    F.col(y).cast("double").alias("_y"))
+    dic = pos.groupBy("_x").agg(F.sum("_y").alias("_v"), F.lit(1).alias("_one"))
+    from solr_spark.functions.curation import distributed_prefix_sum
+
+    dic = distributed_prefix_sum(dic, "_one", "_x", out_col="_rank1")
+    dic = dic.select((F.col("_rank1") - 1).alias("r"), "_v")
+    return (
+        dic.crossJoin(F.broadcast(ks))
+        .groupBy((F.col("r") + F.col("i")).alias("k"))
+        .agg(F.sum(F.col("_v") * F.col("kv")).alias("conv"))
+    )
+
+
+def find_delay(df: DataFrame, x: str, a: str, b: str) -> DataFrame:
+    """`finddelay(a, b)` (io/eval/FindDelayEvaluator.java): convolve a
+    with REVERSED b (i.e. cross-correlate), take the index of the max
+    |value| (first index wins on ties — the reference's strict `>` scan),
+    and return (index + 1) - len(b).
+
+    Distributed shape: both series collapse to rank-indexed dictionaries
+    (one groupBy each); the correlation frame is the pair join
+    out[k] = Σ_i a[i]·b_rev[k-i] grouped on k — O(n·m) PAIRS of the
+    aggregated series, never of the fact table (series-evaluator
+    contract, same as fft/loess). The argmax is a 1-row
+    TakeOrderedAndProject."""
+    from solr_spark.functions.curation import distributed_prefix_sum
+
+    def ranked(col: str, name: str) -> DataFrame:
+        d = df.select(F.col(x).cast("double").alias("_x"),
+                      F.col(col).cast("double").alias(name))
+        d = d.groupBy("_x").agg(F.sum(name).alias(name),
+                                F.lit(1).alias("_one"))
+        d = distributed_prefix_sum(d, "_one", "_x", out_col="_r1")
+        return d.select((F.col("_r1") - 1).alias(f"r_{name}"), name)
+
+    fa = ranked(a, "va")
+    fb = ranked(b, "vb")
+    m = fb.count()
+    # reversed b: b_rev[j] = b[m-1-j]; out[k] = Σ a[i]·b_rev[k-i]
+    rev = fb.select((F.lit(m - 1) - F.col("r_vb")).alias("j"), "vb")
+    conv = (
+        fa.join(F.broadcast(rev), how="cross")
+        .groupBy((F.col("r_va") + F.col("j")).alias("k"))
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("c"))
+    )
+    best = (
+        conv.orderBy(F.abs(F.col("c")).desc(), F.col("k").asc())
+        .limit(1)
+        .select(((F.col("k") + 1) - F.lit(m)).cast("double").alias("delay"))
+    )
+    return best
+
+
+def mean_difference(df: DataFrame, a: str, b: str) -> DataFrame:
+    """`meanDifference(a, b)` (io/eval/MeanDifferenceEvaluator.java,
+    StatUtils.meanDifference): mean of the pairwise differences — one
+    aggregate, whole-stage codegen."""
+    return df.agg(
+        F.avg(F.col(a).cast("double") - F.col(b).cast("double"))
+        .alias("mean_diff")
+    )
+
+
+def paired_ttest(df: DataFrame, a: str, b: str) -> DataFrame:
+    """`pairedTtest(a, b)` (io/eval/PairedTTestEvaluator.java,
+    commons-math TTest.pairedTTest): t = mean(d) / (sd(d)/√n) on the
+    pairwise differences d = a - b, two-sided p from Student t with
+    n - 1 dof (incomplete-beta tail, same helper as welch_ttest).
+
+    One aggregation pass computes (n, mean_d, var_d); the t→p map runs on
+    the driver over that single row."""
+    d = (F.col(a).cast("double") - F.col(b).cast("double"))
+    row = df.agg(
+        F.count(d).alias("n"),
+        F.avg(d).alias("md"),
+        F.var_samp(d).alias("vd"),
+    ).collect()[0]
+    import math
+
+    n, md, vd = int(row["n"]), float(row["md"]), float(row["vd"])
+    t = md / math.sqrt(vd / n)
+    p = 2.0 * student_t_sf(abs(t), n - 1)
+    return df.sparkSession.createDataFrame(
+        [(md, t, min(1.0, p), n)],
+        "mean_diff double, t_stat double, p_value double, n long",
+    )
+
+
+def series_distances(df: DataFrame, a: str, b: str) -> DataFrame:
+    """The distance-evaluator family over two aligned series in ONE
+    aggregation pass (io/eval/{Euclidean,Manhattan,Canberra,Chebyshev}
+    DistanceEvaluator.java + CosineSimilarityEvaluator.java +
+    DotProductEvaluator.java; commons-math DistanceMeasure):
+
+      euclidean  √Σ(a-b)²        manhattan Σ|a-b|
+      canberra   Σ|a-b|/(|a|+|b|)  (0/0 term → 0, commons-math parity)
+      chebyshev  max|a-b|
+      dot        Σ a·b           cosine    dot / (‖a‖‖b‖)
+
+    All six are partial-aggregable folds — one map-side-combined shuffle
+    of a handful of doubles regardless of row count."""
+    ca = F.col(a).cast("double")
+    cb = F.col(b).cast("double")
+    diff = ca - cb
+    canberra_term = F.when(
+        (F.abs(ca) + F.abs(cb)) == 0.0, F.lit(0.0)
+    ).otherwise(F.abs(diff) / (F.abs(ca) + F.abs(cb)))
+    return df.agg(
+        F.sqrt(F.sum(diff * diff)).alias("euclidean"),
+        F.sum(F.abs(diff)).alias("manhattan"),
+        F.sum(canberra_term).alias("canberra"),
+        F.max(F.abs(diff)).alias("chebyshev"),
+        F.sum(ca * cb).alias("dot_product"),
+        (
+            F.sum(ca * cb)
+            / (F.sqrt(F.sum(ca * ca)) * F.sqrt(F.sum(cb * cb)))
+        ).alias("cosine_sim"),
+    )
+
+
+def scale_series(
+    df: DataFrame, col: str, lo: float = 0.0, hi: float = 1.0
+) -> DataFrame:
+    """The vector-scaling evaluator family (io/eval/MinMaxScaleEvaluator
+    .java default [0,1], UnitEvaluator.java v/‖v‖₂,
+    NormalizeSumEvaluator.java v/Σv): appends minmax/unit/normsum columns.
+
+    Distributed shape: ONE tiny aggregate (min, max, ‖v‖₂, Σ) broadcast
+    back via crossJoin — the same shape as scale()/map() in
+    query/rerank.py, never a global window."""
+    c = F.col(col).cast("double")
+    stats = df.agg(
+        F.min(c).alias("_mn"), F.max(c).alias("_mx"),
+        F.sqrt(F.sum(c * c)).alias("_l2"), F.sum(c).alias("_s"),
+    )
+    span = F.col("_mx") - F.col("_mn")
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "minmax",
+            F.when(span == 0.0, F.lit(lo)).otherwise(
+                (c - F.col("_mn")) / span * (hi - lo) + lo
+            ),
+        )
+        .withColumn("unit", c / F.col("_l2"))
+        .withColumn("normsum", c / F.col("_s"))
+        .drop("_mn", "_mx", "_l2", "_s")
+    )
+
+
+def lerp_midpoints(df: DataFrame, x: str, y: str) -> DataFrame:
+    """`predict(lerp(x, y), probes)` at the inter-knot midpoints
+    (io/eval/LerpEvaluator.java, commons-math LinearInterpolator): the
+    piecewise-linear interpolant evaluated at (x_i + x_{i+1})/2 — a
+    lag/lead window over the AGGREGATED series, same contract as the
+    Akima evaluators (series size = distinct x, not fact rows)."""
+    s = df.select(F.col(x).cast("double").alias("x"),
+                  F.col(y).cast("double").alias("y"))
+    w = Window.orderBy("x")
+    return (
+        s.withColumn("x1", F.lead("x").over(w))
+        .withColumn("y1", F.lead("y").over(w))
+        .where(F.col("x1").isNotNull())
+        .select(
+            ((F.col("x") + F.col("x1")) / 2.0).alias("xm"),
+            ((F.col("y") + F.col("y1")) / 2.0).alias("ym"),
+        )
+    )
+
+
+def polyfit_derivative(
+    df: DataFrame, x: str, y: str, degree: int = 3
+) -> DataFrame:
+    """`polyfitDerivative(x, y, degree)` (io/eval/PolyFitDerivativeEvaluator
+    .java, default degree 3): least-squares polynomial fit, then the
+    DERIVATIVE polynomial Σ k·c_k·x^(k-1) evaluated at every sample x.
+
+    The fit reuses polyfit's one-pass distributed moments + driver solve;
+    the coefficients come back as literals, so the per-row evaluation is
+    whole-stage codegen over the original frame (no second driver trip)."""
+    coef_row = polyfit(df, x, y, degree=degree).collect()[0]
+    xc = F.col(x).cast("double")
+    expr = F.lit(0.0)
+    for k in range(1, degree + 1):
+        expr = expr + F.lit(k * float(coef_row[f"coef_{k}"])) * F.pow(
+            xc, F.lit(float(k - 1))
+        )
+    return df.select(xc.alias("x"), expr.alias("dy"))
+
+
+def natural_ranking(
+    df: DataFrame, col: str, keys: Sequence[str] = ()
+) -> DataFrame:
+    """`rank(v)` (io/eval/RankEvaluator.java, commons-math NaturalRanking
+    with the default TiesStrategy.AVERAGE): 1-based average midranks.
+
+    Ranks come from the distinct-value DICTIONARY (one groupBy with
+    map-side combine — the only shuffle that sees every row) with the
+    cumulative tie counts from the bucket-parallel distributed_prefix_sum,
+    broadcast back — never a full-table rank window (the spearman_corr /
+    mann_whitney_u shape)."""
+    from solr_spark.functions.curation import distributed_prefix_sum
+
+    c = F.col(col).cast("double")
+    out = df.select(*keys, c.alias("_v"))
+    dic = out.groupBy("_v").agg(F.count("*").alias("_t"))
+    dic = distributed_prefix_sum(dic, "_t", "_v", out_col="_cum")
+    ranks = dic.select(
+        "_v", (F.col("_cum_before") + (F.col("_t") + 1) / 2.0).alias("rank")
+    )
+    return out.join(F.broadcast(ranks), "_v").select(
+        *keys, F.col("_v").alias(col), "rank"
+    )

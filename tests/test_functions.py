@@ -1106,3 +1106,175 @@ def test_kendall_tau_matches_brute_force(spark):
         )
         got = kendall_tau(df, "a", "b").collect()[0].kendall_tau
         assert abs(got - want) < 1e-12
+
+
+def test_convolve_matches_numpy(spark):
+    """convolve == numpy.convolve (MathArrays.convolve parity) for several
+    random series/kernel shapes, including kernel longer than 1 element and
+    a non-contiguous x domain (alignment is by x RANK, like the reference's
+    positional arrays)."""
+    import numpy as np
+
+    from solr_spark.functions.mathstream import convolve
+
+    rng = np.random.default_rng(7)
+    for m in (2, 3, 5):
+        ys = rng.integers(-5, 10, 20).astype(float)
+        ker = rng.normal(size=m).round(3).tolist()
+        # gappy x: ranks must come from order, not value
+        xs = np.cumsum(rng.integers(1, 4, 20)).astype(float)
+        df = spark.createDataFrame(
+            [(float(x), float(y)) for x, y in zip(xs, ys)],
+            "x double, y double",
+        )
+        got = {int(r.k): r.conv for r in convolve(df, "x", "y", ker).collect()}
+        want = np.convolve(ys, ker)
+        assert len(got) == len(want)
+        assert all(abs(got[k] - want[k]) < 1e-9 for k in range(len(want)))
+
+
+def test_find_delay_reference_parity(spark):
+    """find_delay == FindDelayEvaluator.java: argmax |conv(a, rev(b))| with
+    the reference's first-max-wins strict > scan, delay = idx+1 - len(b) —
+    including a constructed shifted pair where the delay is known."""
+    import numpy as np
+
+    from solr_spark.functions.mathstream import find_delay
+
+    def ref_delay(a, b):
+        conv = np.convolve(a, b[::-1])
+        mx, idx = -np.inf, -1
+        for i, v in enumerate(conv):
+            if abs(v) > mx:
+                mx, idx = abs(v), i
+        return (idx + 1) - len(b)
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=24)
+    for shift in (0, 3, -4):
+        a = base
+        b = np.roll(base, shift)
+        df = spark.createDataFrame(
+            [(float(i), float(x), float(y)) for i, (x, y) in
+             enumerate(zip(a, b))],
+            "x double, a double, b double",
+        )
+        got = find_delay(df, "x", "a", "b").collect()[0].delay
+        assert got == ref_delay(a, b)
+
+
+def test_paired_ttest_and_mean_difference(spark):
+    """paired_ttest t/p == direct formula + t-distribution golden values;
+    mean_difference == mean(a-b)."""
+    import numpy as np
+
+    from solr_spark.functions.mathstream import (
+        mean_difference,
+        paired_ttest,
+        student_t_sf,
+    )
+
+    rng = np.random.default_rng(13)
+    a = rng.normal(10, 2, 40)
+    b = a + rng.normal(0.5, 1, 40)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)], "a double, b double"
+    )
+    d = a - b
+    t_want = d.mean() / np.sqrt(d.var(ddof=1) / len(d))
+    p_want = 2.0 * student_t_sf(abs(t_want), len(d) - 1)
+    row = paired_ttest(df, "a", "b").collect()[0]
+    assert abs(row.t_stat - t_want) < 1e-9
+    assert abs(row.p_value - min(1.0, p_want)) < 1e-12
+    assert row.n == 40
+    md = mean_difference(df, "a", "b").collect()[0].mean_diff
+    assert abs(md - d.mean()) < 1e-9
+    # golden check of the t tail itself (Simpson integration of the t pdf
+    # over [2, 60] with dof 39 gives 0.0262495077)
+    assert abs(student_t_sf(2.0, 39) - 0.0262495077) < 1e-7
+
+
+def test_series_distances_family(spark):
+    """All six distance measures == numpy folds; canberra's 0/0 terms
+    contribute 0 (commons-math CanberraDistance parity)."""
+    import numpy as np
+
+    from solr_spark.functions.mathstream import series_distances
+
+    a = np.array([0.0, 1.0, -2.0, 3.0, 0.0, 5.0])
+    b = np.array([0.0, 2.0, -2.0, -1.0, 0.0, 4.0])
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)], "a double, b double"
+    )
+    r = series_distances(df, "a", "b").collect()[0]
+    assert abs(r.euclidean - np.sqrt(((a - b) ** 2).sum())) < 1e-12
+    assert abs(r.manhattan - np.abs(a - b).sum()) < 1e-12
+    assert abs(r.chebyshev - np.abs(a - b).max()) < 1e-12
+    den = np.abs(a) + np.abs(b)
+    terms = np.where(den == 0, 0.0, np.abs(a - b) / np.where(den == 0, 1, den))
+    assert abs(r.canberra - terms.sum()) < 1e-12
+    assert abs(r.dot_product - a @ b) < 1e-12
+    assert abs(r.cosine_sim - (a @ b) / np.sqrt((a @ a) * (b @ b))) < 1e-12
+
+
+def test_scale_series_and_lerp(spark):
+    """minmax/unit/normsum == the commons-math vector transforms; lerp
+    midpoints == (y_i + y_{i+1}) / 2 at (x_i + x_{i+1}) / 2."""
+    import numpy as np
+
+    from solr_spark.functions.mathstream import lerp_midpoints, scale_series
+
+    ys = np.array([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0])
+    xs = np.array([0.0, 1.0, 2.0, 4.0, 5.0, 8.0, 9.0])  # gappy
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], "x double, y double"
+    )
+    rows = {r.x: r for r in scale_series(df, "y").collect()}
+    mn, mx = ys.min(), ys.max()
+    l2, s = np.sqrt((ys * ys).sum()), ys.sum()
+    for x, y in zip(xs, ys):
+        assert abs(rows[x].minmax - (y - mn) / (mx - mn)) < 1e-12
+        assert abs(rows[x].unit - y / l2) < 1e-12
+        assert abs(rows[x].normsum - y / s) < 1e-12
+    mids = sorted((r.xm, r.ym) for r in lerp_midpoints(df, "x", "y").collect())
+    for i in range(len(xs) - 1):
+        assert mids[i] == ((xs[i] + xs[i + 1]) / 2, (ys[i] + ys[i + 1]) / 2)
+
+
+def test_polyfit_derivative_matches_numpy(spark):
+    """polyfit_derivative(degree=3) == derivative of numpy.polyfit
+    coefficients evaluated at the sample points; exact on an actual cubic."""
+    import numpy as np
+
+    from solr_spark.functions.mathstream import polyfit_derivative
+
+    xs = np.arange(12, dtype=float)
+    # exact cubic: derivative must be recovered to machine-ish precision
+    ys = 0.5 * xs**3 - 2 * xs**2 + 3 * xs - 7
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], "x double, y double"
+    )
+    got = {r.x: r.dy for r in polyfit_derivative(df, "x", "y", 3).collect()}
+    for x in xs:
+        want = 1.5 * x**2 - 4 * x + 3
+        assert abs(got[x] - want) < 1e-6
+
+
+def test_natural_ranking_midranks(spark):
+    """natural_ranking == commons-math NaturalRanking TIES_AVERAGED
+    (1-based average midranks), brute-forced."""
+    import numpy as np
+
+    from solr_spark.functions.mathstream import natural_ranking
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 8, 50).astype(float)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)], "k int, v double"
+    )
+    got = {r.k: r.rank for r in
+           natural_ranking(df, "v", keys=["k"]).collect()}
+    sv = np.sort(vals)
+    for i, v in enumerate(vals):
+        idxs = np.where(sv == v)[0] + 1
+        assert abs(got[i] - idxs.mean()) < 1e-12
