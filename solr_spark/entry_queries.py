@@ -7456,6 +7456,207 @@ def rank_quantity_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
+@register(
+    "outliers_totalprice",
+    f"""
+WITH m AS (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS s
+           FROM orders),
+z AS (SELECT o_orderkey, (o_totalprice - mu) / (s * sqrt(2.0)) AS x
+      FROM orders, m),
+tt AS (SELECT o_orderkey, x, 1.0 / (1.0 + 0.3275911 * abs(x)) AS t FROM z),
+e AS (SELECT o_orderkey, x, 1.0 - {_SQL_ERF_POLY} * exp(-x * x) AS mag
+      FROM tt),
+cp AS (SELECT o_orderkey,
+              0.5 * (1.0 + CASE WHEN x < 0 THEN -mag ELSE mag END) AS c
+       FROM e)
+SELECT o_orderkey, {_sql_scaled('c', 6)} AS cum_prob_x1m,
+       c <= 0.05 AS is_low, c >= 0.95 AS is_high
+FROM cp WHERE c <= 0.05 OR c >= 0.95
+ORDER BY o_orderkey
+""",
+)
+def outliers_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`outliers(normalDistribution(col), col, 0.05, 0.95, tuples)`
+    (io/eval/OutliersEvaluator.java): orders whose total sits in either
+    5% tail of the fitted normal. One tiny (mu, sigma) aggregate broadcast
+    back; the CDF test is whole-stage codegen at the scan (A&S erf
+    polynomial, constants shared with the oracle)."""
+    from solr_spark.functions.mathstream import outliers_normal
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = outliers_normal(o, "o_totalprice", low=0.05, high=0.95)
+    return out.select(
+        "o_orderkey",
+        scaled("cum_prob", 6).alias("cum_prob_x1m"),
+        "is_low", "is_high",
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "uniform_int_quantity",
+    """
+SELECT DISTINCT CAST(l_quantity AS BIGINT) AS k,
+       CAST(floor(1.0 / 50.0 * 1000000 + 0.5) AS BIGINT) AS pmf_x1m,
+       CAST(floor((l_quantity - 1 + 1) / 50.0 * 1000000 + 0.5) AS BIGINT)
+         AS cdf_x1m
+FROM lineitem WHERE l_quantity <= 10 ORDER BY k
+""",
+)
+def uniform_int_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`uniformIntegerDistribution(1, 50)` pmf/CDF
+    (io/eval/UniformIntegerDistributionEvaluator.java, commons-math
+    inclusive bounds) probed at the observed low quantities — closed
+    forms, so the oracle agrees exactly."""
+    from solr_spark.functions.mathstream import (
+        uniform_int_cdf_col,
+        uniform_int_pmf_col,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 10)
+    k = F.col("l_quantity").cast("long")
+    return (
+        li.select(
+            k.alias("k"),
+            scaled(uniform_int_pmf_col(k, 1, 50), 6).alias("pmf_x1m"),
+            scaled(uniform_int_cdf_col(k, 1, 50), 6).alias("cdf_x1m"),
+        )
+        .distinct()
+        .orderBy("k")
+    )
+
+
+@register(
+    "uniform_cdf_totalprice",
+    f"""
+WITH m AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+           FROM orders),
+p(probe) AS (VALUES (50000.0), (150000.0), (300000.0), (600000.0))
+SELECT probe::DOUBLE AS probe,
+       {_sql_scaled(
+           'least(1.0, greatest(0.0, (probe - lo) / (hi - lo)))', 6
+       )} AS cdf_x1m
+FROM p, m ORDER BY probe
+""",
+)
+def uniform_cdf_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`uniformDistribution(min, max)` + cumulativeProbability
+    (io/eval/UniformDistributionEvaluator.java): range fit to the order
+    totals, CDF at four probes — closed form, exact oracle agreement."""
+    from solr_spark.functions.mathstream import uniform_cdf_col
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.agg(F.min("o_totalprice").alias("lo"),
+              F.max("o_totalprice").alias("hi"))
+    probes = spark.createDataFrame(
+        [(x,) for x in (50000.0, 150000.0, 300000.0, 600000.0)],
+        "probe double")
+    return (
+        probes.crossJoin(F.broadcast(m))
+        .select(
+            "probe",
+            scaled(
+                uniform_cdf_col(F.col("probe"), F.col("lo"), F.col("hi")), 6
+            ).alias("cdf_x1m"),
+        )
+        .orderBy("probe")
+    )
+
+
+@register("spline_daily_events", None)  # driver-side tridiagonal solve
+def spline_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`predict(spline(x, y), midpoints)` (io/eval/SplineEvaluator.java,
+    commons-math SplineInterpolator NATURAL cubic): the daily event-count
+    series interpolated at every inter-knot midpoint. Series math like
+    loess/fft — bounded sorted collect + numpy Thomas solve; rows-only
+    entry (the tridiagonal solve defeats SQL), golden-tested against an
+    independent full-matrix solve in pytest."""
+    from solr_spark.functions.mathstream import natural_cubic_midpoints
+
+    out = natural_cubic_midpoints(_daily_events_series(spark, sf_dir),
+                                  "x", "y")
+    return out.select(
+        (F.col("xm") * 2).cast("long").alias("xm2"),
+        scaled("ym", 2).alias("ym_x100"),
+    ).orderBy("xm2")
+
+
+@register("fuzzy_kmeans_embeddings", None)  # iterative: rows-only
+def fuzzy_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fuzzyKmeans(matrix, k)` (io/eval/FuzzyKmeansEvaluator.java,
+    commons-math FuzzyKMeansClusterer, fuzziness 2.0) as distributed fuzzy
+    c-means — every iteration one scan with broadcast-literal centroids,
+    k x dim partial-aggregate update. Deterministic init (k lowest ids;
+    the reference seeds memberships from an RNG — documented divergence,
+    same as kmeans). numpy parity pytest-verified."""
+    from solr_spark.functions.ann import fuzzy_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = fuzzy_kmeans(emb, k=4, fuzziness=2.0, iters=5)
+    return out.select(
+        "cluster", "size",
+        scaled("soft_size", 2).alias("soft_size_x100"),
+        scaled(F.col("centroid")[0], 6).alias("c0_x1m"),
+        scaled(F.col("centroid")[1], 6).alias("c1_x1m"),
+    ).orderBy("cluster")
+
+
+@register("multi_kmeans_embeddings", None)  # iterative: rows-only
+def multi_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`multiKmeans(matrix, k, trials)` (io/eval/MultiKmeansEvaluator
+    .java): kmeans restarted from 3 deterministic seeds (the reference
+    restarts from RNG — documented divergence), keeping the lowest-WCSS
+    clustering; each trial's WCSS is one broadcast-centroid scan."""
+    from solr_spark.functions.ann import multi_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = multi_kmeans(emb, k=4, trials=3, iters=5)
+    return out.select(
+        "cluster", "size",
+        scaled(F.col("centroid")[0], 6).alias("c0_x1m"),
+        scaled(F.col("centroid")[1], 6).alias("c1_x1m"),
+    ).orderBy("cluster")
+
+
+@register("gamma_cdf_totalprice", None)  # incomplete gamma defeats SQL
+def gamma_cdf_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gammaDistribution(shape, scale)` + `cumulativeProbability`
+    (io/eval/GammaDistributionEvaluator.java): moment-fit to order totals
+    (k = mu²/var, θ = var/mu), CDF at four probes. Rows-only — DuckDB has
+    no regularized incomplete gamma; the special function is golden-tested
+    against Simpson integration of the gamma pdf in pytest."""
+    from solr_spark.functions.mathstream import gamma_cdf_probes
+
+    o = _t(spark, sf_dir, "orders")
+    out = gamma_cdf_probes(
+        o, "o_totalprice", (100000.0, 200000.0, 300000.0, 450000.0)
+    )
+    return out.select(
+        "probe", scaled("cdf", 6).alias("cdf_x1m")
+    ).orderBy("probe")
+
+
+@register("beta_cdf_price_norm", None)  # incomplete beta defeats SQL
+def beta_cdf_price_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`betaDistribution(alpha, beta)` + `cumulativeProbability`
+    (io/eval/BetaDistributionEvaluator.java): order totals min-max
+    normalized to [0,1], (α, β) moment-fit, CDF at four probes. Rows-only
+    (no incomplete beta in SQL); the Lentz continued fraction is shared
+    with the t tests and golden-tested against Simpson integration."""
+    from solr_spark.functions.mathstream import beta_cdf_probes
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.agg(F.min("o_totalprice").alias("lo"),
+              F.max("o_totalprice").alias("hi"))
+    norm = o.crossJoin(F.broadcast(m)).select(
+        ((F.col("o_totalprice") - F.col("lo"))
+         / (F.col("hi") - F.col("lo"))).alias("p")
+    )
+    out = beta_cdf_probes(norm, "p", (0.2, 0.4, 0.6, 0.8))
+    return out.select(
+        "probe", scaled("cdf", 6).alias("cdf_x1m")
+    ).orderBy("probe")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

@@ -39,6 +39,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared euclidean distance ||a - b||² as a JVM fold."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine_topk(
     vectors: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -459,3 +472,183 @@ def dbscan(
         )
     )
     return out
+
+
+def fuzzy_kmeans(
+    vectors: DataFrame, k: int = 4, fuzziness: float = 2.0, iters: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """`fuzzyKmeans(matrix, k, fuzziness)` (solrj io/eval/
+    FuzzyKmeansEvaluator.java, commons-math FuzzyKMeansClusterer default
+    fuzziness 2.0) as DISTRIBUTED fuzzy c-means.
+
+    Each iteration is ONE scan: the k centroids broadcast as literal JVM
+    arrays, per-row memberships u_j = (1/d_j²)^(1/(m-1)) normalized (the
+    standard closed form; d=0 snaps to hard membership), and the centroid
+    update Σ u_j^m·x / Σ u_j^m arrives as k×dim partial-aggregate columns —
+    the shuffle never carries rows. The reference seeds the membership
+    matrix from an RNG; this uses the same deterministic init as kmeans()
+    (the k lowest-id vectors) so runs are reproducible and testable —
+    divergence documented like kmeans/dbscan.
+
+    Returns per-cluster (cluster, size [hard argmax assignment],
+    soft_size [Σ memberships], centroid)."""
+    init = vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(init) < k:
+        raise ValueError(f"fuzzy_kmeans(k={k}) needs at least k vectors")
+    dim = len(init[0][0])
+    cents = np.array([list(r[0]) for r in init], dtype=np.float64)
+    expo = 1.0 / (fuzziness - 1.0)
+
+    def _memberships(vec: Column, c: np.ndarray) -> Column:
+        # u_j ∝ (1/d_j²)^(1/(m-1)); exact-hit rows (d=0) snap to that
+        # centroid. Built as a literal expression tree — no Python workers.
+        d2s = [
+            F.greatest(
+                F.lit(1e-30),
+                sq_l2(vec, F.array(*[F.lit(float(x)) for x in cent])),
+            )
+            for cent in c
+        ]
+        raw = [F.pow(F.lit(1.0) / d2, F.lit(expo)) for d2 in d2s]
+        tot = raw[0]
+        for r in raw[1:]:
+            tot = tot + r
+        return F.array(*[r / tot for r in raw])
+
+    for _ in range(iters):
+        mem = vectors.withColumn("u", _memberships(F.col(vec_col), cents))
+        aggs = []
+        for j in range(k):
+            um = F.pow(F.col("u")[j], F.lit(fuzziness))
+            aggs.append(F.sum(um).alias(f"w{j}"))
+            aggs += [
+                F.sum(um * F.col(vec_col)[d]).alias(f"s{j}_{d}")
+                for d in range(dim)
+            ]
+        row = mem.agg(*aggs).collect()[0]
+        new = np.array(
+            [[row[f"s{j}_{d}"] / row[f"w{j}"] for d in range(dim)]
+             for j in range(k)]
+        )
+        if np.allclose(new, cents, atol=1e-12):
+            cents = new
+            break
+        cents = new
+
+    mem = vectors.withColumn("u", _memberships(F.col(vec_col), cents))
+    hard = (F.array_position(F.col("u"), F.array_max("u")) - 1).cast("int")
+    return (
+        mem.withColumn("cluster", hard)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("size"),
+            F.sum(F.col("u")[F.col("cluster")]).alias("soft_size"),
+        )
+        .join(
+            mem.sparkSession.createDataFrame(
+                [(int(j), [float(v) for v in cents[j]]) for j in range(k)],
+                "cluster int, centroid array<double>",
+            ),
+            "cluster",
+            "right",
+        )
+        .select(
+            "cluster",
+            F.coalesce("size", F.lit(0)).alias("size"),
+            F.coalesce("soft_size", F.lit(0.0)).alias("soft_size"),
+            "centroid",
+        )
+        .orderBy("cluster")
+    )
+
+
+def multi_kmeans(
+    vectors: DataFrame, k: int = 4, trials: int = 3, iters: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """`multiKmeans(matrix, k, trials)` (solrj io/eval/MultiKmeansEvaluator
+    .java): run kmeans ``trials`` times and keep the clustering with the
+    lowest within-cluster sum of squares. The reference restarts from RNG
+    seeds; here trial t seeds from the vectors ranked t·k … t·k+k-1 by id —
+    deterministic restarts, same divergence note as kmeans(). Each trial's
+    WCSS is one scan with broadcast centroids."""
+    best = None
+    best_wcss = float("inf")
+    ordered = vectors.orderBy(id_col)
+    for t in range(trials):
+        init = (
+            ordered.limit(k * (t + 1)).orderBy(F.col(id_col).desc())
+            .limit(k).select(vec_col).collect()
+        )
+        if len(init) < k:
+            continue
+        cents = np.array([list(r[0]) for r in init], dtype=np.float64)
+        out = _kmeans_from(vectors, cents, iters, vec_col=vec_col)
+        cen = np.array([list(r["centroid"]) for r in out.collect()])
+        d2s = F.array(
+            *[
+                sq_l2(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                for c in cen
+            ]
+        )
+        wcss = vectors.agg(
+            F.sum(F.array_min(d2s)).alias("w")
+        ).collect()[0]["w"]
+        if wcss < best_wcss:
+            best_wcss, best = wcss, out
+    return best
+
+
+def _kmeans_from(
+    vectors: DataFrame, cents: "np.ndarray", iters: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd iterations from explicit initial centroids (shared by kmeans
+    restarts). Same per-iteration shape as kmeans(): broadcast-literal
+    assignment + k×dim partial-aggregate update."""
+    dim = cents.shape[1]
+
+    def _euclid_cell(vec: Column, c: np.ndarray) -> Column:
+        sims = F.array(
+            *[
+                2.0 * dot(vec, F.array(*[F.lit(float(x)) for x in cent]))
+                - float(cent @ cent)
+                for cent in c
+            ]
+        )
+        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+    for _ in range(iters):
+        assigned = vectors.withColumn(
+            "cluster", _euclid_cell(F.col(vec_col), cents)
+        )
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.avg(F.col(vec_col)[d]).alias(f"m{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            new[r["cluster"]] = [r[f"m{d}"] for d in range(dim)]
+        if np.allclose(new, cents, atol=1e-12):
+            cents = new
+            break
+        cents = new
+    assigned = vectors.withColumn("cluster", _euclid_cell(F.col(vec_col), cents))
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("size"),
+            *[F.avg(F.col(vec_col)[d]).alias(f"m{d}") for d in range(dim)],
+        )
+        .select(
+            "cluster",
+            "size",
+            F.array(*[F.col(f"m{d}") for d in range(dim)]).alias("centroid"),
+        )
+        .orderBy("cluster")
+    )

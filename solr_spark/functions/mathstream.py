@@ -1465,3 +1465,174 @@ def natural_ranking(
     return out.join(F.broadcast(ranks), "_v").select(
         *keys, F.col("_v").alias(col), "rank"
     )
+
+
+def outliers_normal(
+    df: DataFrame, col: str, low: float = 0.01, high: float = 0.99
+) -> DataFrame:
+    """`outliers(normalDistribution(col), col, low, high, tuples)`
+    (io/eval/OutliersEvaluator.java): rows whose fitted-normal CDF is
+    <= low or >= high, each carrying its cumulative probability and which
+    bound it tripped (the reference's lowOutlierValue_d /
+    highOutlierValue_d fields).
+
+    Distributed shape: ONE tiny (mu, sigma) aggregate broadcast back; the
+    CDF (A&S erf polynomial, shared constants with the oracle) and both
+    threshold tests are whole-stage codegen, so the filter runs scan-side
+    at any scale. Negative low/high disable that bound (reference
+    parity: `low >= 0 &&` / `hi >= 0 &&`)."""
+    c = F.col(col).cast("double")
+    stats = df.agg(F.avg(c).alias("_mu"), F.stddev_samp(c).alias("_sd"))
+    out = df.crossJoin(F.broadcast(stats)).withColumn(
+        "cum_prob", norm_cdf_col(c, F.col("_mu"), F.col("_sd"))
+    )
+    is_low = (
+        (F.col("cum_prob") <= F.lit(low)) if low >= 0 else F.lit(False)
+    )
+    is_high = (
+        (F.col("cum_prob") >= F.lit(high)) if high >= 0 else F.lit(False)
+    )
+    return (
+        out.withColumn("is_low", is_low)
+        .withColumn("is_high", is_high)
+        .where(F.col("is_low") | F.col("is_high"))
+        .drop("_mu", "_sd")
+    )
+
+
+def uniform_cdf_col(x: Column, lo: Column | float, hi: Column | float) -> Column:
+    """`uniformDistribution(lo, hi)` + cumulativeProbability
+    (io/eval/UniformDistributionEvaluator.java, commons-math
+    UniformRealDistribution): (x - lo) / (hi - lo) clamped to [0, 1]."""
+    lo = F.lit(lo) if not isinstance(lo, Column) else lo
+    hi = F.lit(hi) if not isinstance(hi, Column) else hi
+    return F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), (x - lo) / (hi - lo))
+    )
+
+
+def uniform_int_pmf_col(k: Column, lo: int, hi: int) -> Column:
+    """`uniformIntegerDistribution(lo, hi)` pmf (commons-math
+    UniformIntegerDistribution, INCLUSIVE bounds): 1/(hi-lo+1) on the
+    support, 0 outside."""
+    n = float(hi - lo + 1)
+    return F.when(
+        (k >= F.lit(lo)) & (k <= F.lit(hi)), F.lit(1.0 / n)
+    ).otherwise(F.lit(0.0))
+
+
+def uniform_int_cdf_col(k: Column, lo: int, hi: int) -> Column:
+    """`uniformIntegerDistribution(lo, hi)` CDF: (floor(k)-lo+1)/(hi-lo+1)
+    clamped — commons-math returns 0 below lo and 1 at/above hi."""
+    n = float(hi - lo + 1)
+    return F.least(
+        F.lit(1.0),
+        F.greatest(F.lit(0.0), (F.floor(k) - F.lit(lo) + 1) / F.lit(n)),
+    )
+
+
+def natural_cubic_midpoints(
+    df: DataFrame, x: str, y: str, limit: int = 4096
+) -> DataFrame:
+    """`predict(spline(x, y), midpoints)` (io/eval/SplineEvaluator.java,
+    commons-math SplineInterpolator — NATURAL cubic: zero second
+    derivative at both ends), evaluated at every inter-knot midpoint.
+
+    Series/array math like loess and fft: driver-side on a bounded sorted
+    collect of the AGGREGATED series (``limit`` caps it); the tridiagonal
+    (Thomas) solve and Hermite evaluation are numpy. Returns (xm, ym)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = (
+        df.select(F.col(x).cast("double"), F.col(y).cast("double"))
+        .where(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .orderBy(x)
+        .limit(limit)
+        .collect()
+    )
+    if len(rows) < 3:
+        return spark.createDataFrame([], "xm double, ym double")
+    xs = np.array([r[0] for r in rows])
+    ys = np.array([r[1] for r in rows])
+    n = len(xs)
+    h = np.diff(xs)
+    # natural cubic: solve for second derivatives M (M[0] = M[n-1] = 0)
+    # tridiagonal system, commons-math SplineInterpolator formulation
+    a = np.zeros(n)
+    b = np.ones(n)
+    c = np.zeros(n)
+    d = np.zeros(n)
+    for i in range(1, n - 1):
+        a[i] = h[i - 1]
+        b[i] = 2.0 * (h[i - 1] + h[i])
+        c[i] = h[i]
+        d[i] = 6.0 * ((ys[i + 1] - ys[i]) / h[i] - (ys[i] - ys[i - 1]) / h[i - 1])
+    # Thomas sweep
+    for i in range(1, n):
+        w = a[i] / b[i - 1]
+        b[i] -= w * c[i - 1]
+        d[i] -= w * d[i - 1]
+    m = np.zeros(n)
+    m[n - 1] = d[n - 1] / b[n - 1]
+    for i in range(n - 2, -1, -1):
+        m[i] = (d[i] - c[i] * m[i + 1]) / b[i]
+    xm = (xs[:-1] + xs[1:]) / 2.0
+    t = xm - xs[:-1]
+    ym = (
+        ys[:-1]
+        + t * ((ys[1:] - ys[:-1]) / h - h * (2.0 * m[:-1] + m[1:]) / 6.0)
+        + t * t * m[:-1] / 2.0
+        + t * t * t * (m[1:] - m[:-1]) / (6.0 * h)
+    )
+    return spark.createDataFrame(
+        [(float(a_), float(b_)) for a_, b_ in zip(xm, ym)],
+        "xm double, ym double",
+    )
+
+
+def gamma_cdf_probes(
+    df: DataFrame, col: str, probes: Sequence[float]
+) -> DataFrame:
+    """`gammaDistribution(shape, scale)` + cumulativeProbability
+    (io/eval/GammaDistributionEvaluator.java, commons-math
+    GammaDistribution): (shape, scale) moment-matched to the column
+    (k = mu²/var, θ = var/mu — the evaluator's usual fit idiom), CDF
+    P(k, x/θ) = 1 - Q(k, x/θ) via the regularized incomplete gamma.
+
+    One tiny (mu, var) aggregate; the probe evaluation is driver-side
+    over len(probes) points (the CDF special function has no SQL/codegen
+    form — golden-tested against numerical integration in pytest)."""
+    c = F.col(col).cast("double")
+    row = df.agg(F.avg(c).alias("mu"), F.var_samp(c).alias("v")).collect()[0]
+    mu, v = float(row["mu"]), float(row["v"])
+    shape = mu * mu / v
+    scale = v / mu
+    out = [
+        (float(p), 1.0 - _gammainc_upper_reg(shape, p / scale))
+        for p in probes
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "probe double, cdf double"
+    )
+
+
+def beta_cdf_probes(
+    df: DataFrame, col: str, probes: Sequence[float]
+) -> DataFrame:
+    """`betaDistribution(alpha, beta)` + cumulativeProbability
+    (io/eval/BetaDistributionEvaluator.java, commons-math
+    BetaDistribution): (α, β) moment-matched to a [0,1]-valued column
+    (α = m(m(1-m)/v - 1), β = (1-m)(m(1-m)/v - 1)), CDF = I_x(α, β)
+    via the regularized incomplete beta (Lentz continued fraction, the
+    same helper the t tests use)."""
+    c = F.col(col).cast("double")
+    row = df.agg(F.avg(c).alias("m"), F.var_samp(c).alias("v")).collect()[0]
+    m, v = float(row["m"]), float(row["v"])
+    common = m * (1.0 - m) / v - 1.0
+    alpha = m * common
+    beta = (1.0 - m) * common
+    out = [(float(p), _betainc(alpha, beta, float(p))) for p in probes]
+    return df.sparkSession.createDataFrame(
+        out, "probe double, cdf double"
+    )

@@ -1278,3 +1278,221 @@ def test_natural_ranking_midranks(spark):
     for i, v in enumerate(vals):
         idxs = np.where(sv == v)[0] + 1
         assert abs(got[i] - idxs.mean()) < 1e-12
+
+
+def test_natural_cubic_spline_parity(spark):
+    """natural_cubic_midpoints == an independent full-matrix solve of the
+    natural-cubic second-derivative system; exact on linear data."""
+    import numpy as np
+
+    from solr_spark.functions.mathstream import natural_cubic_midpoints
+
+    xs = np.array([0.0, 1.0, 2.0, 4.0, 5.0, 8.0, 9.0, 11.0])
+    ys = np.array([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0])
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xs, ys)], "x double, y double"
+    )
+    got = {r.xm: r.ym for r in natural_cubic_midpoints(df, "x", "y").collect()}
+    n = len(xs)
+    h = np.diff(xs)
+    a = np.zeros((n, n))
+    rhs = np.zeros(n)
+    a[0, 0] = a[-1, -1] = 1
+    for i in range(1, n - 1):
+        a[i, i - 1], a[i, i], a[i, i + 1] = h[i - 1], 2 * (h[i - 1] + h[i]), h[i]
+        rhs[i] = 6 * ((ys[i + 1] - ys[i]) / h[i] - (ys[i] - ys[i - 1]) / h[i - 1])
+    m = np.linalg.solve(a, rhs)
+    for i in range(n - 1):
+        xm = (xs[i] + xs[i + 1]) / 2
+        t = xm - xs[i]
+        ym = (ys[i] + t * ((ys[i + 1] - ys[i]) / h[i]
+                           - h[i] * (2 * m[i] + m[i + 1]) / 6)
+              + t * t * m[i] / 2 + t ** 3 * (m[i + 1] - m[i]) / (6 * h[i]))
+        assert abs(got[xm] - ym) < 1e-9
+    # spline through linear data is linear at every midpoint
+    ld = spark.createDataFrame(
+        [(float(i), float(2 * i + 1)) for i in range(6)], "x double, y double"
+    )
+    for r in natural_cubic_midpoints(ld, "x", "y").collect():
+        assert abs(r.ym - (2 * r.xm + 1)) < 1e-9
+
+
+def test_outliers_normal(spark):
+    """outliers_normal flags exactly the rows whose fitted-normal CDF trips
+    a bound, with the A&S-polynomial CDF within its documented 1.5e-7."""
+    import math
+
+    import numpy as np
+
+    from solr_spark.functions.mathstream import outliers_normal
+
+    rng = np.random.default_rng(23)
+    vals = rng.normal(100, 10, 400)
+    vals[0], vals[1] = 170.0, 30.0  # planted tails
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)], "k int, v double"
+    )
+    rows = outliers_normal(df, "v", 0.001, 0.999).collect()
+    ids = {r.k for r in rows}
+    assert {0, 1} <= ids
+    mu, sd = vals.mean(), vals.std(ddof=1)
+    for r in rows:
+        want = 0.5 * (1 + math.erf((vals[r.k] - mu) / (sd * math.sqrt(2))))
+        assert abs(r.cum_prob - want) < 2e-7
+        assert r.is_low == (want <= 0.001 + 3e-7) or r.is_high
+    # negative bound disables that side (reference's low >= 0 guard)
+    lows = outliers_normal(df, "v", -1.0, 0.999).collect()
+    assert all(r.is_high and not r.is_low for r in lows)
+
+
+def test_uniform_distribution_columns(spark):
+    """uniform real CDF + integer pmf/CDF closed forms (commons-math
+    UniformRealDistribution / UniformIntegerDistribution inclusive)."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.mathstream import (
+        uniform_cdf_col,
+        uniform_int_cdf_col,
+        uniform_int_pmf_col,
+    )
+
+    r = spark.range(1).select(
+        uniform_cdf_col(F.lit(5.0), 0.0, 10.0).alias("c_mid"),
+        uniform_cdf_col(F.lit(-1.0), 0.0, 10.0).alias("c_below"),
+        uniform_cdf_col(F.lit(15.0), 0.0, 10.0).alias("c_above"),
+        uniform_int_pmf_col(F.lit(3), 1, 50).alias("p_in"),
+        uniform_int_pmf_col(F.lit(0), 1, 50).alias("p_out"),
+        uniform_int_cdf_col(F.lit(25), 1, 50).alias("ic_mid"),
+        uniform_int_cdf_col(F.lit(50), 1, 50).alias("ic_top"),
+        uniform_int_cdf_col(F.lit(0), 1, 50).alias("ic_below"),
+    ).collect()[0]
+    assert (r.c_mid, r.c_below, r.c_above) == (0.5, 0.0, 1.0)
+    assert abs(r.p_in - 1 / 50) < 1e-12 and r.p_out == 0.0
+    assert abs(r.ic_mid - 0.5) < 1e-12
+    assert r.ic_top == 1.0 and r.ic_below == 0.0
+
+
+def test_fuzzy_kmeans_numpy_parity(spark):
+    """fuzzy_kmeans == an in-memory numpy fuzzy c-means run with the
+    identical deterministic init, centroid-for-centroid."""
+    import numpy as np
+
+    from solr_spark.functions.ann import fuzzy_kmeans
+
+    rng = np.random.default_rng(5)
+    pts = np.vstack([
+        rng.normal(0, 0.5, (20, 3)),
+        rng.normal(4, 0.5, (20, 3)),
+        rng.normal(-4, 0.5, (20, 3)),
+    ])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in p]) for i, p in enumerate(pts)],
+        "vec_id int, embedding array<double>",
+    )
+    k, m = 3, 2.0
+    cents = pts[:k].astype(float).copy()
+    for _ in range(10):
+        d2 = np.maximum(1e-30, ((pts[:, None, :] - cents[None]) ** 2).sum(-1))
+        u = (1.0 / d2) ** (1.0 / (m - 1))
+        u = u / u.sum(1, keepdims=True)
+        new = (u.T ** m @ pts) / (u.T ** m).sum(1, keepdims=True)
+        if np.allclose(new, cents, atol=1e-12):
+            cents = new
+            break
+        cents = new
+    out = fuzzy_kmeans(df, k=3, fuzziness=2.0, iters=10).collect()
+    got = np.array([list(r.centroid) for r in out])
+    assert np.allclose(got, cents, atol=1e-8)
+    d2 = np.maximum(1e-30, ((pts[:, None, :] - cents[None]) ** 2).sum(-1))
+    u = (1.0 / d2) ** (1.0 / (m - 1))
+    u = u / u.sum(1, keepdims=True)
+    assert [r.size for r in out] == np.bincount(
+        u.argmax(1), minlength=3
+    ).tolist()
+
+
+def test_multi_kmeans_beats_or_ties_single(spark):
+    """multi_kmeans picks the lowest-WCSS restart: its WCSS is <= the
+    single deterministic-init kmeans WCSS on the same data."""
+    import numpy as np
+
+    from solr_spark.functions.ann import kmeans, multi_kmeans
+
+    rng = np.random.default_rng(29)
+    pts = np.vstack([
+        rng.normal(0, 0.4, (15, 2)),
+        rng.normal(5, 0.4, (15, 2)),
+        rng.normal((0, 6), 0.4, (15, 2)),
+    ])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in p]) for i, p in enumerate(pts)],
+        "vec_id int, embedding array<double>",
+    )
+
+    def wcss(out):
+        cen = np.array([list(r.centroid) for r in out.collect()])
+        d2 = ((pts[:, None, :] - cen[None]) ** 2).sum(-1)
+        return d2.min(1).sum()
+
+    single = wcss(kmeans(df, k=3, iters=8))
+    multi = wcss(multi_kmeans(df, k=3, trials=3, iters=8))
+    assert multi <= single + 1e-9
+    assert sum(r.size for r in multi_kmeans(df, k=3, trials=3, iters=8)
+               .collect()) == 45
+
+
+def test_gamma_beta_cdf_golden(spark):
+    """gamma_cdf_probes / beta_cdf_probes special functions == Simpson
+    integration of the respective pdfs at the fitted parameters."""
+    import math
+
+    import numpy as np
+
+    from solr_spark.functions.mathstream import (
+        beta_cdf_probes,
+        gamma_cdf_probes,
+    )
+
+    rng = np.random.default_rng(31)
+    vals = rng.gamma(3.0, 2.0, 600)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    mu, var = vals.mean(), vals.var(ddof=1)
+    k, th = mu * mu / var, var / mu
+
+    def gamma_cdf_num(x):
+        c = 1.0 / (math.gamma(k) * th ** k)
+        n, a = 20000, 1e-12
+        h = (x - a) / n
+        s = (a ** (k - 1)) * math.exp(-a / th) + (x ** (k - 1)) * math.exp(-x / th)
+        for i in range(1, n):
+            t = a + i * h
+            s += (t ** (k - 1)) * math.exp(-t / th) * (4 if i % 2 else 2)
+        return c * s * h / 3
+
+    probes = [2.0, 5.0, 9.0]
+    got = {r.probe: r.cdf for r in gamma_cdf_probes(df, "v", probes).collect()}
+    for p in probes:
+        assert abs(got[p] - gamma_cdf_num(p)) < 1e-7
+
+    uv = rng.beta(2.0, 5.0, 600)
+    bdf = spark.createDataFrame([(float(v),) for v in uv], "v double")
+    m, v = uv.mean(), uv.var(ddof=1)
+    common = m * (1 - m) / v - 1
+    a_, b_ = m * common, (1 - m) * common
+
+    def beta_cdf_num(x):
+        c = math.gamma(a_ + b_) / (math.gamma(a_) * math.gamma(b_))
+        n = 20000
+        lo = 1e-12
+        h = (x - lo) / n
+        s = (lo ** (a_ - 1)) * ((1 - lo) ** (b_ - 1)) \
+            + (x ** (a_ - 1)) * ((1 - x) ** (b_ - 1))
+        for i in range(1, n):
+            t = lo + i * h
+            s += (t ** (a_ - 1)) * ((1 - t) ** (b_ - 1)) * (4 if i % 2 else 2)
+        return c * s * h / 3
+
+    probes = [0.15, 0.3, 0.6]
+    got = {r.probe: r.cdf for r in beta_cdf_probes(bdf, "v", probes).collect()}
+    for p in probes:
+        assert abs(got[p] - beta_cdf_num(p)) < 1e-6

@@ -381,3 +381,48 @@ def test_ks_mannwhitney_windows_are_bucket_partitioned(spark):
         # column would be the old single-partition ECDF/rank funnel
         assert "windowspecdefinition(v#" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_ranking_and_convolve_never_funnel(spark):
+    """natural_ranking and convolve run their running sums through the
+    bucket-parallel prefix sum: windows over the dictionary are partitioned
+    by the range bucket, no unpartitioned window keyed on the value column,
+    and no Python workers anywhere in either plan."""
+    from solr_spark.functions.mathstream import convolve, natural_ranking
+
+    df = spark.createDataFrame(
+        [(i, float(i % 23)) for i in range(400)], "k int, v double"
+    )
+    ranked = natural_ranking(df, "v", keys=["k"])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_psum_bucket" in plan
+    assert "windowspecdefinition(_v#" not in plan
+    assert "BatchEvalPython" not in plan
+
+    series = spark.createDataFrame(
+        [(float(i), float((i * 7) % 11)) for i in range(64)],
+        "x double, y double",
+    )
+    conv = convolve(series, "x", "y", [0.25, 0.5, 0.25])
+    plan = conv._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_psum_bucket" in plan
+    assert "BatchEvalPython" not in plan
+    # the kernel side is tiny and must broadcast, not shuffle
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_outliers_filter_is_codegen_scan_side(spark):
+    """outliers_normal: the CDF threshold test is pure JVM expression work
+    over a broadcast one-row stats frame — no Python, no sort, no
+    unpartitioned window."""
+    from solr_spark.functions.mathstream import outliers_normal
+
+    df = spark.createDataFrame(
+        [(i, float(50 + (i * 13) % 97)) for i in range(300)],
+        "k int, v double",
+    )
+    out = outliers_normal(df, "v", 0.05, 0.95)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
