@@ -7657,6 +7657,105 @@ def beta_cdf_price_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe")
 
 
+@register(
+    "perplexity_docs",
+    f"""
+WITH {TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+model AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+tot AS (SELECT sum(ctf) AS t FROM model),
+sc AS (
+  SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+         -sum(tf.tf * (log2(model.ctf) - log2(tot.t))) / sum(tf.tf) AS nll
+  FROM tf JOIN model USING (term), tot GROUP BY tf.doc_id)
+SELECT doc_id AS id, n_tokens, {_sql_scaled('pow(2.0, nll)', 2)} AS ppl_x100
+FROM sc WHERE doc_id < 100 ORDER BY id
+""",
+)
+def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing signal (Wenzek et al. 2020):
+    per-document perplexity under a corpus-fit unigram LM — the
+    distributed analogue of CCNet's KenLM quality filter. Two term-keyed
+    aggregations + one vocabulary-sized scoring join; nothing funnels at
+    100 TB (the model table broadcasts)."""
+    from solr_spark.functions.curation import unigram_perplexity
+
+    d = _t(spark, sf_dir, "documents")
+    out = unigram_perplexity(d, "text", "doc_id")
+    return (
+        out.where(F.col("id") < 100)
+        .select("id", "n_tokens", scaled("perplexity", 2).alias("ppl_x100"))
+        .orderBy("id")
+    )
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+WITH RECURSIVE {_SH},
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+n AS (SELECT DISTINCT src AS node FROM e),
+reach AS (
+  SELECT node, node AS r FROM n
+  UNION
+  SELECT e.src AS node, reach.r FROM e JOIN reach ON e.dst = reach.node),
+clusters AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.node, c.cluster, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY d.n_chars DESC, c.node ASC) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.node)
+SELECT node, cluster, CAST(n_chars AS DOUBLE) AS score, rn = 1 AS keep
+FROM ranked ORDER BY cluster, node
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonical election (the RefinedWeb/FineWeb
+    policy: keep the LONGEST/highest-quality member of each near-dup
+    component, not the lowest id): 3-gram-Jaccard pairs -> connected
+    components -> per-cluster winner by max(n_chars) with min-id
+    tiebreak — one join + one groupBy, no window, deterministic at any
+    parallelism."""
+    from solr_spark.functions.dedup import (
+        dup_clusters,
+        keep_best_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+    clusters = dup_clusters(pairs).select("node", "cluster")
+    scores = d.select(F.col("doc_id").alias("node"),
+                      F.col("n_chars").alias("score"))
+    out = keep_best_canonical(clusters, scores, "node", "score")
+    return out.orderBy("cluster", "node")
+
+
+@register("bpe_merges_docs", None)  # iterative training: rows-only
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016
+    learn_bpe) over the documents corpus: 12 merge rounds on the
+    word-frequency dictionary (the only corpus-wide pass is the word
+    count), deterministic tie-break (count desc, pair asc). Rows-only —
+    iterative, not SQL-expressible; exact-parity pytest vs an in-memory
+    transcription of the reference algorithm."""
+    from solr_spark.functions.textstats import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_train(d, "text", n_merges=12)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

@@ -435,3 +435,44 @@ def pack_concat(
         )
         .drop("_pk_cum", "_pk_cum_before")
     )
+
+
+def unigram_perplexity(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """CCNet-style model-based quality signal (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    per-document perplexity under a unigram LM fit on the corpus itself —
+    the distributed analogue of CCNet's KenLM perplexity bucketing, with
+    the unigram model standing in for the 5-gram LM (the harness, not the
+    checkpoint, is the point; swap the model table for real LM scores at
+    will).
+
+    ppl(d) = 2^( -Σ_t tf_dt · log2 p(t) / Σ_t tf_dt ),  p(t) = ctf_t / T.
+
+    Distributed shape: one (doc, term) aggregation (map-side combine), the
+    model table derives from IT by a term aggregation, and the scoring
+    join is term-keyed — at 100 TB the model table is vocabulary-sized and
+    usually broadcastable; nothing ever funnels."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    model = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = model.agg(F.sum("ctf").alias("t"))
+    model = model.crossJoin(F.broadcast(total)).select(
+        "term", (F.log2(F.col("ctf")) - F.log2(F.col("t"))).alias("logp")
+    )
+    return (
+        tf.join(model, "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (-F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")).alias("nll"),
+        )
+        .select(
+            "id", "n_tokens",
+            F.pow(F.lit(2.0), F.col("nll")).alias("perplexity"),
+        )
+    )

@@ -887,3 +887,37 @@ def text_profile_signature(
         )
     )
     return profile
+
+
+def keep_best_canonical(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "node",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical election over dedup clusters: instead of
+    dup_clusters' minimum-id survivor, keep the HIGHEST-SCORING member of
+    each component (ties -> lowest id) — the real pipeline policy ("keep
+    the longest / highest-quality duplicate", e.g. the RefinedWeb and
+    FineWeb dedup stages).
+
+    One join + one groupBy: the winner is min(struct(-score, id)) per
+    cluster — no window, deterministic at any parallelism. Returns
+    (node, cluster, score, keep)."""
+    joined = clusters.join(
+        scores.select(F.col(id_col).alias("node"),
+                      F.col(score_col).cast("double").alias("_score")),
+        "node",
+    )
+    best = joined.groupBy("cluster").agg(
+        F.min(F.struct((-F.col("_score")).alias("ns"),
+                       F.col("node").alias("win"))).alias("b")
+    ).select("cluster", F.col("b.win").alias("_winner"))
+    return (
+        joined.join(F.broadcast(best), "cluster")
+        .select(
+            "node", "cluster",
+            F.col("_score").alias("score"),
+            (F.col("node") == F.col("_winner")).alias("keep"),
+        )
+    )

@@ -179,3 +179,90 @@ def chunk_tokens(
         .select("id", "chunk_id", F.col("c.n_tokens").alias("n_tokens"),
                 F.col("c.chunk").alias("chunk"))
     )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int = 10
+) -> "DataFrame":
+    """Distributed byte-pair-encoding vocabulary training (Sennrich,
+    Haddow & Birch 2016, "Neural Machine Translation of Rare Words with
+    Subword Units" — the learn_bpe algorithm): iteratively merge the most
+    frequent adjacent symbol pair, starting from characters with the
+    word-final symbol tagged '</w>'.
+
+    Distributed shape: training runs over the WORD-FREQUENCY DICTIONARY
+    (one corpus-wide groupBy — the only pass that sees every row; the
+    dictionary is vocabulary-sized from then on). Each merge round is one
+    pair-count aggregation over the dictionary plus a pure-JVM fold that
+    applies the merge greedily left-to-right (Sennrich's non-overlapping
+    re.sub semantics); lineage is cut per round. Ties break
+    (count desc, left asc, right asc) — deterministic at any parallelism,
+    unlike dict-order-dependent reference implementations.
+
+    Returns (rank, left, right, freq) — the ordered merge table."""
+    from solr_spark.functions.dedup import tokens_col
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    # char symbols, word-final char tagged '</w>'
+    n = F.length("w")
+    syms = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+        F.array(F.concat(F.col("w").substr(n, F.lit(1)), F.lit("</w>"))),
+    )
+    vocab = words.select(
+        F.when(n > 1, syms)
+        .otherwise(F.array(F.concat(F.col("w"), F.lit("</w>")))).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.where(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("s") - 2),
+                        lambda i: F.struct(
+                            F.element_at("s", i + 1).alias("a"),
+                            F.element_at("s", i + 2).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b").agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["c"] < 2:
+            break
+        a, b, c = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["c"])
+        merges.append((rank, a, b, c))
+        ab = a + b
+        merged = F.aggregate(
+            F.col("s"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(ab)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select(merged.alias("s"), "freq") \
+            .localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges or [], "rank int, left string, right string, freq long"
+    )

@@ -202,3 +202,104 @@ def test_pack_concat_plan_is_bucket_parallel(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(_psum_bucket" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_unigram_perplexity_manual(spark):
+    """unigram_perplexity == manual corpus-unigram NLL computation
+    (CCNet-style perplexity bucketing signal)."""
+    import math
+    import re
+    from collections import Counter
+
+    from solr_spark.functions.curation import unigram_perplexity
+
+    texts = ["the cat sat on the mat", "the fat cat ate the rat",
+             "rare words here only once"]
+    toks = [[x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+            for t in texts]
+    ctf = Counter(t for d in toks for t in d)
+    total = sum(ctf.values())
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r.id: r for r in
+           unigram_perplexity(df, "text", "doc_id").collect()}
+    for i, d in enumerate(toks):
+        nll = -sum(math.log2(ctf[t] / total) for t in d) / len(d)
+        assert got[i].n_tokens == len(d)
+        assert abs(got[i].perplexity - 2 ** nll) < 1e-9
+    # the all-rare doc must be the most perplexing
+    assert got[2].perplexity == max(r.perplexity for r in got.values())
+
+
+def test_bpe_train_sennrich_parity(spark):
+    """bpe_train == an in-memory transcription of Sennrich et al. 2016
+    learn_bpe (same '</w>' word-final tagging, same greedy left-to-right
+    merge application, same (count desc, pair asc) tie-break), merge
+    table equal element-for-element. Includes single-char words."""
+    from collections import Counter
+
+    from solr_spark.functions.textstats import bpe_train
+
+    texts = ["the cat sat on the mat", "the fat cat ate the rat",
+             "low lower lowest", "new newer newest wider wide", "a i a i"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [(r.rank, r.left, r.right, r.freq)
+           for r in bpe_train(df, "text", n_merges=8).collect()]
+
+    import re
+    wf = Counter()
+    for t in texts:
+        for w in [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]:
+            wf[w] += 1
+    vocab: dict = {}
+    for w, f in wf.items():
+        syms = (tuple(list(w[:-1]) + [w[-1] + "</w>"])
+                if len(w) > 1 else (w + "</w>",))
+        vocab[syms] = vocab.get(syms, 0) + f
+    want = []
+    for rank in range(8):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < 2:
+            break
+        want.append((rank, a, b, c))
+        newv: dict = {}
+        for syms, f in vocab.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            newv[tuple(out)] = newv.get(tuple(out), 0) + f
+        vocab = newv
+    assert got == want
+
+
+def test_keep_best_canonical(spark):
+    """keep_best_canonical elects the highest-score member per cluster,
+    min-id on ties; exactly one keep per cluster."""
+    from solr_spark.functions.dedup import keep_best_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], "node int, cluster int"
+    )
+    scores = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (5, 7.0), (6, 2.0)],
+        "node int, score double",
+    )
+    rows = keep_best_canonical(clusters, scores, "node", "score").collect()
+    keep = {r.node: r.keep for r in rows}
+    assert keep == {1: False, 2: True, 3: False, 5: True, 6: False}
+    per_cluster = {}
+    for r in rows:
+        per_cluster.setdefault(r.cluster, 0)
+        per_cluster[r.cluster] += int(r.keep)
+    assert all(v == 1 for v in per_cluster.values())
