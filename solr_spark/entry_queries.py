@@ -7756,6 +7756,72 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(d, "text", n_merges=12)
 
 
+def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic synthetic lat/lon used by every spatial entry."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+@register("convex_hull_customers", None)  # geometry: rows-only
+def convex_hull_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`convexHull(matrix)` + `getVertices` (io/eval/ConvexHullEvaluator
+    .java, commons-math MonotoneChain) made distributed: per-partition
+    hulls reduce the driver collect to O(hull) candidate points (hull of a
+    union = hull of the union of partition hulls), one final chain on
+    those. Rows-only (no hull in SQL); parity-tested against an
+    independent gift-wrapping implementation in pytest."""
+    from solr_spark.functions.spatial import convex_hull
+
+    pts = _customer_points(spark, sf_dir)
+    hull = convex_hull(pts, "lon", "lat")
+    return spark.createDataFrame(
+        [(i, int(round(x * 10000)), int(round(y * 10000)))
+         for i, (x, y) in enumerate(hull)],
+        "vertex int, x_x10k long, y_x10k long",
+    )
+
+
+@register("enclosing_disk_customers", None)  # geometry: rows-only
+def enclosing_disk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`enclosingDisk` + getCenter/getRadius/getSupportPoints and the hull
+    attribute family getArea/getBoundarySize/getBaryCenter
+    (io/eval/EnclosingDiskEvaluator.java, commons-math WelzlEncloser /
+    Region): minimal enclosing circle computed EXACTLY from the hull
+    vertices (deterministic O(h⁴) in hull size — the disk is determined
+    by ≤3 hull points), polygon area/perimeter/area-centroid by shoelace.
+    Brute-force-minimality pytest."""
+    from solr_spark.functions.spatial import (
+        convex_hull,
+        enclosing_disk,
+        hull_attributes,
+    )
+
+    pts = _customer_points(spark, sf_dir)
+    hull = convex_hull(pts, "lon", "lat")
+    att = hull_attributes(hull)
+    disk = enclosing_disk(hull)
+    row = (
+        att["n_vertices"],
+        int(round(att["area"] * 100)),
+        int(round(att["perimeter"] * 100)),
+        int(round(att["bary_x"] * 10000)),
+        int(round(att["bary_y"] * 10000)),
+        int(round(disk["cx"] * 10000)),
+        int(round(disk["cy"] * 10000)),
+        int(round(disk["radius"] * 100)),
+        disk["support"],
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_vertices int, area_x100 long, perimeter_x100 long, "
+        "bary_x_x10k long, bary_y_x10k long, cx_x10k long, cy_x10k long, "
+        "radius_x100 long, support int",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

@@ -147,3 +147,146 @@ def heatmap_facet(
         .agg(F.count("*").alias("count"))
         .orderBy("grid_row", "grid_col")
     )
+
+
+def _monotone_chain(pts):
+    """Andrew's monotone chain (published standard algorithm): CCW hull
+    vertices of an (n, 2) float array, collinear boundary points dropped
+    (commons-math ConvexHull2D default includeCollinearPoints=false)."""
+    import numpy as np
+
+    pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort (x, then y)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def convex_hull(df: DataFrame, x_col: str, y_col: str):
+    """`convexHull(matrix)` (io/eval/ConvexHullEvaluator.java,
+    commons-math MonotoneChain) made DISTRIBUTED: each partition reduces
+    to its local hull (hull of a union = hull of the union of partition
+    hulls, so the driver only ever sees Σ per-partition hull sizes —
+    O(log n) expected points per partition, not rows), then one final
+    monotone chain on the collected candidates.
+
+    Returns a numpy (h, 2) array of CCW hull vertices starting from the
+    lexicographically smallest."""
+    import numpy as np
+
+    def part_hull(it):
+        import pandas as pd
+
+        for batch in it:
+            pts = batch[[x_col, y_col]].to_numpy(dtype=float)
+            if len(pts) == 0:
+                continue
+            h = _monotone_chain(pts)
+            yield pd.DataFrame({x_col: h[:, 0], y_col: h[:, 1]})
+
+    cand = (
+        df.select(F.col(x_col).cast("double").alias(x_col),
+                  F.col(y_col).cast("double").alias(y_col))
+        .mapInPandas(part_hull, schema=f"{x_col} double, {y_col} double")
+        .collect()
+    )
+    if not cand:
+        return np.zeros((0, 2))
+    return _monotone_chain([(r[0], r[1]) for r in cand])
+
+
+def hull_attributes(hull) -> dict:
+    """The hull-attribute evaluator family over a CCW vertex array:
+    getVertices (count), getArea (shoelace — commons-math region size),
+    getBoundarySize (perimeter), getBaryCenter (AREA centroid of the
+    polygon region, the commons-math Region#getBarycenter semantics)."""
+    import numpy as np
+
+    h = np.asarray(hull, dtype=np.float64)
+    n = len(h)
+    if n < 3:
+        bx, by = (h.mean(axis=0) if n else (float("nan"), float("nan")))
+        return {"n_vertices": n, "area": 0.0,
+                "perimeter": 0.0 if n < 2 else 2.0 * float(
+                    np.linalg.norm(h[1] - h[0])),
+                "bary_x": float(bx), "bary_y": float(by)}
+    x, y = h[:, 0], h[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    area = float(cross.sum() / 2.0)
+    cx = float(((x + xn) * cross).sum() / (6.0 * area))
+    cy = float(((y + yn) * cross).sum() / (6.0 * area))
+    per = float(np.sqrt((xn - x) ** 2 + (yn - y) ** 2).sum())
+    return {"n_vertices": n, "area": abs(area), "perimeter": per,
+            "bary_x": cx, "bary_y": cy}
+
+
+def enclosing_disk(hull) -> dict:
+    """`enclosingDisk(matrix)` + getCenter/getRadius/getSupportPoints
+    (io/eval/EnclosingDiskEvaluator.java, commons-math WelzlEncloser):
+    the minimal enclosing circle. Computed EXACTLY from the hull vertices
+    (the disk is determined by ≤3 hull points): try all vertex pairs
+    (diameter circles) and triples (circumcircles), keep the smallest
+    that covers every vertex — O(h⁴) in HULL size only, deterministic
+    (unlike Welzl's randomized expected-linear pass, same answer)."""
+    import numpy as np
+
+    h = np.asarray(hull, dtype=np.float64)
+    n = len(h)
+    if n == 0:
+        return {"cx": float("nan"), "cy": float("nan"), "radius": 0.0,
+                "support": 0}
+    if n == 1:
+        return {"cx": float(h[0, 0]), "cy": float(h[0, 1]), "radius": 0.0,
+                "support": 1}
+    eps = 1e-9
+    best = None
+
+    def covers(c, r):
+        return bool((np.linalg.norm(h - c, axis=1) <= r + eps).all())
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            c = (h[i] + h[j]) / 2.0
+            r = float(np.linalg.norm(h[i] - c))
+            if covers(c, r) and (best is None or r < best[2] - eps):
+                best = (float(c[0]), float(c[1]), r, 2)
+    if n >= 3:
+        for i in range(n):
+            for j in range(i + 1, n):
+                for k in range(j + 1, n):
+                    ax, ay = h[i]
+                    bx, by = h[j]
+                    cx_, cy_ = h[k]
+                    d = 2.0 * (ax * (by - cy_) + bx * (cy_ - ay)
+                               + cx_ * (ay - by))
+                    if abs(d) < 1e-18:
+                        continue
+                    ux = ((ax * ax + ay * ay) * (by - cy_)
+                          + (bx * bx + by * by) * (cy_ - ay)
+                          + (cx_ * cx_ + cy_ * cy_) * (ay - by)) / d
+                    uy = ((ax * ax + ay * ay) * (cx_ - bx)
+                          + (bx * bx + by * by) * (ax - cx_)
+                          + (cx_ * cx_ + cy_ * cy_) * (bx - ax)) / d
+                    c = np.array([ux, uy])
+                    r = float(np.linalg.norm(h[i] - c))
+                    if covers(c, r) and (best is None or r < best[2] - eps):
+                        best = (float(ux), float(uy), r, 3)
+    return {"cx": best[0], "cy": best[1], "radius": best[2],
+            "support": best[3]}

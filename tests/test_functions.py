@@ -1496,3 +1496,98 @@ def test_gamma_beta_cdf_golden(spark):
     got = {r.probe: r.cdf for r in beta_cdf_probes(bdf, "v", probes).collect()}
     for p in probes:
         assert abs(got[p] - beta_cdf_num(p)) < 1e-6
+
+
+def test_convex_hull_and_enclosing_disk(spark):
+    """Distributed convex_hull == an independent gift-wrapping hull on the
+    same points; hull_attributes shoelace area matches; enclosing_disk is
+    minimal (brute-force pairs+triples over the hull) and covers every
+    input point."""
+    import numpy as np
+
+    from solr_spark.functions.spatial import (
+        convex_hull,
+        enclosing_disk,
+        hull_attributes,
+    )
+
+    rng = np.random.default_rng(41)
+    pts = rng.normal(0, 3, (600, 2))
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    ).repartition(8)
+    hull = convex_hull(df, "x", "y")
+
+    def gift_wrap(p):
+        p = np.unique(p, axis=0)
+        start = min(range(len(p)), key=lambda i: (p[i][0], p[i][1]))
+        idx = [start]
+        while True:
+            cur = idx[-1]
+            cand = (cur + 1) % len(p)
+            for j in range(len(p)):
+                if j == cur:
+                    continue
+                cr = np.cross(p[cand] - p[cur], p[j] - p[cur])
+                if cr < -1e-12 or (
+                    abs(cr) < 1e-12
+                    and np.linalg.norm(p[j] - p[cur])
+                    > np.linalg.norm(p[cand] - p[cur])
+                ):
+                    cand = j
+            if cand == start:
+                break
+            idx.append(cand)
+        return p[idx]
+
+    gw = gift_wrap(pts)
+    assert set(map(tuple, np.round(hull, 9))) == set(map(tuple, np.round(gw, 9)))
+
+    att = hull_attributes(hull)
+    x, y = gw[:, 0], gw[:, 1]
+    area = abs((x * np.roll(y, -1) - np.roll(x, -1) * y).sum() / 2)
+    assert abs(att["area"] - area) < 1e-9
+    assert att["n_vertices"] == len(gw)
+
+    disk = enclosing_disk(hull)
+    c = np.array([disk["cx"], disk["cy"]])
+    assert (np.linalg.norm(pts - c, axis=1) <= disk["radius"] + 1e-6).all()
+    # brute-force minimality over hull vertices
+    h = np.asarray(hull)
+    best = None
+    n = len(h)
+
+    def covers(cc, r):
+        return (np.linalg.norm(h - cc, axis=1) <= r + 1e-9).all()
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            cc = (h[i] + h[j]) / 2
+            r = np.linalg.norm(h[i] - cc)
+            if covers(cc, r) and (best is None or r < best):
+                best = r
+    for i in range(n):
+        for j in range(i + 1, n):
+            for k in range(j + 1, n):
+                ax, ay = h[i]
+                bx, by = h[j]
+                cx, cy = h[k]
+                d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+                if abs(d) < 1e-18:
+                    continue
+                ux = ((ax * ax + ay * ay) * (by - cy)
+                      + (bx * bx + by * by) * (cy - ay)
+                      + (cx * cx + cy * cy) * (ay - by)) / d
+                uy = ((ax * ax + ay * ay) * (cx - bx)
+                      + (bx * bx + by * by) * (ax - cx)
+                      + (cx * cx + cy * cy) * (bx - ax)) / d
+                cc = np.array([ux, uy])
+                r = np.linalg.norm(h[i] - cc)
+                if covers(cc, r) and (best is None or r < best):
+                    best = r
+    assert abs(best - disk["radius"]) < 1e-6
+    # degenerate inputs: 1 and 2 points
+    single = enclosing_disk(np.array([[2.0, 3.0]]))
+    assert single["radius"] == 0.0 and single["support"] == 1
+    two = enclosing_disk(np.array([[0.0, 0.0], [2.0, 0.0]]))
+    assert abs(two["radius"] - 1.0) < 1e-12 and (two["cx"], two["cy"]) == (1.0, 0.0)
