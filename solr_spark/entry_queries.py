@@ -7822,6 +7822,65 @@ def enclosing_disk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "oscillate_series_128",
+    f"""
+SELECT CAST(x AS DOUBLE) AS x,
+       {_sql_scaled('2.5 * cos(0.35 * x + 1.2)', 6)} AS y_x1m
+FROM range(0, 128) t(x) ORDER BY x
+""",
+)
+def oscillate_series_128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`oscillate(amp, omega, phase)` (io/eval/OscillateEvaluator.java,
+    commons-math HarmonicOscillator): A·cos(ωx + φ) sampled at x = 0…127
+    (the reference's fixed n) — whole-stage codegen over a range, exact
+    closed-form oracle."""
+    from solr_spark.functions.mathstream import oscillate_series
+
+    out = oscillate_series(spark, 2.5, 0.35, 1.2, n=128)
+    return out.select("x", scaled("y", 6).alias("y_x1m")).orderBy("x")
+
+
+@register("harmfit_daily_events", None)  # nonlinear fit: rows-only
+def harmfit_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`harmfit(x, y)` + getAmplitude/getAngularFrequency/getPhase
+    (io/eval/HarmonicFitEvaluator.java): A·cos(ωx+φ) least-squares fit of
+    the daily event-count series — deterministic ω grid + golden-section
+    with exact linear LS per candidate (the reference's LM converges to
+    the same optimum; exact-recovery pytest on a clean sinusoid).
+    Rows-only: nonlinear optimum, not SQL-expressible."""
+    from solr_spark.functions.mathstream import harmonic_fit
+
+    (amp, omega, phase), _ = harmonic_fit(
+        _daily_events_series(spark, sf_dir), "x", "y"
+    )
+    return spark.createDataFrame(
+        [(int(round(amp * 10000)), int(round(omega * 1000000)),
+          int(round(phase * 10000)))],
+        "amp_x10k long, omega_x1m long, phase_x10k long",
+    )
+
+
+@register("gaussfit_price_hist", None)  # nonlinear fit: rows-only
+def gaussfit_price_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gaussfit(x, y)` (io/eval/GaussFitEvaluator.java): Gaussian fit of
+    the order-total histogram (25k buckets, bucket-center x vs count y) —
+    Caruana log-quadratic + deterministic Gauss-Newton; exact-recovery
+    pytest on a clean Gaussian. Rows-only (nonlinear optimum)."""
+    from solr_spark.functions.mathstream import gaussian_fit
+
+    o = _t(spark, sf_dir, "orders")
+    histo = o.groupBy(
+        (F.floor(F.col("o_totalprice") / 25000.0) * 25000.0 + 12500.0)
+        .alias("x")
+    ).agg(F.count("*").cast("double").alias("y"))
+    (norm, mean, sigma), _ = gaussian_fit(histo, "x", "y")
+    return spark.createDataFrame(
+        [(int(round(norm * 100)), int(round(mean)), int(round(sigma)))],
+        "norm_x100 long, mean_x1 long, sigma_x1 long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

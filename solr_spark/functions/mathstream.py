@@ -1636,3 +1636,143 @@ def beta_cdf_probes(
     return df.sparkSession.createDataFrame(
         out, "probe double, cdf double"
     )
+
+
+def oscillate_series(
+    spark, amp: float, omega: float, phase: float, n: int = 128
+) -> DataFrame:
+    """`oscillate(amp, omega, phase)` (io/eval/OscillateEvaluator.java,
+    commons-math HarmonicOscillator): a·cos(ω·x + φ) sampled at
+    x = 0…n-1 (the reference fixes n=128). Pure whole-stage codegen over
+    a sequence literal — no data, no Python."""
+    return spark.range(n).select(
+        F.col("id").cast("double").alias("x"),
+        (F.lit(amp) * F.cos(F.lit(omega) * F.col("id") + F.lit(phase)))
+        .alias("y"),
+    )
+
+
+def harmonic_fit(df: DataFrame, x: str, y: str, limit: int = 4096):
+    """`harmfit(x, y)` + getAmplitude/getAngularFrequency/getPhase
+    (io/eval/HarmonicFitEvaluator.java, commons-math HarmonicCurveFitter
+    fitting A·cos(ωx + φ)): deterministic frequency grid search + exact
+    linear least squares per candidate (y = c·cos(ωx) + s·sin(ωx) is
+    LINEAR given ω), golden-section refinement of ω, then
+    A = √(c²+s²), φ = atan2(-s, c).
+
+    The reference guesses ω then runs Levenberg-Marquardt; both converge
+    to the same least-squares optimum on well-posed series (exact
+    recovery on a clean sinusoid is pytest-verified). Series-evaluator
+    contract: bounded sorted collect + numpy (like loess/spline).
+    Returns ((amp, omega, phase), fitted DataFrame (x, fit))."""
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = (
+        df.select(F.col(x).cast("double"), F.col(y).cast("double"))
+        .where(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .orderBy(x).limit(limit).collect()
+    )
+    xs = np.array([r[0] for r in rows])
+    ys = np.array([r[1] for r in rows])
+    n = len(xs)
+    if n < 4:
+        raise ValueError("harmonic_fit needs at least 4 points")
+    span = xs[-1] - xs[0]
+    dx = max(np.min(np.diff(xs)), 1e-12)
+
+    def sse_at(w):
+        c = np.cos(w * xs)
+        s = np.sin(w * xs)
+        a_mat = np.column_stack([c, s])
+        coef, *_ = np.linalg.lstsq(a_mat, ys, rcond=None)
+        resid = ys - a_mat @ coef
+        return float(resid @ resid), coef
+
+    lo, hi = 2.0 * np.pi / (4.0 * span), np.pi / dx
+    grid = np.linspace(lo, hi, 2048)
+    sses = [sse_at(w)[0] for w in grid]
+    i = int(np.argmin(sses))
+    a, b = grid[max(0, i - 1)], grid[min(len(grid) - 1, i + 1)]
+    gr = (np.sqrt(5) - 1) / 2
+    for _ in range(80):  # golden-section on the bracketing interval
+        m1 = b - gr * (b - a)
+        m2 = a + gr * (b - a)
+        if sse_at(m1)[0] <= sse_at(m2)[0]:
+            b = m2
+        else:
+            a = m1
+    w = (a + b) / 2
+    _, (c, s) = sse_at(w)
+    amp = float(np.hypot(c, s))
+    phase = float(np.arctan2(-s, c))
+    fit = amp * np.cos(w * xs + phase)
+    fitted = spark.createDataFrame(
+        [(float(xv), float(fv)) for xv, fv in zip(xs, fit)],
+        "x double, fit double",
+    )
+    return (amp, float(w), phase), fitted
+
+
+def gaussian_fit(df: DataFrame, x: str, y: str, limit: int = 4096):
+    """`gaussfit(x, y)` (io/eval/GaussFitEvaluator.java, commons-math
+    GaussianCurveFitter fitting N·exp(-(x-m)²/(2σ²))): Caruana's
+    log-quadratic linearization (exact on a clean Gaussian — pytest
+    golden) refined by deterministic Gauss-Newton steps for noisy data;
+    the reference's LM converges to the same optimum on well-posed
+    series. Series-evaluator contract (bounded collect + numpy).
+    Returns ((norm, mean, sigma), fitted DataFrame (x, fit))."""
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = (
+        df.select(F.col(x).cast("double"), F.col(y).cast("double"))
+        .where(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .orderBy(x).limit(limit).collect()
+    )
+    xs = np.array([r[0] for r in rows])
+    ys = np.array([r[1] for r in rows])
+    pos = ys > 0
+    if pos.sum() < 3:
+        raise ValueError("gaussian_fit needs >= 3 positive y values")
+    # Caruana: ln y = ln N - (x-m)^2/(2s^2) is quadratic in x
+    a_mat = np.column_stack(
+        [np.ones(pos.sum()), xs[pos], xs[pos] ** 2]
+    )
+    coef, *_ = np.linalg.lstsq(a_mat, np.log(ys[pos]), rcond=None)
+    c0, c1, c2 = coef
+    if c2 >= 0:
+        c2 = -1e-12
+    sigma = float(np.sqrt(-1.0 / (2.0 * c2)))
+    mean = float(c1 * sigma * sigma)
+    norm = float(np.exp(c0 + mean * mean / (2.0 * sigma * sigma)))
+    # Gauss-Newton refinement on the original (unweighted) residuals
+    p = np.array([norm, mean, sigma])
+    for _ in range(50):
+        nrm, m, s = p
+        e = np.exp(-((xs - m) ** 2) / (2 * s * s))
+        f = nrm * e
+        r = ys - f
+        j = np.column_stack([
+            e,
+            f * (xs - m) / (s * s),
+            f * ((xs - m) ** 2) / (s ** 3),
+        ])
+        try:
+            step, *_ = np.linalg.lstsq(j, r, rcond=None)
+        except np.linalg.LinAlgError:
+            break
+        p_new = p + step
+        if p_new[2] <= 0:
+            break
+        if np.max(np.abs(step) / (np.abs(p) + 1e-12)) < 1e-12:
+            p = p_new
+            break
+        p = p_new
+    norm, mean, sigma = (float(v) for v in p)
+    fit = norm * np.exp(-((xs - mean) ** 2) / (2 * sigma * sigma))
+    fitted = spark.createDataFrame(
+        [(float(xv), float(fv)) for xv, fv in zip(xs, fit)],
+        "x double, fit double",
+    )
+    return (norm, mean, sigma), fitted

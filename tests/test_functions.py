@@ -1591,3 +1591,52 @@ def test_convex_hull_and_enclosing_disk(spark):
     assert single["radius"] == 0.0 and single["support"] == 1
     two = enclosing_disk(np.array([[0.0, 0.0], [2.0, 0.0]]))
     assert abs(two["radius"] - 1.0) < 1e-12 and (two["cx"], two["cy"]) == (1.0, 0.0)
+
+
+def test_harmonic_and_gaussian_fit_exact_recovery(spark):
+    """harmonic_fit recovers (A, omega, phi) exactly from a clean
+    sinusoid (the optimum commons-math LM converges to); gaussian_fit
+    recovers (N, m, sigma) exactly from a clean Gaussian; both stay close
+    under noise. oscillate == A*cos(omega*x + phi) closed form."""
+    import numpy as np
+
+    from solr_spark.functions.mathstream import (
+        gaussian_fit,
+        harmonic_fit,
+        oscillate_series,
+    )
+
+    xs = np.arange(60, dtype=float)
+    amp_t, w_t, ph_t = 3.5, 0.37, 1.1
+    ys = amp_t * np.cos(w_t * xs + ph_t)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xs, ys)], "x double, y double"
+    )
+    (amp, w, ph), fitted = harmonic_fit(df, "x", "y")
+    assert abs(amp - amp_t) < 1e-6 and abs(w - w_t) < 1e-6
+    assert abs(((ph - ph_t + np.pi) % (2 * np.pi)) - np.pi) < 1e-5
+    fr = {r.x: r.fit for r in fitted.collect()}
+    assert all(abs(fr[x] - y) < 1e-6 for x, y in zip(xs, ys))
+
+    rng = np.random.default_rng(3)
+    dfn = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in
+         zip(xs, ys + rng.normal(0, 0.1, len(xs)))],
+        "x double, y double",
+    )
+    (amp2, w2, _), _ = harmonic_fit(dfn, "x", "y")
+    assert abs(amp2 - amp_t) < 0.1 and abs(w2 - w_t) < 0.01
+
+    n_t, m_t, s_t = 5.0, 12.0, 3.0
+    gx = np.linspace(0, 25, 80)
+    gy = n_t * np.exp(-((gx - m_t) ** 2) / (2 * s_t * s_t))
+    dg = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(gx, gy)], "x double, y double"
+    )
+    (n_, m_, s_), _ = gaussian_fit(dg, "x", "y")
+    assert abs(n_ - n_t) < 1e-8 and abs(m_ - m_t) < 1e-8 and abs(s_ - s_t) < 1e-8
+
+    rows = oscillate_series(spark, 2.0, 0.5, 0.25, n=16).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert abs(r.y - 2.0 * np.cos(0.5 * r.x + 0.25)) < 1e-12
