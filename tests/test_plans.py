@@ -426,3 +426,33 @@ def test_outliers_filter_is_codegen_scan_side(spark):
     assert "BatchEvalPython" not in plan
     assert "windowspecdefinition" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_perplexity_and_keep_best_never_funnel(spark):
+    """unigram_perplexity: two hash aggregations + a term-keyed join, no
+    Python, no window, no global sort of the fact frame. keep_best_canonical:
+    join + min-struct groupBy + broadcast winner join — no window."""
+    from solr_spark.functions.curation import unigram_perplexity
+    from solr_spark.functions.dedup import keep_best_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i % 7}") for i in range(200)],
+        "doc_id int, text string",
+    )
+    ppl = unigram_perplexity(docs, "text", "doc_id")
+    plan = ppl._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+
+    clusters = spark.createDataFrame(
+        [(i, i % 11) for i in range(200)], "node int, cluster int"
+    )
+    scores = spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(200)], "node int, score double"
+    )
+    kb = keep_best_canonical(clusters, scores, "node", "score")
+    plan = kb._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastExchange" in plan
