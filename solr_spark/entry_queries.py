@@ -7881,6 +7881,40 @@ def gaussfit_price_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mixing_weights_sources",
+    f"""
+WITH {TOKS},
+dl AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+per AS (SELECT d.source AS source, count(*) AS n_docs,
+               sum(coalesce(dl.n_tok, 0)) AS tokens
+        FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+        GROUP BY d.source),
+tot AS (SELECT sum(tokens) AS t, count(*) AS g FROM per)
+SELECT source, n_docs, tokens,
+       {_sql_scaled('tokens * 1.0 / t', 6)} AS actual_x1m,
+       {_sql_scaled('1.0 / g', 6)} AS target_x1m,
+       {_sql_scaled('(1.0 / g) / (tokens * 1.0 / t)')} AS weight_x10k
+FROM per, tot ORDER BY source
+""",
+)
+def mixing_weights_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix reweighting (The Pile / Gopher domain-weight stage):
+    per-source token share vs a uniform target and the sampling weight
+    target/actual. One token aggregation; the shuffle carries one row per
+    source."""
+    from solr_spark.functions.curation import mixing_weights
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixing_weights(d, "text", "source")
+    return out.select(
+        "source", "n_docs", "tokens",
+        scaled("actual_frac", 6).alias("actual_x1m"),
+        scaled("target_frac", 6).alias("target_x1m"),
+        scaled("weight").alias("weight_x10k"),
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

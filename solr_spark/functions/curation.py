@@ -476,3 +476,42 @@ def unigram_perplexity(
             F.pow(F.lit(2.0), F.col("nll")).alias("perplexity"),
         )
     )
+
+
+def mixing_weights(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    targets: dict[str, float] | None = None,
+) -> DataFrame:
+    """Training-mix reweighting (the "data mixing" stage of every published
+    LLM corpus recipe — e.g. The Pile's per-set epochs, Gopher/Chinchilla
+    domain weights): per-group token share vs a TARGET share, and the
+    sampling weight target/actual that a downstream weighted sampler
+    applies. targets=None means uniform across the observed groups.
+
+    One token-count aggregation (map-side combine) + a groups-sized
+    fold — the shuffle carries one row per group, never documents."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tok"),
+    )
+    per = toks.groupBy("grp").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens")
+    )
+    tot = per.agg(F.sum("tokens").alias("t"), F.count("*").alias("g"))
+    out = per.crossJoin(F.broadcast(tot)).withColumn(
+        "actual_frac", F.col("tokens") / F.col("t")
+    )
+    if targets is None:
+        out = out.withColumn("target_frac", 1.0 / F.col("g"))
+    else:
+        mapping = F.create_map(
+            *[F.lit(v) for kv in targets.items() for v in kv]
+        )
+        out = out.withColumn("target_frac", mapping[F.col("grp")])
+    return out.select(
+        F.col("grp").alias(group_col), "n_docs", "tokens",
+        "actual_frac", "target_frac",
+        (F.col("target_frac") / F.col("actual_frac")).alias("weight"),
+    )

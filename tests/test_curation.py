@@ -303,3 +303,29 @@ def test_keep_best_canonical(spark):
         per_cluster.setdefault(r.cluster, 0)
         per_cluster[r.cluster] += int(r.keep)
     assert all(v == 1 for v in per_cluster.values())
+
+
+def test_mixing_weights(spark):
+    """mixing_weights: actual token shares sum to 1, uniform target,
+    weight = target/actual; explicit-targets path honors the mapping."""
+    from solr_spark.functions.curation import mixing_weights
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d", "web"), (1, "e f", "web"), (2, "g h i j k l", "code"),
+         (3, "m n o p", "books")],
+        "doc_id int, text string, source string",
+    )
+    rows = {r.source: r for r in
+            mixing_weights(docs, "text", "source").collect()}
+    total = sum(r.tokens for r in rows.values())
+    assert total == 16
+    assert abs(sum(r.actual_frac for r in rows.values()) - 1.0) < 1e-12
+    for r in rows.values():
+        assert abs(r.target_frac - 1 / 3) < 1e-12
+        assert abs(r.weight - (1 / 3) / (r.tokens / total)) < 1e-12
+    # explicit targets
+    t = {"web": 0.5, "code": 0.3, "books": 0.2}
+    rows = {r.source: r for r in
+            mixing_weights(docs, "text", "source", targets=t).collect()}
+    for s, frac in t.items():
+        assert abs(rows[s].target_frac - frac) < 1e-12
