@@ -7562,14 +7562,60 @@ def uniform_cdf_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("spline_daily_events", None)  # driver-side tridiagonal solve
+@register(
+    "spline_daily_events",
+    """
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+pts AS (SELECT x, y, row_number() OVER (ORDER BY x) - 1 AS i,
+               count(*) OVER () AS n FROM daily),
+sys AS (
+  SELECT p.i,
+         CASE WHEN p.i = 0 OR p.i = p.n - 1 THEN 0.0
+              ELSE (p.x - pm.x) END AS a,
+         CASE WHEN p.i = 0 OR p.i = p.n - 1 THEN 1.0
+              ELSE 2.0 * ((p.x - pm.x) + (pp.x - p.x)) END AS b,
+         CASE WHEN p.i = 0 OR p.i = p.n - 1 THEN 0.0
+              ELSE (pp.x - p.x) END AS c,
+         CASE WHEN p.i = 0 OR p.i = p.n - 1 THEN 0.0
+              ELSE 6.0 * ((pp.y - p.y) / (pp.x - p.x)
+                          - (p.y - pm.y) / (p.x - pm.x)) END AS d
+  FROM pts p
+  LEFT JOIN pts pm ON pm.i = p.i - 1
+  LEFT JOIN pts pp ON pp.i = p.i + 1),
+f AS (
+  SELECT i, b AS bp, d AS dp, c FROM sys WHERE i = 0
+  UNION ALL
+  SELECT s.i, s.b - (s.a / f.bp) * f.c, s.d - (s.a / f.bp) * f.dp, s.c
+  FROM sys s JOIN f ON s.i = f.i + 1),
+bk AS (
+  SELECT i, dp / bp AS m FROM f WHERE i = (SELECT max(i) FROM f)
+  UNION ALL
+  SELECT f.i, (f.dp - f.c * bk.m) / f.bp FROM f JOIN bk ON f.i = bk.i - 1),
+ev AS (
+  SELECT p0.x, p0.y, p1.x AS x1, p1.y AS y1, (p1.x - p0.x) AS h,
+         m0.m AS m0, m1.m AS m1
+  FROM pts p0 JOIN pts p1 ON p1.i = p0.i + 1
+  JOIN bk m0 ON m0.i = p0.i JOIN bk m1 ON m1.i = p0.i + 1)
+SELECT CAST(x + x1 AS BIGINT) AS xm2,
+       CAST(floor((y + (h/2.0) * ((y1 - y) / h - h * (2.0*m0 + m1) / 6.0)
+             + (h/2.0)*(h/2.0) * m0 / 2.0
+             + (h/2.0)*(h/2.0)*(h/2.0) * (m1 - m0) / (6.0 * h)) * 100 + 0.5)
+            AS BIGINT) AS ym_x100
+FROM ev ORDER BY xm2
+""",
+)
 def spline_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`predict(spline(x, y), midpoints)` (io/eval/SplineEvaluator.java,
     commons-math SplineInterpolator NATURAL cubic): the daily event-count
     series interpolated at every inter-knot midpoint. Series math like
-    loess/fft — bounded sorted collect + numpy Thomas solve; rows-only
-    entry (the tridiagonal solve defeats SQL), golden-tested against an
-    independent full-matrix solve in pytest."""
+    loess/fft — bounded sorted collect + numpy Thomas solve. The DuckDB
+    oracle runs the SAME Thomas algorithm as two recursive CTEs (forward
+    sweep + back substitution), so this formerly rows-only entry is fully
+    value-hashed; an independent full-matrix solve also parity-tests the
+    engine in pytest."""
     from solr_spark.functions.mathstream import natural_cubic_midpoints
 
     out = natural_cubic_midpoints(_daily_events_series(spark, sf_dir),
