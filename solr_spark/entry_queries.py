@@ -4181,11 +4181,31 @@ def regress_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fft_daily_events", None)  # driver-side array evaluator: rows-only
+@register(
+    "fft_daily_events",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+idx AS (SELECT y, row_number() OVER (ORDER BY day) - 1 AS j,
+               count(*) OVER () AS nn FROM daily)
+SELECT CAST(k.j AS INT) AS idx,
+       CAST(floor(sqrt(
+         pow(sum(i.y * cos(2 * pi() * i.j * k.j / k.nn)), 2)
+         + pow(sum(i.y * sin(2 * pi() * i.j * k.j / k.nn)), 2)
+       ) * 10000 + 0.5) AS BIGINT) AS magnitude_x10k
+FROM idx k JOIN idx i ON true
+GROUP BY k.j, k.nn ORDER BY idx
+""",
+)
 def fft_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`fft(values)` (io/eval/FFTEvaluator.java): magnitude spectrum of the
     daily event-count series (driver-side array math, like the reference's
-    /stream evaluator; numpy-verified in tests/test_functions.py)."""
+    /stream evaluator; numpy-verified in tests/test_functions.py). The
+    DuckDB oracle computes the same spectrum from the O(n²) DFT
+    definition |Σ y_j e^{-2πi jk/n}| — a different algorithm than the
+    engine's radix FFT, so agreement is a real cross-check, not a
+    transcription."""
     from solr_spark.functions.mathstream import fft_magnitudes
 
     ev = _t(spark, sf_dir, "events")
