@@ -5745,12 +5745,130 @@ def binomial_orders_pmf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("loess_daily_events", None)  # array smoother: rows-only by design
+@register(
+    "loess_daily_events",
+    """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', date_trunc('day', ts)::DATE) AS DOUBLE) AS x,
+         CAST(sum(value) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+pts AS (SELECT x, y, row_number() OVER (ORDER BY x) - 1 AS i,
+               count(*) OVER () AS n FROM daily),
+sp AS (SELECT *, greatest(2, CAST(ceil(0.3 * n) AS BIGINT)) AS span FROM pts),
+win AS (SELECT *, least(greatest(0, i - span // 2), n - span) AS lo FROM sp),
+base_f0 AS (SELECT i, x, y, lo, span, 1.0 AS rb FROM win),
+pr_f0 AS (
+  SELECT a.i AS i, a.x AS xi, CAST(NULL AS DOUBLE) AS prev_fit,
+         b.x AS xj, b.y AS yj, abs(b.x - a.x) AS d, b.rb AS rb
+  FROM base_f0 a JOIN base_f0 b
+    ON b.i BETWEEN a.lo AND a.lo + a.span - 1),
+w_f0 AS (
+  SELECT *, max(d) OVER (PARTITION BY i) AS dmax FROM pr_f0),
+ww_f0 AS (
+  SELECT i, xi, prev_fit, xj, yj,
+         CASE WHEN dmax > 0 THEN greatest(pow(1.0 - pow(d / dmax, 3), 3), 0.0)
+              ELSE 1.0 END * rb AS w
+  FROM w_f0),
+agg_f0 AS (
+  SELECT i, xi, max(prev_fit) AS prev_fit, sum(w) AS sw,
+         sum(w * xj) AS swx, sum(w * yj) AS swy,
+         sum(w * xj * xj) AS swxx, sum(w * xj * yj) AS swxy,
+         max(abs(xj)) AS mxa
+  FROM ww_f0 GROUP BY i, xi),
+fit_f0 AS (
+  SELECT i, xi AS x,
+    CASE WHEN sw <= 0 THEN prev_fit
+         WHEN (swxx - swx * swx / sw)
+              > 1e-12 * (CASE WHEN mxa * mxa > 0 THEN mxa * mxa ELSE 1.0 END)
+         THEN (swy / sw) + ((swxy - swx * swy / sw)
+                            / (swxx - swx * swx / sw)) * (xi - swx / sw)
+         ELSE swy / sw END AS fit
+  FROM agg_f0),
+r1 AS (SELECT p.i, abs(p.y - f.fit) AS resid
+       FROM win p JOIN fit_f0 f ON f.i = p.i),
+s1 AS (SELECT greatest(quantile_cont(resid, 0.5),
+         1e-12 * greatest(1.0, (SELECT max(abs(y)) FROM win))) AS s FROM r1),
+rb1 AS (SELECT r1.i, pow(greatest(1.0 - pow(resid / (6.0 * s), 2), 0.0), 2)
+          AS rb FROM r1, s1),
+base_f1 AS (SELECT w.i, w.x, w.y, w.lo, w.span, f.fit, rb1.rb
+            FROM win w JOIN fit_f0 f ON f.i = w.i JOIN rb1 ON rb1.i = w.i),
+pr_f1 AS (
+  SELECT a.i AS i, a.x AS xi, a.fit AS prev_fit,
+         b.x AS xj, b.y AS yj, abs(b.x - a.x) AS d, b.rb AS rb
+  FROM base_f1 a JOIN base_f1 b
+    ON b.i BETWEEN a.lo AND a.lo + a.span - 1),
+w_f1 AS (
+  SELECT *, max(d) OVER (PARTITION BY i) AS dmax FROM pr_f1),
+ww_f1 AS (
+  SELECT i, xi, prev_fit, xj, yj,
+         CASE WHEN dmax > 0 THEN greatest(pow(1.0 - pow(d / dmax, 3), 3), 0.0)
+              ELSE 1.0 END * rb AS w
+  FROM w_f1),
+agg_f1 AS (
+  SELECT i, xi, max(prev_fit) AS prev_fit, sum(w) AS sw,
+         sum(w * xj) AS swx, sum(w * yj) AS swy,
+         sum(w * xj * xj) AS swxx, sum(w * xj * yj) AS swxy,
+         max(abs(xj)) AS mxa
+  FROM ww_f1 GROUP BY i, xi),
+fit_f1 AS (
+  SELECT i, xi AS x,
+    CASE WHEN sw <= 0 THEN prev_fit
+         WHEN (swxx - swx * swx / sw)
+              > 1e-12 * (CASE WHEN mxa * mxa > 0 THEN mxa * mxa ELSE 1.0 END)
+         THEN (swy / sw) + ((swxy - swx * swy / sw)
+                            / (swxx - swx * swx / sw)) * (xi - swx / sw)
+         ELSE swy / sw END AS fit
+  FROM agg_f1),
+r2 AS (SELECT p.i, abs(p.y - f.fit) AS resid
+       FROM win p JOIN fit_f1 f ON f.i = p.i),
+s2 AS (SELECT greatest(quantile_cont(resid, 0.5),
+         1e-12 * greatest(1.0, (SELECT max(abs(y)) FROM win))) AS s FROM r2),
+rb2 AS (SELECT r2.i, pow(greatest(1.0 - pow(resid / (6.0 * s), 2), 0.0), 2)
+          AS rb FROM r2, s2),
+base_f2 AS (SELECT w.i, w.x, w.y, w.lo, w.span, f.fit, rb2.rb
+            FROM win w JOIN fit_f1 f ON f.i = w.i JOIN rb2 ON rb2.i = w.i),
+pr_f2 AS (
+  SELECT a.i AS i, a.x AS xi, a.fit AS prev_fit,
+         b.x AS xj, b.y AS yj, abs(b.x - a.x) AS d, b.rb AS rb
+  FROM base_f2 a JOIN base_f2 b
+    ON b.i BETWEEN a.lo AND a.lo + a.span - 1),
+w_f2 AS (
+  SELECT *, max(d) OVER (PARTITION BY i) AS dmax FROM pr_f2),
+ww_f2 AS (
+  SELECT i, xi, prev_fit, xj, yj,
+         CASE WHEN dmax > 0 THEN greatest(pow(1.0 - pow(d / dmax, 3), 3), 0.0)
+              ELSE 1.0 END * rb AS w
+  FROM w_f2),
+agg_f2 AS (
+  SELECT i, xi, max(prev_fit) AS prev_fit, sum(w) AS sw,
+         sum(w * xj) AS swx, sum(w * yj) AS swy,
+         sum(w * xj * xj) AS swxx, sum(w * xj * yj) AS swxy,
+         max(abs(xj)) AS mxa
+  FROM ww_f2 GROUP BY i, xi),
+fit_f2 AS (
+  SELECT i, xi AS x,
+    CASE WHEN sw <= 0 THEN prev_fit
+         WHEN (swxx - swx * swx / sw)
+              > 1e-12 * (CASE WHEN mxa * mxa > 0 THEN mxa * mxa ELSE 1.0 END)
+         THEN (swy / sw) + ((swxy - swx * swy / sw)
+                            / (swxx - swx * swx / sw)) * (xi - swx / sw)
+         ELSE swy / sw END AS fit
+  FROM agg_f2)
+SELECT CAST(p.x AS INT) AS day_idx,
+       CAST(floor(p.y * 100 + 0.5) AS BIGINT) AS y_x100,
+       CAST(floor(f.fit * 100 + 0.5) AS BIGINT) AS smoothed_x100
+FROM win p JOIN fit_f2 f ON f.i = p.i ORDER BY day_idx
+""",
+)
 def loess_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`loess(x, y)` (io/eval/LoessEvaluator.java): tricube local-linear
     smoothing of the daily event totals — like fft, a driver-side series
     evaluator (the reference's /stream runs it on in-memory arrays);
-    numpy-property-verified in tests/test_functions.py."""
+    numpy-property-verified in tests/test_functions.py. The DuckDB oracle
+    replays all three fit passes (tricube window regression + two
+    bisquare robustness reweightings) as SQL CTEs over the same contiguous
+    clamped windows — the formerly rows-only entry is fully value-hashed
+    (engine vs SQL agree to ~5e-13 before the x100 rounding)."""
     from solr_spark.functions.mathstream import loess
 
     e = _t(spark, sf_dir, "events")
