@@ -7801,13 +7801,35 @@ def multi_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
-@register("gamma_cdf_totalprice", None)  # incomplete gamma defeats SQL
+@register(
+    "gamma_cdf_totalprice",
+    """
+WITH RECURSIVE m AS (
+  SELECT avg(o_totalprice) AS mu, var_samp(o_totalprice) AS v FROM orders),
+par AS (SELECT mu*mu/v AS s, v/mu AS th FROM m),
+p(probe) AS (VALUES (100000.0), (200000.0), (300000.0), (450000.0)),
+z AS (SELECT CAST(probe AS DOUBLE) AS probe,
+             CAST(probe / th AS DOUBLE) AS x, s FROM p, par),
+terms AS (
+  SELECT probe, x, s, 0 AS k, CAST(1.0 AS DOUBLE) AS t FROM z
+  UNION ALL
+  SELECT probe, x, s, k + 1, t * x / (s + 1 + k) FROM terms WHERE k < 300),
+acc AS (SELECT probe, max(x) AS x, max(s) AS s, sum(t) AS ssum
+        FROM terms GROUP BY probe)
+SELECT probe,
+       CAST(floor(exp(-x + s * ln(x) - lgamma(s + 1)) * ssum * 1000000 + 0.5)
+            AS BIGINT) AS cdf_x1m
+FROM acc ORDER BY probe
+""",
+)
 def gamma_cdf_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`gammaDistribution(shape, scale)` + `cumulativeProbability`
     (io/eval/GammaDistributionEvaluator.java): moment-fit to order totals
-    (k = mu²/var, θ = var/mu), CDF at four probes. Rows-only — DuckDB has
-    no regularized incomplete gamma; the special function is golden-tested
-    against Simpson integration of the gamma pdf in pytest."""
+    (k = mu²/var, θ = var/mu), CDF at four probes. The DuckDB oracle sums
+    the lower-incomplete-gamma SERIES via a recursive CTE (term recurrence
+    t·x/(s+1+k)) — a different algorithm than the engine's series/Lentz
+    regime split, agreeing to <1e-12; also golden-tested against Simpson
+    integration of the pdf in pytest."""
     from solr_spark.functions.mathstream import gamma_cdf_probes
 
     o = _t(spark, sf_dir, "orders")
@@ -7819,13 +7841,38 @@ def gamma_cdf_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe")
 
 
-@register("beta_cdf_price_norm", None)  # incomplete beta defeats SQL
+@register(
+    "beta_cdf_price_norm",
+    """
+WITH RECURSIVE mm0 AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                       FROM orders),
+np AS (SELECT (o_totalprice - lo) / (hi - lo) AS p FROM orders, mm0),
+mm AS (SELECT avg(p) AS m, var_samp(p) AS v FROM np),
+par AS (SELECT m*(m*(1-m)/v - 1) AS a, (1-m)*(m*(1-m)/v - 1) AS b FROM mm),
+pr(probe) AS (VALUES (0.2), (0.4), (0.6), (0.8)),
+z AS (SELECT CAST(probe AS DOUBLE) AS probe, a, b FROM pr, par),
+terms AS (
+  SELECT probe, a, b, 0 AS k, CAST(1.0 AS DOUBLE) AS t FROM z
+  UNION ALL
+  SELECT probe, a, b, k + 1, t * (a + b + k) / (a + 1 + k) * probe
+  FROM terms WHERE k < 900),
+acc AS (SELECT probe, max(a) AS a, max(b) AS b, sum(t) AS ssum
+        FROM terms GROUP BY probe)
+SELECT probe,
+       CAST(floor(exp(a * ln(probe) + b * ln(1 - probe) - ln(a)
+                      - (lgamma(a) + lgamma(b) - lgamma(a + b)))
+                  * ssum * 1000000 + 0.5) AS BIGINT) AS cdf_x1m
+FROM acc ORDER BY probe
+""",
+)
 def beta_cdf_price_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`betaDistribution(alpha, beta)` + `cumulativeProbability`
     (io/eval/BetaDistributionEvaluator.java): order totals min-max
-    normalized to [0,1], (α, β) moment-fit, CDF at four probes. Rows-only
-    (no incomplete beta in SQL); the Lentz continued fraction is shared
-    with the t tests and golden-tested against Simpson integration."""
+    normalized to [0,1], (α, β) moment-fit, CDF at four probes. The
+    DuckDB oracle sums the Gauss-hypergeometric series
+    I_x(a,b) = x^a(1-x)^b/(a·B(a,b))·₂F₁(1, a+b; a+1; x) via a recursive
+    CTE — a different algorithm than the engine's Lentz continued
+    fraction, agreeing to <1e-10; Simpson-integration golden test too."""
     from solr_spark.functions.mathstream import beta_cdf_probes
 
     o = _t(spark, sf_dir, "orders")
