@@ -721,12 +721,56 @@ def igain_terms_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("score_x1m").desc(), F.col("term").asc())
 
 
-@register("text_logit_train", None)  # iterative — rows-only driver check
+def _logit_gd_sql(terms=("spark", "join", "table", "data"), iters=10, lr=1.0):
+    tcols = {t: f"f_{t}" for t in terms}
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    pres_cols = ",\n         ".join(
+        f"max(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS {c}"
+        for t, c in tcols.items())
+    parts = [f"""toks AS (SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents),
+pres AS (
+  SELECT doc_id,
+         {pres_cols}
+  FROM (SELECT DISTINCT doc_id, term FROM toks WHERE term IN ({in_list}))
+  GROUP BY doc_id),
+feats AS (
+  SELECT d.doc_id,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS label,
+         {", ".join(f"CAST(COALESCE(p.{c}, 0) AS DOUBLE) AS {c}" for c in tcols.values())}
+  FROM documents d LEFT JOIN pres p ON p.doc_id = d.doc_id),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats),
+w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b,
+       {", ".join(f"CAST(0.0 AS DOUBLE) AS w_{t}" for t in terms)})"""]
+    prev = "w0"
+    for i in range(1, iters + 1):
+        margin = f"{prev}.b + " + " + ".join(
+            f"{prev}.w_{t} * {c}" for t, c in tcols.items())
+        err = f"(1.0 / (1.0 + exp(-({margin}))) - label)"
+        updates = [f"max({prev}.b) - {lr} * sum({err}) / max(nn.n) AS b"]
+        for t, c in tcols.items():
+            updates.append(
+                f"max({prev}.w_{t}) - {lr} * sum({err} * {c}) / max(nn.n) AS w_{t}")
+        parts.append(f"""w{i} AS (
+  SELECT {", ".join(updates)}
+  FROM feats CROSS JOIN {prev} CROSS JOIN nn)""")
+        prev = f"w{i}"
+    sel = [f"SELECT '_intercept' AS term, CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS weight_x1m FROM {prev}"]
+    for t in terms:
+        sel.append(f"SELECT '{t}', CAST(floor(w_{t} * 1000000 + 0.5) AS BIGINT) FROM {prev}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY term"
+
+
+@register("text_logit_train", None)  # sql attached below
 def text_logit_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`{!textLogit}` (search/TextLogisticRegressionQParserPlugin.java):
     10 batch gradient iterations on term-presence features predicting
     lang=='en'; returns the learned weights (deterministic). Convergence +
-    accuracy are asserted in tests/test_classify.py."""
+    accuracy are asserted in tests/test_classify.py. The DuckDB oracle
+    UNROLLS the ten gradient steps as chained one-row CTEs over the same
+    presence features — the formerly rows-only entry is fully
+    value-hashed."""
     from solr_spark.functions.classify import text_logit_train
 
     idx, _, _ = documents_index(spark, sf_dir)
@@ -742,6 +786,9 @@ def text_logit_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "term string, weight double").select(
         "term", scaled("weight", 6).alias("weight_x1m")
     ).orderBy("term")
+
+
+CATALOG["text_logit_train"].sql = _logit_gd_sql()
 
 
 @register(
@@ -5986,13 +6033,73 @@ def integrate_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG["integrate_daily_events"].sql = _akima_sql("integrate")
 
 
-@register("kmeans_embeddings", None)  # iterative clustering: rows-only
+def _kmeans_lloyd_sql(k=4, iters=5, dim=64):
+    """Unrolled Lloyd iterations as chained CTEs. Assignment uses the
+    ENGINE's sims expression (2*v.c - c.c, first-max tie-break); update is
+    per-dim avg via a dims join; empty clusters keep the previous centroid."""
+    parts = []
+    parts.append(f"""pts AS (SELECT vec_id, embedding FROM embeddings),
+dims AS (SELECT CAST(i AS INT) AS d FROM range(1, {dim + 1}) t(i)),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         embedding AS cent
+  FROM pts ORDER BY vec_id LIMIT {k})""")
+    prev = "c0"
+    for it in range(1, iters + 1):
+        a, c = f"a{it}", f"c{it}"
+        parts.append(f"""{a} AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT p.vec_id, p.embedding, {prev}.cluster,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY 2.0 * list_inner_product(CAST(p.embedding AS DOUBLE[]),
+                                               CAST({prev}.cent AS DOUBLE[]))
+                      - list_inner_product(CAST({prev}.cent AS DOUBLE[]),
+                                           CAST({prev}.cent AS DOUBLE[])) DESC,
+                      {prev}.cluster ASC) AS rn
+    FROM pts p CROSS JOIN {prev}) WHERE rn = 1)""")
+        parts.append(f"""{c} AS (
+  SELECT pc.cluster,
+         COALESCE(up.cent, pc.cent) AS cent
+  FROM {prev} pc LEFT JOIN (
+    SELECT cluster, list(m ORDER BY d) AS cent FROM (
+      SELECT cluster, d, avg(CAST(embedding[d] AS DOUBLE)) AS m
+      FROM {a} CROSS JOIN dims GROUP BY cluster, d)
+    GROUP BY cluster) up ON up.cluster = pc.cluster)""")
+        prev = c
+    a_fin = f"af"
+    parts.append(f"""{a_fin} AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT p.vec_id, p.embedding, {prev}.cluster,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY 2.0 * list_inner_product(CAST(p.embedding AS DOUBLE[]),
+                                               CAST({prev}.cent AS DOUBLE[]))
+                      - list_inner_product(CAST({prev}.cent AS DOUBLE[]),
+                                           CAST({prev}.cent AS DOUBLE[])) DESC,
+                      {prev}.cluster ASC) AS rn
+    FROM pts p CROSS JOIN {prev}) WHERE rn = 1)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT cluster, count(*) AS size,
+       CAST(floor(avg(CAST(embedding[1] AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS c0_x1m,
+       CAST(floor(avg(CAST(embedding[2] AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS c1_x1m
+FROM {a_fin} GROUP BY cluster ORDER BY cluster
+"""
+
+
+@register("kmeans_embeddings", None)  # sql attached below
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`kmeans(matrix, k)` (io/eval/KmeansEvaluator.java) as distributed
     Lloyd iterations — deterministic init (k lowest vec_ids), 5 iterations;
     every pass is one scan with broadcast-literal centroids and a k x dim
     partial-aggregate shuffle. Parity vs an in-memory numpy Lloyd run is
-    pytest-verified (tests/test_functions.py)."""
+    pytest-verified (tests/test_functions.py). The DuckDB oracle UNROLLS
+    the five Lloyd iterations as generated CTE blocks (same sims
+    expression 2·v·c − c·c with first-max tie-break, per-dim avg update,
+    empty clusters keep the previous centroid) — the formerly rows-only
+    entry is fully value-hashed."""
     from solr_spark.functions.ann import kmeans
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -6003,6 +6110,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled(F.col("centroid")[0], 6).alias("c0_x1m"),
         scaled(F.col("centroid")[1], 6).alias("c1_x1m"),
     ).orderBy("cluster")
+
+
+CATALOG["kmeans_embeddings"].sql = _kmeans_lloyd_sql()
 
 
 @register(
