@@ -7874,14 +7874,68 @@ def spline_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("xm2")
 
 
-@register("fuzzy_kmeans_embeddings", None)  # iterative: rows-only
+def _fuzzy_kmeans_sql(k=4, iters=5, dim=64):
+    """Five fuzzy c-means iterations (fuzziness 2) unrolled: membership
+    u_j = (1/max(d_j^2, 1e-30)) normalized per row, centroid update
+    sum(u^2 x)/sum(u^2) per dim; hard assignment = first-max membership."""
+    d2 = lambda prev: f"""list_inner_product(
+      list_transform(range(1, {dim + 1}),
+        i -> CAST(p.embedding[i] AS DOUBLE) - {prev}.cent[i]),
+      list_transform(range(1, {dim + 1}),
+        i -> CAST(p.embedding[i] AS DOUBLE) - {prev}.cent[i]))"""
+    memb = lambda tag, prev: f"""{tag} AS (
+  SELECT vec_id, embedding, cluster,
+         r / sum(r) OVER (PARTITION BY vec_id) AS u
+  FROM (
+    SELECT p.vec_id, p.embedding, {prev}.cluster,
+           1.0 / greatest({d2(prev)}, 1e-30) AS r
+    FROM pts p CROSS JOIN {prev}))"""
+    parts = [f"""pts AS (SELECT vec_id, embedding FROM embeddings),
+dims AS (SELECT CAST(i AS INT) AS d FROM range(1, {dim + 1}) t(i)),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cent
+  FROM pts ORDER BY vec_id LIMIT {k})"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(memb(f"u{i}", prev))
+        parts.append(f"""c{i} AS (
+  SELECT cluster, list(m ORDER BY d) AS cent FROM (
+    SELECT cluster, d,
+           sum(u * u * CAST(embedding[d] AS DOUBLE)) / sum(u * u) AS m
+    FROM u{i} CROSS JOIN dims GROUP BY cluster, d)
+  GROUP BY cluster)""")
+        prev = f"c{i}"
+    parts.append(memb("uf", prev))
+    parts.append("""hard AS (
+  SELECT vec_id, cluster, u FROM (
+    SELECT vec_id, cluster, u,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY u DESC, cluster ASC) AS rn
+    FROM uf) WHERE rn = 1)""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT c.cluster,
+       COALESCE(h.size, 0) AS size,
+       CAST(floor(COALESCE(h.soft, 0.0) * 100 + 0.5) AS BIGINT) AS soft_size_x100,
+       CAST(floor(c.cent[1] * 1000000 + 0.5) AS BIGINT) AS c0_x1m,
+       CAST(floor(c.cent[2] * 1000000 + 0.5) AS BIGINT) AS c1_x1m
+FROM {prev} c LEFT JOIN (
+  SELECT cluster, count(*) AS size, sum(u) AS soft FROM hard GROUP BY cluster
+) h ON h.cluster = c.cluster
+ORDER BY c.cluster"""
+
+
+@register("fuzzy_kmeans_embeddings", None)  # sql attached below
 def fuzzy_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`fuzzyKmeans(matrix, k)` (io/eval/FuzzyKmeansEvaluator.java,
     commons-math FuzzyKMeansClusterer, fuzziness 2.0) as distributed fuzzy
     c-means — every iteration one scan with broadcast-literal centroids,
     k x dim partial-aggregate update. Deterministic init (k lowest ids;
     the reference seeds memberships from an RNG — documented divergence,
-    same as kmeans). numpy parity pytest-verified."""
+    same as kmeans). numpy parity pytest-verified. The DuckDB oracle
+    unrolls all five membership/update rounds as CTEs (same 1e-30 floor,
+    same first-max hard assignment) — exact match, fully value-hashed."""
     from solr_spark.functions.ann import fuzzy_kmeans
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -7894,12 +7948,84 @@ def fuzzy_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
-@register("multi_kmeans_embeddings", None)  # iterative: rows-only
+CATALOG["fuzzy_kmeans_embeddings"].sql = _fuzzy_kmeans_sql()
+
+
+def _multi_kmeans_sql(k=4, trials=3, iters=5, dim=64):
+    """Three deterministic-restart Lloyd runs unrolled as CTE chains, the
+    winner picked by strict-min WCSS (first trial wins exact ties, like
+    the engine's ascending scan)."""
+    parts = [f"""pts AS (SELECT vec_id, embedding FROM embeddings),
+dims AS (SELECT CAST(i AS INT) AS d FROM range(1, {dim + 1}) t(i))"""]
+    assign = lambda tag, prev: f"""{tag} AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT p.vec_id, p.embedding, {prev}.cluster,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY 2.0 * list_inner_product(CAST(p.embedding AS DOUBLE[]),
+                                               CAST({prev}.cent AS DOUBLE[]))
+                      - list_inner_product(CAST({prev}.cent AS DOUBLE[]),
+                                           CAST({prev}.cent AS DOUBLE[])) DESC,
+                      {prev}.cluster ASC) AS rn
+    FROM pts p CROSS JOIN {prev}) WHERE rn = 1)"""
+    update = lambda tag, a, prev: f"""{tag} AS (
+  SELECT pc.cluster, COALESCE(up.cent, pc.cent) AS cent
+  FROM {prev} pc LEFT JOIN (
+    SELECT cluster, list(m ORDER BY d) AS cent FROM (
+      SELECT cluster, d, avg(CAST(embedding[d] AS DOUBLE)) AS m
+      FROM {a} CROSS JOIN dims GROUP BY cluster, d)
+    GROUP BY cluster) up ON up.cluster = pc.cluster)"""
+    for t in range(trials):
+        parts.append(f"""t{t}_c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id DESC) - 1 AS INT) AS cluster,
+         embedding AS cent
+  FROM (SELECT vec_id, embedding FROM pts ORDER BY vec_id LIMIT {k * (t + 1)})
+  ORDER BY vec_id DESC LIMIT {k})""")
+        prev = f"t{t}_c0"
+        for i in range(1, iters + 1):
+            parts.append(assign(f"t{t}_a{i}", prev))
+            parts.append(update(f"t{t}_c{i}", f"t{t}_a{i}", prev))
+            prev = f"t{t}_c{i}"
+        parts.append(assign(f"t{t}_af", prev))
+        # returned centroids = per-dim avg of the FINAL assignment
+        parts.append(f"""t{t}_cf AS (
+  SELECT cluster, list(m ORDER BY d) AS cent FROM (
+    SELECT cluster, d, avg(CAST(embedding[d] AS DOUBLE)) AS m
+    FROM t{t}_af CROSS JOIN dims GROUP BY cluster, d)
+  GROUP BY cluster)""")
+        parts.append(f"""t{t}_w AS (
+  SELECT {t} AS trial, sum(dmin) AS wcss FROM (
+    SELECT p.vec_id, min(
+      list_inner_product(
+        list_transform(range(1, {dim + 1}),
+          i -> CAST(p.embedding[i] AS DOUBLE) - c.cent[i]),
+        list_transform(range(1, {dim + 1}),
+          i -> CAST(p.embedding[i] AS DOUBLE) - c.cent[i]))) AS dmin
+    FROM pts p CROSS JOIN t{t}_cf c GROUP BY p.vec_id))""")
+    parts.append(
+        "winner AS (SELECT trial FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM t{t}_w" for t in range(trials))
+        + ") ORDER BY wcss ASC, trial ASC LIMIT 1)")
+    outs = []
+    for t in range(trials):
+        outs.append(f"""SELECT a.cluster, count(*) AS size,
+       CAST(floor(avg(CAST(a.embedding[1] AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS c0_x1m,
+       CAST(floor(avg(CAST(a.embedding[2] AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS c1_x1m
+FROM t{t}_af a WHERE {t} = (SELECT trial FROM winner)
+GROUP BY a.cluster""")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(outs) + "\nORDER BY cluster")
+
+
+@register("multi_kmeans_embeddings", None)  # sql attached below
 def multi_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`multiKmeans(matrix, k, trials)` (io/eval/MultiKmeansEvaluator
     .java): kmeans restarted from 3 deterministic seeds (the reference
     restarts from RNG — documented divergence), keeping the lowest-WCSS
-    clustering; each trial's WCSS is one broadcast-centroid scan."""
+    clustering; each trial's WCSS is one broadcast-centroid scan. The
+    DuckDB oracle unrolls ALL THREE trials' Lloyd chains and picks the
+    strict-min-WCSS winner the same way (trial separation ~0.35 WCSS,
+    far above float noise) — exact match, fully value-hashed."""
     from solr_spark.functions.ann import multi_kmeans
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -7909,6 +8035,9 @@ def multi_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled(F.col("centroid")[0], 6).alias("c0_x1m"),
         scaled(F.col("centroid")[1], 6).alias("c1_x1m"),
     ).orderBy("cluster")
+
+
+CATALOG["multi_kmeans_embeddings"].sql = _multi_kmeans_sql()
 
 
 @register(
