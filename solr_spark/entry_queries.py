@@ -8212,18 +8212,74 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("cluster", "node")
 
 
-@register("bpe_merges_docs", None)  # iterative training: rows-only
+def _bpe_sql(n_merges=12):
+    """BPE training unrolled as CTE rounds. Vocab entries are encoded as
+    brace-delimited symbol strings '{a}{b}{c}': a pair pattern '{a}{b}'
+    cannot match across a symbol boundary (the braces are sentinels; '{'
+    '}' never occur inside symbols) and adjacent matches share no
+    characters, so one replace() IS the greedy left-to-right
+    non-overlapping merge (Sennrich's re.sub semantics). Tie-break:
+    (count desc, left asc, right asc) on the DECODED symbols."""
+    parts = ["""toks AS (SELECT unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+  FROM documents),
+wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+v0 AS MATERIALIZED (
+  SELECT CASE WHEN len(w) > 1
+              THEN array_to_string(list_transform(range(1, len(w)),
+                     i -> '{' || w[i:i] || '}'), '')
+                   || '{' || w[len(w):len(w)] || '</w>}'
+              ELSE '{' || w || '</w>}' END AS s,
+         freq
+  FROM wf)"""]
+    prev = "v0"
+    for r in range(n_merges):
+        parts.append(f"""l{r} AS MATERIALIZED (
+  SELECT string_split(s[2:len(s) - 1], '}}{{') AS l, freq FROM {prev}),
+p{r} AS MATERIALIZED (
+  SELECT a, b, sum(freq) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(l)),
+             i -> struct_pack(a := l[i], b := l[i + 1]))) AS p, freq
+    FROM l{r} WHERE len(l) >= 2)
+    , LATERAL (SELECT p.a AS a, p.b AS b)
+  GROUP BY a, b),
+b{r} AS MATERIALIZED (
+  SELECT {r} AS rank, a AS left_sym, b AS right_sym,
+         CAST(c AS BIGINT) AS freq,
+         '{{' || a || '}}{{' || b || '}}' AS pat,
+         '{{' || a || b || '}}' AS merged
+  FROM p{r} WHERE c >= 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+v{r + 1} AS MATERIALIZED (
+  SELECT CASE WHEN b{r}.pat IS NOT NULL
+              THEN replace(v.s, b{r}.pat, b{r}.merged) ELSE v.s END AS s,
+         v.freq
+  FROM {prev} v LEFT JOIN b{r} ON true)""")
+        prev = f"v{r + 1}"
+    union = "\nUNION ALL\n".join(
+        f'SELECT rank, left_sym AS "left", right_sym AS "right", freq FROM b{r}'
+        for r in range(n_merges))
+    body = ",\n".join(parts)
+    return f"WITH {body}\n{union}\nORDER BY rank"
+
+
+@register("bpe_merges_docs", None)  # sql attached below
 def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training (Sennrich et al. 2016
     learn_bpe) over the documents corpus: 12 merge rounds on the
     word-frequency dictionary (the only corpus-wide pass is the word
-    count), deterministic tie-break (count desc, pair asc). Rows-only —
-    iterative, not SQL-expressible; exact-parity pytest vs an in-memory
-    transcription of the reference algorithm."""
+    count), deterministic tie-break (count desc, pair asc). The DuckDB
+    oracle unrolls all twelve rounds as materialized CTEs over
+    brace-delimited symbol strings (replace() on sentinel-wrapped pairs
+    IS the greedy left-to-right merge — sentinels prevent the
+    cross-symbol-boundary match a naive space-join would allow); exact
+    merge-table match, plus the in-memory-transcription parity pytest."""
     from solr_spark.functions.textstats import bpe_train
 
     d = _t(spark, sf_dir, "documents")
     return bpe_train(d, "text", n_merges=12)
+
+
+CATALOG["bpe_merges_docs"].sql = _bpe_sql()
 
 
 def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
