@@ -8291,14 +8291,117 @@ def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("convex_hull_customers", None)  # geometry: rows-only
+# Gift-wrapping hull walk + minimal-disk candidates as SQL (oracles for
+# the geometry entries; the recursive walk reproduces the engine's CCW
+# vertex order exactly because both sides compute the identical doubles).
+_HULL_WALK = """
+pts AS (
+  SELECT DISTINCT
+         ((c_custkey * 7919 % 36000) / 100.0 - 180.0) AS x,
+         ((c_custkey * 9973 % 18000) / 100.0 - 90.0) AS y
+  FROM customer),
+start AS (SELECT x, y FROM pts ORDER BY x, y LIMIT 1),
+walk AS (
+  SELECT 0 AS step, s.x, s.y, s.x AS sx, s.y AS sy FROM start s
+  UNION ALL
+  SELECT w.step + 1, nxt.x, nxt.y, w.sx, w.sy
+  FROM walk w, LATERAL (
+    SELECT q.x, q.y FROM pts q
+    WHERE (q.x <> w.x OR q.y <> w.y)
+      AND NOT EXISTS (
+        SELECT 1 FROM pts r
+        WHERE (r.x <> w.x OR r.y <> w.y) AND (r.x <> q.x OR r.y <> q.y)
+          AND ((q.x - w.x) * (r.y - w.y) - (q.y - w.y) * (r.x - w.x) < 0
+               OR ((q.x - w.x) * (r.y - w.y) - (q.y - w.y) * (r.x - w.x) = 0
+                   AND (r.x - w.x) * (r.x - w.x) + (r.y - w.y) * (r.y - w.y)
+                       > (q.x - w.x) * (q.x - w.x)
+                         + (q.y - w.y) * (q.y - w.y))))
+    ORDER BY q.x, q.y LIMIT 1) nxt
+  WHERE w.step < 200 AND NOT (w.step > 0 AND w.x = w.sx AND w.y = w.sy)
+),
+hull AS (SELECT step AS i, x, y FROM walk
+         WHERE NOT (step > 0 AND x = sx AND y = sy))"""
+
+HULL_SQL = f"""
+WITH RECURSIVE {_HULL_WALK}
+SELECT CAST(i AS INT) AS vertex,
+       CAST(floor(x * 10000 + 0.5) AS BIGINT) AS x_x10k,
+       CAST(floor(y * 10000 + 0.5) AS BIGINT) AS y_x10k
+FROM hull ORDER BY vertex
+"""
+
+DISK_SQL = f"""
+WITH RECURSIVE {_HULL_WALK},
+hn AS (SELECT count(*) AS n FROM hull),
+edges AS (
+  SELECT h.i, h.x, h.y, h2.x AS xn, h2.y AS yn
+  FROM hull h JOIN hn ON true
+  JOIN hull h2 ON h2.i = (h.i + 1) % hn.n),
+attrs AS (
+  SELECT sum(x * yn - xn * y) / 2.0 AS sa,
+         sum((x + xn) * (x * yn - xn * y)) AS sx6,
+         sum((y + yn) * (x * yn - xn * y)) AS sy6,
+         sum(sqrt((xn - x) * (xn - x) + (yn - y) * (yn - y))) AS per
+  FROM edges),
+pairs AS (
+  SELECT 0 AS phase, a.i AS i1, b.i AS i2, -1 AS i3,
+         (a.x + b.x) / 2.0 AS cx, (a.y + b.y) / 2.0 AS cy,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) / 2.0 AS r
+  FROM hull a JOIN hull b ON a.i < b.i),
+triples AS (
+  SELECT 1 AS phase, a.i AS i1, b.i AS i2, c.i AS i3,
+         ((a.x * a.x + a.y * a.y) * (b.y - c.y)
+          + (b.x * b.x + b.y * b.y) * (c.y - a.y)
+          + (c.x * c.x + c.y * c.y) * (a.y - b.y)) / d AS cx,
+         ((a.x * a.x + a.y * a.y) * (c.x - b.x)
+          + (b.x * b.x + b.y * b.y) * (a.x - c.x)
+          + (c.x * c.x + c.y * c.y) * (b.x - a.x)) / d AS cy,
+         NULL AS r
+  FROM hull a JOIN hull b ON a.i < b.i JOIN hull c ON b.i < c.i,
+       LATERAL (SELECT 2.0 * (a.x * (b.y - c.y) + b.x * (c.y - a.y)
+                              + c.x * (a.y - b.y)) AS d)
+  WHERE abs(d) >= 1e-18),
+tr AS (
+  SELECT phase, i1, i2, i3, cx, cy,
+         sqrt((h.x - cx) * (h.x - cx) + (h.y - cy) * (h.y - cy)) AS r
+  FROM triples JOIN hull h ON h.i = triples.i1),
+cands AS (
+  SELECT phase, i1, i2, i3, cx, cy, r FROM pairs
+  UNION ALL SELECT phase, i1, i2, i3, cx, cy, r FROM tr),
+covering AS (
+  SELECT * FROM cands c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hull h
+    WHERE sqrt((h.x - c.cx) * (h.x - c.cx) + (h.y - c.cy) * (h.y - c.cy))
+          > c.r + 1e-9)),
+best AS (
+  SELECT * FROM covering ORDER BY r ASC, phase ASC, i1 ASC, i2 ASC, i3 ASC
+  LIMIT 1)
+SELECT CAST(hn.n AS INT) AS n_vertices,
+       CAST(floor(abs(attrs.sa) * 100 + 0.5) AS BIGINT) AS area_x100,
+       CAST(floor(attrs.per * 100 + 0.5) AS BIGINT) AS perimeter_x100,
+       CAST(floor(attrs.sx6 / (6.0 * attrs.sa) * 10000 + 0.5) AS BIGINT)
+         AS bary_x_x10k,
+       CAST(floor(attrs.sy6 / (6.0 * attrs.sa) * 10000 + 0.5) AS BIGINT)
+         AS bary_y_x10k,
+       CAST(floor(best.cx * 10000 + 0.5) AS BIGINT) AS cx_x10k,
+       CAST(floor(best.cy * 10000 + 0.5) AS BIGINT) AS cy_x10k,
+       CAST(floor(best.r * 100 + 0.5) AS BIGINT) AS radius_x100,
+       CAST(best.phase + 2 AS INT) AS support
+FROM hn, attrs, best
+"""
+
+
+@register("convex_hull_customers", HULL_SQL)
 def convex_hull_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`convexHull(matrix)` + `getVertices` (io/eval/ConvexHullEvaluator
     .java, commons-math MonotoneChain) made distributed: per-partition
     hulls reduce the driver collect to O(hull) candidate points (hull of a
     union = hull of the union of partition hulls), one final chain on
-    those. Rows-only (no hull in SQL); parity-tested against an
-    independent gift-wrapping implementation in pytest."""
+    those. The DuckDB oracle walks the hull by GIFT WRAPPING as a
+    recursive CTE (next vertex = the point no other lies right of) — a
+    different algorithm than the engine's monotone chain, same CCW vertex
+    cycle; also parity-tested against a third implementation in pytest."""
     from solr_spark.functions.spatial import convex_hull
 
     pts = _customer_points(spark, sf_dir)
@@ -8310,7 +8413,7 @@ def convex_hull_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("enclosing_disk_customers", None)  # geometry: rows-only
+@register("enclosing_disk_customers", DISK_SQL)
 def enclosing_disk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`enclosingDisk` + getCenter/getRadius/getSupportPoints and the hull
     attribute family getArea/getBoundarySize/getBaryCenter
@@ -8318,7 +8421,9 @@ def enclosing_disk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Region): minimal enclosing circle computed EXACTLY from the hull
     vertices (deterministic O(h⁴) in hull size — the disk is determined
     by ≤3 hull points), polygon area/perimeter/area-centroid by shoelace.
-    Brute-force-minimality pytest."""
+    Brute-force-minimality pytest. The DuckDB oracle builds the same
+    pair/triple candidate set over the gift-wrapped hull and picks the
+    min-radius covering circle — exact match on every attribute."""
     from solr_spark.functions.spatial import (
         convex_hull,
         enclosing_disk,
