@@ -8472,14 +8472,99 @@ def oscillate_series_128(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("x", scaled("y", 6).alias("y_x1m")).orderBy("x")
 
 
-@register("harmfit_daily_events", None)  # nonlinear fit: rows-only
+def _harmfit_sql(grid_n=2048, gs_iters=80):
+    """The deterministic harmonic-fit search unrolled: 2048-candidate
+    frequency grid (closed-form 2-param LS per candidate; the SSE at the
+    LS optimum is second-order insensitive to coefficient rounding, so
+    Cramer vs the engine's lstsq agree far below comparison level), then
+    the golden-section bracket refinement as carried (a, b) state rows."""
+    gr = "0.6180339887498949"  # (sqrt(5)-1)/2, the engine's literal value
+    sse = lambda w: f"""(
+  SELECT sum((y - (c) * cos(({w}) * x) - (s) * sin(({w}) * x))
+             * (y - (c) * cos(({w}) * x) - (s) * sin(({w}) * x)))
+  FROM daily, LATERAL (
+    SELECT sum(cos(({w}) * x) * cos(({w}) * x)) AS a11,
+           sum(cos(({w}) * x) * sin(({w}) * x)) AS a12,
+           sum(sin(({w}) * x) * sin(({w}) * x)) AS a22,
+           sum(cos(({w}) * x) * y) AS b1, sum(sin(({w}) * x) * y) AS b2
+    FROM daily) mm,
+  LATERAL (SELECT (mm.b1 * mm.a22 - mm.b2 * mm.a12)
+                  / (mm.a11 * mm.a22 - mm.a12 * mm.a12) AS c,
+                  (mm.a11 * mm.b2 - mm.a12 * mm.b1)
+                  / (mm.a11 * mm.a22 - mm.a12 * mm.a12) AS s))"""
+    parts = [f"""daily AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+bounds AS MATERIALIZED (
+  SELECT 2.0 * pi() / (4.0 * (max(x) - min(x))) AS lo,
+         pi() / (SELECT min(x1 - x) FROM (
+           SELECT x, lead(x) OVER (ORDER BY x) AS x1 FROM daily)
+           WHERE x1 IS NOT NULL) AS hi
+  FROM daily),
+grid AS MATERIALIZED (
+  SELECT j, CASE WHEN j = {grid_n - 1} THEN hi
+                 ELSE lo + (hi - lo) / {grid_n - 1}.0 * j END AS w
+  FROM bounds, range(0, {grid_n}) t(j)),
+gsse AS MATERIALIZED (
+  SELECT g.j, g.w,
+         gm.syy - (gm.b1 * gm.a22 - gm.b2 * gm.a12)
+                  / (gm.a11 * gm.a22 - gm.a12 * gm.a12) * gm.b1
+                - (gm.a11 * gm.b2 - gm.a12 * gm.b1)
+                  / (gm.a11 * gm.a22 - gm.a12 * gm.a12) * gm.b2 AS sse
+  FROM grid g, LATERAL (
+    SELECT sum(cos(g.w * x) * cos(g.w * x)) AS a11,
+           sum(cos(g.w * x) * sin(g.w * x)) AS a12,
+           sum(sin(g.w * x) * sin(g.w * x)) AS a22,
+           sum(cos(g.w * x) * y) AS b1, sum(sin(g.w * x) * y) AS b2,
+           sum(y * y) AS syy
+    FROM daily) gm),
+gbest AS MATERIALIZED (
+  SELECT j FROM gsse ORDER BY sse ASC, j ASC LIMIT 1),
+st0 AS MATERIALIZED (
+  SELECT (SELECT w FROM grid WHERE j = greatest(0, (SELECT j FROM gbest) - 1)) AS a,
+         (SELECT w FROM grid WHERE j = least({grid_n - 1}, (SELECT j FROM gbest) + 1)) AS b)"""]
+    prev = "st0"
+    for i in range(1, gs_iters + 1):
+        parts.append(f"""st{i} AS MATERIALIZED (
+  SELECT CASE WHEN s1 <= s2 THEN p.a ELSE p.b - {gr} * (p.b - p.a) END AS a,
+         CASE WHEN s1 <= s2 THEN p.a + {gr} * (p.b - p.a) ELSE p.b END AS b
+  FROM {prev} p,
+  LATERAL (SELECT {sse('p.b - ' + gr + ' * (p.b - p.a)')} AS s1),
+  LATERAL (SELECT {sse('p.a + ' + gr + ' * (p.b - p.a)')} AS s2))""")
+        prev = f"st{i}"
+    parts.append(f"""wfin AS MATERIALIZED (SELECT (a + b) / 2.0 AS w FROM {prev}),
+fin AS (
+  SELECT w, (mm.b1 * mm.a22 - mm.b2 * mm.a12)
+            / (mm.a11 * mm.a22 - mm.a12 * mm.a12) AS c,
+         (mm.a11 * mm.b2 - mm.a12 * mm.b1)
+            / (mm.a11 * mm.a22 - mm.a12 * mm.a12) AS s
+  FROM wfin, LATERAL (
+    SELECT sum(cos(w * x) * cos(w * x)) AS a11,
+           sum(cos(w * x) * sin(w * x)) AS a12,
+           sum(sin(w * x) * sin(w * x)) AS a22,
+           sum(cos(w * x) * y) AS b1, sum(sin(w * x) * y) AS b2
+    FROM daily) mm)""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT CAST(floor(sqrt(c * c + s * s) * 10000 + 0.5) AS BIGINT) AS amp_x10k,
+       CAST(floor(w * 1000000 + 0.5) AS BIGINT) AS omega_x1m,
+       CAST(floor(atan2(-s, c) * 10000 + 0.5) AS BIGINT) AS phase_x10k
+FROM fin"""
+
+
+@register("harmfit_daily_events", None)  # sql attached below
 def harmfit_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`harmfit(x, y)` + getAmplitude/getAngularFrequency/getPhase
     (io/eval/HarmonicFitEvaluator.java): A·cos(ωx+φ) least-squares fit of
     the daily event-count series — deterministic ω grid + golden-section
     with exact linear LS per candidate (the reference's LM converges to
-    the same optimum; exact-recovery pytest on a clean sinusoid).
-    Rows-only: nonlinear optimum, not SQL-expressible."""
+    the same optimum; exact-recovery pytest on a clean sinusoid). The
+    DuckDB oracle unrolls the ENTIRE search — the 2048-candidate grid and
+    all 80 golden-section steps as carried (a, b) state rows; the SSE at
+    each LS optimum is second-order insensitive to coefficient rounding,
+    so Cramer vs the engine's lstsq never flips a comparison — exact
+    match on all three scaled parameters."""
     from solr_spark.functions.mathstream import harmonic_fit
 
     (amp, omega, phase), _ = harmonic_fit(
@@ -8492,12 +8577,84 @@ def harmfit_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("gaussfit_price_hist", None)  # nonlinear fit: rows-only
+CATALOG["harmfit_daily_events"].sql = _harmfit_sql()
+
+
+def _gaussfit_sql(steps=50):
+    """Caruana log-quadratic init (Cramer 3x3 over ln-y moments) + the
+    Gauss-Newton refinement unrolled; each step = nine J^T J / J^T r
+    moments over the histogram + a Cramer 3x3 solve carried as one row.
+    GN is contractive here (fixed point reached in ~5 steps; the
+    remaining unrolled steps are ~0), so Cramer-vs-lstsq per-step
+    differences do not accumulate."""
+    parts = ["""hist AS (
+  SELECT floor(o_totalprice / 25000.0) * 25000.0 + 12500.0 AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1),
+mom AS (
+  SELECT count(*)::DOUBLE AS s0, sum(x) AS s1, sum(x*x) AS s2,
+         sum(x*x*x) AS s3, sum(x*x*x*x) AS s4,
+         sum(ln(y)) AS t0, sum(x*ln(y)) AS t1, sum(x*x*ln(y)) AS t2
+  FROM hist WHERE y > 0),
+cara AS (
+  SELECT (t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2))
+           / det AS c0,
+         (s0*(t1*s4 - s3*t2) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2))
+           / det AS c1,
+         CASE WHEN (s0*(s2*t2 - t1*s3) - s1*(s1*t2 - t1*s2)
+                    + t0*(s1*s3 - s2*s2)) / det >= 0 THEN -1e-12
+              ELSE (s0*(s2*t2 - t1*s3) - s1*(s1*t2 - t1*s2)
+                    + t0*(s1*s3 - s2*s2)) / det END AS c2
+  FROM mom, LATERAL (SELECT s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2)
+                            + s2*(s1*s3 - s2*s2) AS det)),
+p0 AS MATERIALIZED (
+  SELECT exp(c0 + (c1*sg*sg)*(c1*sg*sg)/(2.0*sg*sg)) AS nr,
+         c1*sg*sg AS m, sg AS s
+  FROM cara, LATERAL (SELECT sqrt(-1.0/(2.0*c2)) AS sg))"""]
+    prev = "p0"
+    for i in range(1, steps + 1):
+        parts.append(f"""g{i} AS MATERIALIZED (
+  SELECT max(p.nr) AS nr, max(p.m) AS m, max(p.s) AS s,
+         sum(e*e) AS a11, sum(e*f*(x-p.m)/(p.s*p.s)) AS a12,
+         sum(e*f*(x-p.m)*(x-p.m)/(p.s*p.s*p.s)) AS a13,
+         sum(f*f*(x-p.m)*(x-p.m)/pow(p.s,4)) AS a22,
+         sum(f*f*pow(x-p.m,3)/pow(p.s,5)) AS a23,
+         sum(f*f*pow(x-p.m,4)/pow(p.s,6)) AS a33,
+         sum(e*(y-f)) AS b1,
+         sum(f*(x-p.m)/(p.s*p.s)*(y-f)) AS b2,
+         sum(f*(x-p.m)*(x-p.m)/(p.s*p.s*p.s)*(y-f)) AS b3
+  FROM hist CROSS JOIN {prev} p,
+       LATERAL (SELECT exp(-(x-p.m)*(x-p.m)/(2.0*p.s*p.s)) AS e),
+       LATERAL (SELECT p.nr * e AS f)),
+p{i} AS MATERIALIZED (
+  SELECT nr + (b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+               + a13*(b2*a23 - a22*b3)) / det AS nr,
+         m + (a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a13*a23)
+              + a13*(a12*b3 - b2*a13)) / det AS m,
+         s + (a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
+              + b1*(a12*a23 - a22*a13)) / det AS s
+  FROM g{i}, LATERAL (
+    SELECT a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a13*a23)
+           + a13*(a12*a23 - a22*a13) AS det))""")
+        prev = f"p{i}"
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT CAST(floor(nr * 100 + 0.5) AS BIGINT) AS norm_x100,
+       CAST(floor(m + 0.5) AS BIGINT) AS mean_x1,
+       CAST(floor(s + 0.5) AS BIGINT) AS sigma_x1
+FROM {prev}"""
+
+
+@register("gaussfit_price_hist", None)  # sql attached below
 def gaussfit_price_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`gaussfit(x, y)` (io/eval/GaussFitEvaluator.java): Gaussian fit of
     the order-total histogram (25k buckets, bucket-center x vs count y) —
     Caruana log-quadratic + deterministic Gauss-Newton; exact-recovery
-    pytest on a clean Gaussian. Rows-only (nonlinear optimum)."""
+    pytest on a clean Gaussian. The DuckDB oracle unrolls the full GN
+    refinement as materialized CTE steps (Cramer 3x3 per step); GN is
+    contractive on this series (fixed point by step ~5), so the
+    engine's lstsq and the oracle's Cramer agree to 1e-15 relative —
+    exact match on the integer-scaled outputs."""
     from solr_spark.functions.mathstream import gaussian_fit
 
     o = _t(spark, sf_dir, "orders")
@@ -8510,6 +8667,9 @@ def gaussfit_price_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(round(norm * 100)), int(round(mean)), int(round(sigma)))],
         "norm_x100 long, mean_x1 long, sigma_x1 long",
     )
+
+
+CATALOG["gaussfit_price_hist"].sql = _gaussfit_sql()
 
 
 @register(
