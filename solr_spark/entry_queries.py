@@ -8706,6 +8706,85 @@ def mixing_weights_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _bpe_encode_sql(n_merges=12):
+    """Train (the _bpe_sql chain) + ENCODE: a parallel word-keyed chain
+    applies each learned merge to the distinct-word dictionary, then
+    per-doc subword counts come from a join to the tokenized stream."""
+    parts = ["""toks AS (SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents),
+wf AS (SELECT term AS w, count(*) AS freq FROM toks GROUP BY term),
+v0 AS MATERIALIZED (
+  SELECT CASE WHEN len(w) > 1
+              THEN array_to_string(list_transform(range(1, len(w)),
+                     i -> '{' || w[i:i] || '}'), '')
+                   || '{' || w[len(w):len(w)] || '</w>}'
+              ELSE '{' || w || '</w>}' END AS s,
+         freq
+  FROM wf),
+we0 AS MATERIALIZED (
+  SELECT w, CASE WHEN len(w) > 1
+              THEN array_to_string(list_transform(range(1, len(w)),
+                     i -> '{' || w[i:i] || '}'), '')
+                   || '{' || w[len(w):len(w)] || '</w>}'
+              ELSE '{' || w || '</w>}' END AS s
+  FROM wf)"""]
+    prev, eprev = "v0", "we0"
+    for r in range(n_merges):
+        parts.append(f"""l{r} AS MATERIALIZED (
+  SELECT string_split(s[2:len(s) - 1], '}}{{') AS l, freq FROM {prev}),
+p{r} AS MATERIALIZED (
+  SELECT a, b, sum(freq) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(l)),
+             i -> struct_pack(a := l[i], b := l[i + 1]))) AS p, freq
+    FROM l{r} WHERE len(l) >= 2)
+    , LATERAL (SELECT p.a AS a, p.b AS b)
+  GROUP BY a, b),
+b{r} AS MATERIALIZED (
+  SELECT '{{' || a || '}}{{' || b || '}}' AS pat, '{{' || a || b || '}}' AS merged
+  FROM p{r} WHERE c >= 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+v{r + 1} AS MATERIALIZED (
+  SELECT CASE WHEN b{r}.pat IS NOT NULL
+              THEN replace(v.s, b{r}.pat, b{r}.merged) ELSE v.s END AS s,
+         v.freq
+  FROM {prev} v LEFT JOIN b{r} ON true),
+we{r + 1} AS MATERIALIZED (
+  SELECT v.w,
+         CASE WHEN b{r}.pat IS NOT NULL
+              THEN replace(v.s, b{r}.pat, b{r}.merged) ELSE v.s END AS s
+  FROM {eprev} v LEFT JOIN b{r} ON true)""")
+        prev, eprev = f"v{r + 1}", f"we{r + 1}"
+    body = ",\n".join(parts)
+    return f"""WITH {body},
+dic AS (SELECT w, len(s) - len(replace(s, '}}', '')) AS n_sub FROM {eprev})
+SELECT t.doc_id AS id, count(*) AS n_words,
+       CAST(sum(d.n_sub) AS BIGINT) AS n_subwords
+FROM toks t JOIN dic d ON d.w = t.term
+WHERE t.doc_id < 100
+GROUP BY t.doc_id ORDER BY id"""
+
+
+@register("bpe_encode_counts", None)  # sql attached below
+def bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (Sennrich et al. 2016 apply_bpe — the pair to
+    bpe_merges_docs): train 12 merges on the full corpus, then encode
+    every word and count subword tokens per document. The merge chain
+    runs over the distinct-word dictionary as pure-codegen `replace`
+    calls on sentinel-delimited symbol strings; the oracle replays the
+    trainer AND a word-keyed encode chain in SQL."""
+    from solr_spark.functions.textstats import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"])
+              for r in bpe_train(d, "text", n_merges=12).collect()]
+    out = bpe_encode(d.where(F.col("doc_id") < 100), "text", "doc_id",
+                     merges)
+    return out.select("id", "n_words", "n_subwords").orderBy("id")
+
+
+CATALOG["bpe_encode_counts"].sql = _bpe_encode_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

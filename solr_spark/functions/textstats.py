@@ -266,3 +266,58 @@ def bpe_train(
     return spark.createDataFrame(
         merges or [], "rank int, left string, right string, freq long"
     )
+
+
+def bpe_encode(
+    df: DataFrame, text_col: str, id_col: str,
+    merges: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Apply a trained BPE merge table (from :func:`bpe_train`) and count
+    subword tokens per document — the tokenizer-side half of the BPE pair
+    (Sennrich et al. 2016 apply_bpe): each word starts as characters with
+    the '</w>' word-final tag and the merges replay IN TRAINING ORDER,
+    each one a greedy left-to-right non-overlapping substitution.
+
+    Distributed shape: documents explode to (id, word); the merge chain
+    runs over the DISTINCT-WORD dictionary (corpus-vocabulary-sized, the
+    only frame the chain touches) as pure whole-stage-codegen `replace`
+    calls on sentinel-delimited symbol strings '{a}{b}{c}' — braces make a
+    pair pattern unable to match across symbol boundaries, so one replace
+    IS the greedy merge (the same encoding the trainer's oracle uses).
+    Subword counts broadcast-join back to the word stream and aggregate
+    per doc. Returns (id, n_words, n_subwords)."""
+    from solr_spark.functions.dedup import tokens_col
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("w"),
+    )
+    dic = toks.select("w").distinct()
+    n = F.length("w")
+    syms = F.concat(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat(F.lit("{"), F.col("w").substr(i, F.lit(1)),
+                                   F.lit("}")),
+            ),
+        ),
+        F.concat(F.lit("{"), F.col("w").substr(n, F.lit(1)), F.lit("</w>}")),
+    )
+    enc = F.when(n > 1, syms).otherwise(
+        F.concat(F.lit("{"), F.col("w"), F.lit("</w>}"))
+    )
+    for a, b in merges:
+        enc = F.replace(enc, F.lit("{" + a + "}{" + b + "}"),
+                        F.lit("{" + a + b + "}"))
+    dic = dic.select(
+        "w",
+        (F.length(enc) - F.length(F.replace(enc, F.lit("}"), F.lit(""))))
+        .alias("n_sub"),
+    )
+    return (
+        toks.join(F.broadcast(dic), "w")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_words"), F.sum("n_sub").alias("n_subwords"))
+    )

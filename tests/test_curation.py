@@ -329,3 +329,42 @@ def test_mixing_weights(spark):
             mixing_weights(docs, "text", "source", targets=t).collect()}
     for s, frac in t.items():
         assert abs(rows[s].target_frac - frac) < 1e-12
+
+
+def test_bpe_encode_apply_parity(spark):
+    """bpe_encode == in-memory apply_bpe (merges replayed in training
+    order with greedy left-to-right application), per-doc word and
+    subword counts equal."""
+    import re
+
+    from solr_spark.functions.textstats import bpe_encode, bpe_train
+
+    texts = ["the cat sat on the mat", "the fat cat ate the rat",
+             "low lower lowest", "new newer newest wider wide", "a i a i"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges = [(r.left, r.right)
+              for r in bpe_train(df, "text", n_merges=8).collect()]
+    got = {r.id: (r.n_words, r.n_subwords)
+           for r in bpe_encode(df, "text", "doc_id", merges).collect()}
+
+    def ref(t):
+        tw = ts = 0
+        for w in [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]:
+            syms = (list(w[:-1]) + [w[-1] + "</w>"]
+                    if len(w) > 1 else [w + "</w>"])
+            for a, b in merges:
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                syms = out
+            tw += 1
+            ts += len(syms)
+        return tw, ts
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t)
