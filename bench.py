@@ -187,6 +187,22 @@ def main() -> None:
     timings["pack_chunks_full"] = best_of(lambda: _pack_job(docs))
     timings["minhash_sigs_full"] = best_of(lambda: _minhash_job(docs))
 
+    # Round-4 pipeline headliners: CCNet-style unigram perplexity (two
+    # term-keyed aggregations + a vocabulary-sized scoring join) and BPE
+    # vocabulary training (12 merge rounds over the word-freq dictionary).
+    from solr_spark.functions.curation import unigram_perplexity
+    from solr_spark.functions.textstats import bpe_train
+
+    def _ppl_job(d):
+        unigram_perplexity(d, "text", "doc_id").agg(
+            F.sum("perplexity"), F.count("*")
+        ).collect()
+
+    timings["perplexity_full"] = best_of(lambda: _ppl_job(docs))
+    timings["bpe_train_full"] = best_of(
+        lambda: bpe_train(docs, "text", n_merges=12).collect()
+    )
+
     # Physical path: segment build + block-max WAND queries.
     from solr_spark.index.segments import build_index_dir
     from solr_spark.query.wand import open_index
