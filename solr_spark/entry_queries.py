@@ -8785,6 +8785,48 @@ def bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG["bpe_encode_counts"].sql = _bpe_encode_sql()
 
 
+@register(
+    "bicubic_day_hour",
+    f"""
+WITH grid AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS gx,
+         CAST(extract(hour FROM ts) AS INT) AS gy,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+offs(di, dj, w) AS (
+  SELECT a.i, b.i, a.w * b.w
+  FROM (VALUES (-1, -1.0/16), (0, 9.0/16), (1, 9.0/16), (2, -1.0/16)) a(i, w),
+       (VALUES (-1, -1.0/16), (0, 9.0/16), (1, 9.0/16), (2, -1.0/16)) b(i, w)),
+agg AS (
+  SELECT gx - di AS cx, gy - dj AS cy, sum(v * w) AS value, count(*) AS n
+  FROM grid, offs GROUP BY 1, 2)
+SELECT CAST(2 * cx + 1 AS BIGINT) AS xm2, CAST(2 * cy + 1 AS BIGINT) AS ym2,
+       {_sql_scaled('value', 2)} AS value_x100
+FROM agg WHERE n = 16 ORDER BY xm2, ym2
+""",
+)
+def bicubic_day_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bicubicSpline` + predict at cell centers (io/eval/
+    BicubicSplineEvaluator.java): the day×hour event-count grid
+    interpolated at every fully-interior midpoint — the 4×4 Lagrange
+    tensor collapses to constant weights on the uniform grid, so engine
+    and oracle are the identical 16-term weighted sum (one broadcast of
+    the offsets, one map-side-combined groupBy)."""
+    from solr_spark.functions.mathstream import bicubic_midpoints
+
+    ev = _t(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("gx"),
+        F.hour("ts").alias("gy"),
+    ).agg(F.count("*").cast("double").alias("v"))
+    out = bicubic_midpoints(grid, "gx", "gy", "v")
+    return out.select(
+        (F.col("xm") * 2).cast("long").alias("xm2"),
+        (F.col("ym") * 2).cast("long").alias("ym2"),
+        scaled("value", 2).alias("value_x100"),
+    ).orderBy("xm2", "ym2")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

@@ -1776,3 +1776,48 @@ def gaussian_fit(df: DataFrame, x: str, y: str, limit: int = 4096):
         "x double, fit double",
     )
     return (norm, mean, sigma), fitted
+
+
+def bicubic_midpoints(
+    df: DataFrame, x: str, y: str, v: str
+) -> DataFrame:
+    """`predict(bicubicSpline(grid), midpoints)` semantics
+    (io/eval/BicubicSplineEvaluator.java, commons-math
+    PiecewiseBicubicSplineInterpolator — the bicubic polynomial through
+    the 4×4 surrounding grid values) over a UNIFORM integer grid,
+    evaluated at every fully-interior cell center (x+0.5, y+0.5).
+
+    At a uniform-grid midpoint the 4×4 Lagrange tensor product collapses
+    to constant weights w = [-1/16, 9/16, 9/16, -1/16] in each axis, so
+    the interpolant is a 16-term weighted sum — reproduced EXACTLY for
+    any polynomial up to cubic in each variable (pytest-verified).
+
+    Distributed shape: the 16 (di, dj, weight) offsets are a literal
+    broadcast; one join keys each grid value to the midpoints it serves
+    and one groupBy (map-side combine) sums the 16 contributions — the
+    shuffle carries one row per interior midpoint, never a matrix.
+    Midpoints missing any of their 16 neighbours are dropped (the
+    reference likewise only interpolates strictly inside the grid)."""
+    w1 = {-1: -1.0 / 16, 0: 9.0 / 16, 1: 9.0 / 16, 2: -1.0 / 16}
+    offs = df.sparkSession.createDataFrame(
+        [(di, dj, w1[di] * w1[dj]) for di in w1 for dj in w1],
+        "di int, dj int, w double",
+    )
+    g = df.select(F.col(x).cast("int").alias("_gx"),
+                  F.col(y).cast("int").alias("_gy"),
+                  F.col(v).cast("double").alias("_v"))
+    contrib = g.crossJoin(F.broadcast(offs)).select(
+        (F.col("_gx") - F.col("di")).alias("cx"),
+        (F.col("_gy") - F.col("dj")).alias("cy"),
+        (F.col("_v") * F.col("w")).alias("wv"),
+    )
+    return (
+        contrib.groupBy("cx", "cy")
+        .agg(F.sum("wv").alias("value"), F.count("*").alias("_n"))
+        .where(F.col("_n") == 16)
+        .select(
+            (F.col("cx") + F.lit(0.5)).alias("xm"),
+            (F.col("cy") + F.lit(0.5)).alias("ym"),
+            "value",
+        )
+    )

@@ -1640,3 +1640,21 @@ def test_harmonic_and_gaussian_fit_exact_recovery(spark):
     assert len(rows) == 16
     for r in rows:
         assert abs(r.y - 2.0 * np.cos(0.5 * r.x + 0.25)) < 1e-12
+
+
+def test_bicubic_midpoints_cubic_exactness(spark):
+    """bicubic_midpoints reproduces any cubic-in-each-variable polynomial
+    exactly at interior midpoints (the defining property of the 4x4
+    Lagrange tensor), and drops midpoints lacking a full neighborhood."""
+    def f(x, y):
+        return (2 * x ** 3 - x * x + 3 * x - 1) * (0.5 * y ** 3 + y * y - 2)
+
+    from solr_spark.functions.mathstream import bicubic_midpoints
+
+    rows = [(i, j, f(i, j)) for i in range(8) for j in range(8)]
+    df = spark.createDataFrame(rows, "x int, y int, v double")
+    out = bicubic_midpoints(df, "x", "y", "v").collect()
+    assert len(out) == 25  # cx, cy in 1..5 — full 4x4 neighborhoods only
+    for r in out:
+        want = f(r.xm, r.ym)
+        assert abs(r.value - want) < 1e-8 * max(1, abs(want))
