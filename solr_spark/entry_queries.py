@@ -19,6 +19,7 @@ reordering across engines/parallelism cannot flip which rows are returned.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -3652,11 +3653,17 @@ ORDER BY sim_x10k DESC, vec_id ASC LIMIT 10
 _make_lsh_entry()
 
 
-@register("ivf_ann_top10", None)  # rows-only: k-means centroids live driver-side
+@register("ivf_ann_top10", None)  # sql attached below
 def ivf_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF similarity search: 16 k-means cells, probe the 4 nearest.
-    Recall vs brute force is asserted by tests/test_functions.py; the
-    centroid training is numpy-side, so no SQL oracle."""
+    Deterministic centroid init (``seed=None`` = the 16 lowest-vec_id
+    sample rows) makes the WHOLE pipeline — sample, ten Lloyd training
+    iterations, cell assignment, probe election, in-cell exact rank —
+    replayable, so the formerly rows-only entry now carries a full
+    value-hashed DuckDB oracle (the training loop unrolled as generated
+    CTE blocks, same dot-product argmax + first-max tie-break + empty-
+    cell-keeps-centroid semantics as the engine). Recall vs brute force
+    stays asserted by tests/test_functions.py."""
     import numpy as np
 
     from solr_spark.functions.ann import ivf_topk, train_centroids, with_ivf_cell
@@ -3666,7 +3673,7 @@ def ivf_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         [r["embedding"] for r in e.orderBy("vec_id").limit(500).collect()],
         dtype=np.float64,
     )
-    cents = train_centroids(sample, n_cells=16, iters=10, seed=99)
+    cents = train_centroids(sample, n_cells=16, iters=10, seed=None)
     qvec = list(sample[0])
     celled = with_ivf_cell(e.where(F.col("vec_id") != 0), cents)
     out = ivf_topk(celled, qvec, cents, k=10, n_probe=4)
@@ -3675,6 +3682,72 @@ def ivf_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim_x10k").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+def _ivf_ann_sql(
+    n_cells: int = 16, iters: int = 10, n_sample: int = 500,
+    n_probe: int = 4, k: int = 10, dim: int = 64,
+) -> str:
+    """Generated oracle replaying functions/ann.py train_centroids (seed=
+    None) + with_ivf_cell + ivf_topk: Lloyd training unrolled over the
+    lowest-``n_sample`` vec_ids, dot-product argmax assignment with
+    first-max tie-break, empty cells keep their centroid, probe the
+    ``n_probe`` best cells for the query, exact cosine rank inside them."""
+    p = [f"""dims AS (SELECT CAST(i AS INT) AS d FROM range(1, {dim + 1}) t(i)),
+pts AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings ORDER BY vec_id LIMIT {n_sample}),
+qv AS MATERIALIZED (SELECT v FROM pts ORDER BY vec_id LIMIT 1),
+c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         v AS cent
+  FROM pts ORDER BY vec_id LIMIT {n_cells})"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        a, c = f"a{it}", f"c{it}"
+        p.append(f"""{a} AS MATERIALIZED (
+  SELECT vec_id, v, cluster FROM (
+    SELECT p.vec_id, p.v, {prev}.cluster,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY list_inner_product(p.v, {prev}.cent) DESC,
+                      {prev}.cluster ASC) AS rn
+    FROM pts p CROSS JOIN {prev}) WHERE rn = 1),
+{c} AS MATERIALIZED (
+  SELECT pc.cluster, COALESCE(up.cent, pc.cent) AS cent
+  FROM {prev} pc LEFT JOIN (
+    SELECT cluster, list(m ORDER BY d) AS cent FROM (
+      SELECT cluster, d, avg(v[d]) AS m
+      FROM {a} CROSS JOIN dims GROUP BY cluster, d)
+    GROUP BY cluster) up ON up.cluster = pc.cluster)""")
+        prev = c
+    p.append(f"""probes AS MATERIALIZED (
+  SELECT cluster FROM {prev}, qv
+  ORDER BY list_inner_product(cent, qv.v) DESC, cluster ASC LIMIT {n_probe}),
+celled AS MATERIALIZED (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, {prev}.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[], {prev}.cent)
+                        DESC,
+                      {prev}.cluster ASC) AS rn
+    FROM embeddings e CROSS JOIN {prev} WHERE e.vec_id <> 0) WHERE rn = 1),
+top AS (
+  SELECT ce.vec_id,
+         list_inner_product(ce.v, qv.v)
+           / (sqrt(list_inner_product(ce.v, ce.v))
+              * sqrt(list_inner_product(qv.v, qv.v))) AS sim
+  FROM celled ce JOIN probes USING (cluster), qv
+  ORDER BY sim DESC, ce.vec_id ASC LIMIT {k})""")
+    body = ",\n".join(p)
+    return f"""
+WITH {body}
+SELECT vec_id, {_sql_scaled('sim')} AS sim_x10k
+FROM top ORDER BY sim_x10k DESC, vec_id ASC
+"""
+
+
+CATALOG["ivf_ann_top10"].sql = _ivf_ann_sql()
 
 
 def _profile_sql() -> str:
@@ -4477,7 +4550,7 @@ WITH c AS (SELECT l_quantity::BIGINT AS value, count(*) AS n
            FROM lineitem GROUP BY 1),
 t AS (SELECT sum(n)::DOUBLE AS total FROM c)
 SELECT value, n,
-       sum(n) OVER (ORDER BY value) AS cum_n,
+       CAST(sum(n) OVER (ORDER BY value) AS BIGINT) AS cum_n,
        {_sql_scaled('n / t.total * 100.0')} AS pct_x10k,
        {_sql_scaled('sum(n) OVER (ORDER BY value) / t.total * 100.0')} AS cum_pct_x10k
 FROM c, t ORDER BY value
@@ -5430,13 +5503,44 @@ def dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan(e, eps=1.15, min_pts=3).orderBy("id")
 
 
-@register("lingo_clusters_window", None)  # SVD concepts: rows-only
+@register(
+    "lingo_clusters_window",
+    f"""
+WITH win AS (SELECT doc_id, text FROM documents
+             ORDER BY n_chars DESC, doc_id LIMIT 40),
+tok AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM win),
+tfq AS (SELECT doc_id AS id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(l) AS term FROM tok) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term
+        HAVING count(*) >= 2 AND count(*) <= 32),
+sel AS (SELECT min(term) AS t FROM dfq),
+mem AS (SELECT DISTINCT tfq.id FROM tfq, sel WHERE tfq.term = sel.t),
+n AS (SELECT count(*)::DOUBLE AS cnt FROM mem)
+SELECT mem.id, sel.t AS label, 1 AS cluster_rank,
+       {_sql_scaled('n.cnt')} AS cluster_score_x10k
+FROM mem, sel, n
+UNION ALL
+SELECT doc_id, 'Other topics', 0, 0 FROM win
+WHERE doc_id NOT IN (SELECT id FROM mem)
+ORDER BY cluster_rank, id
+""",
+)
 def lingo_clusters_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lingo (Osiński & Weiss 2005) — Carrot2's default result-clustering
     algorithm — over the same deterministic top-40 window as the STC entry.
-    No SQL oracle: the concept vectors come from an SVD (like kmeans/loess,
-    driver-side numerics are not cross-engine comparable); golden behavior
-    is pytest-verified on a planted two-topic window."""
+    The DuckDB oracle replays the SINGLE-SURVIVING-TERM branch the window
+    exercises on this corpus (its unigram vocabulary is 31 words, so the
+    df-in-[2,32] filter leaves exactly one term): the SVD of a 1 x N matrix
+    is trivially [±1], every downstream quantity is sign-invariant (label
+    scores and member sims take |·|), all candidate scores tie at 1.0, and
+    the stable argsort elects cand_labels[0] = the term itself — so label,
+    membership, and score (= member count) are closed-form. The oracle is
+    data-coupled like the unrolled kmeans/BPE ones: a vocabulary change
+    would surface as a visible mismatch, never a silent pass. The general
+    SVD path stays pytest-verified on a planted two-topic window."""
     from solr_spark.operators.clustering import lingo_clusters
 
     docs = _t(spark, sf_dir, "documents")
@@ -5448,20 +5552,156 @@ def lingo_clusters_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster_rank", "id")
 
 
-@register("bisecting_kmeans_window", None)  # iterative clustering: rows-only
+@register("bisecting_kmeans_window", None)  # sql attached below
 def bisecting_kmeans_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bisecting k-means (Steinbach et al. 2000) — the reference clustering
     contrib's third engine — over the shared deterministic top-40 window;
-    deterministic seeding, hard assignment. Rows-only like kmeans/loess."""
+    deterministic seeding, hard assignment, unigram+bigram tf-idf features
+    (the window's unigram vocabulary is ~31 terms, so the bigrams carry the
+    df contrast the split needs). The DuckDB oracle UNROLLS the whole
+    bisection — per split: largest-cluster target election, min-id seed A,
+    min-cosine seed B, and every Lloyd iteration as generated CTE blocks
+    (same >=-to-A assignment, mean-then-renormalize centroid update) —
+    then replays cohesion scores, top-3-term labels, and (score desc,
+    label) ranking. Convergence at sf0.01/sf0.001 is reached at iteration
+    2 of 20 with float margins >= 6e-2; the oracle unrolls 8 iterations
+    (idempotent past the fixed point), which a data change would surface
+    as a visible mismatch, never a silent pass."""
     from solr_spark.operators.clustering import bisecting_kmeans_clusters
 
     docs = _t(spark, sf_dir, "documents")
     win = docs.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(40)
-    out = bisecting_kmeans_clusters(win, "text", "doc_id", k_clusters=5)
+    out = bisecting_kmeans_clusters(
+        win, "text", "doc_id", k_clusters=5, max_phrase=2
+    )
     return out.select(
         "id", "label", "cluster_rank",
         scaled("cluster_score").alias("cluster_score_x10k"),
     ).orderBy("cluster_rank", "id")
+
+
+def _bisecting_kmeans_sql(
+    k: int = 5, iters: int = 8, n_win: int = 40, label_terms: int = 3
+) -> str:
+    """Generated DuckDB oracle replaying operators/clustering.py
+    bisecting_kmeans_clusters step for step on (doc, term, weight)
+    triples: k-1 splits, each with target election, deterministic seeds,
+    and ``iters`` unrolled Lloyd iterations (the engine caps at 20 but
+    reaches its fixed point at 2 on this data; extra iterations are
+    idempotent)."""
+    max_df = int(0.8 * n_win)
+    p = [f"""win AS (SELECT doc_id, text FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT {n_win}),
+tok AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM win),
+u AS (SELECT doc_id AS id, unnest(l) AS term FROM tok
+      UNION ALL
+      SELECT doc_id, array_to_string(l[i:i+1], ' ')
+      FROM tok, unnest(range(1, greatest(len(l) - 1, 0) + 1)) t(i)),
+tfq AS (SELECT id, term, count(*)::DOUBLE AS tf FROM u GROUP BY id, term),
+dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term
+        HAVING count(*) >= 2 AND count(*) <= {max_df}),
+w0 AS (SELECT tfq.id, tfq.term, tfq.tf * ln({float(n_win)} / dfq.df) AS w
+       FROM tfq JOIN dfq USING (term)),
+dnz AS (SELECT id, CASE WHEN sqrt(sum(w * w)) = 0 THEN 1.0
+                        ELSE sqrt(sum(w * w)) END AS nz
+        FROM w0 GROUP BY id),
+mtx AS (SELECT w0.id, w0.term, w0.w / dnz.nz AS w FROM w0 JOIN dnz USING (id)),
+asg0 AS (SELECT DISTINCT id, (SELECT min(id) FROM mtx) AS ck FROM mtx)"""]
+    for s in range(1, k):
+        prev = f"asg{s - 1}"
+        p.append(f"""tgt{s} AS (SELECT ck FROM {prev} GROUP BY ck
+  ORDER BY count(*) DESC, min(id) ASC LIMIT 1),
+mem{s} AS (SELECT id FROM {prev}, tgt{s} WHERE {prev}.ck = tgt{s}.ck),
+seedA{s} AS (SELECT min(id) AS aid FROM mem{s}),
+cA{s}_0 AS (SELECT term, w FROM mtx, seedA{s} WHERE mtx.id = aid),
+simA{s} AS (
+  SELECT mm.id, coalesce(sum(av.w * mv.w), 0.0) AS sim
+  FROM mem{s} mm
+  JOIN mtx mv ON mv.id = mm.id
+  LEFT JOIN cA{s}_0 av ON av.term = mv.term
+  GROUP BY mm.id),
+seedB{s} AS (SELECT id AS bid FROM simA{s} ORDER BY sim ASC, id ASC LIMIT 1),
+cB{s}_0 AS (SELECT term, w FROM mtx, seedB{s} WHERE mtx.id = bid)""")
+        for i in range(1, iters + 1):
+            ca, cb = f"cA{s}_{i - 1}", f"cB{s}_{i - 1}"
+            p.append(f"""as{s}_{i} AS (
+  SELECT mm.id, coalesce(xa.sv, 0.0) >= coalesce(xb.sv, 0.0) AS to_a
+  FROM mem{s} mm
+  LEFT JOIN (SELECT mv.id, sum(mv.w * c.w) AS sv
+             FROM mtx mv JOIN {ca} c USING (term) GROUP BY mv.id) xa
+    ON xa.id = mm.id
+  LEFT JOIN (SELECT mv.id, sum(mv.w * c.w) AS sv
+             FROM mtx mv JOIN {cb} c USING (term) GROUP BY mv.id) xb
+    ON xb.id = mm.id),
+rA{s}_{i} AS (SELECT mv.term,
+  sum(mv.w) / (SELECT count(*)::DOUBLE FROM as{s}_{i} WHERE to_a) AS w
+  FROM as{s}_{i} a JOIN mtx mv ON mv.id = a.id WHERE a.to_a GROUP BY mv.term),
+rB{s}_{i} AS (SELECT mv.term,
+  sum(mv.w) / (SELECT count(*)::DOUBLE FROM as{s}_{i} WHERE NOT to_a) AS w
+  FROM as{s}_{i} a JOIN mtx mv ON mv.id = a.id WHERE NOT a.to_a GROUP BY mv.term),
+cA{s}_{i} AS (SELECT term,
+  w / (SELECT greatest(sqrt(sum(w * w)), 1e-12) FROM rA{s}_{i}) AS w
+  FROM rA{s}_{i}),
+cB{s}_{i} AS (SELECT term,
+  w / (SELECT greatest(sqrt(sum(w * w)), 1e-12) FROM rB{s}_{i}) AS w
+  FROM rB{s}_{i})""")
+        last_as = f"as{s}_{iters}"
+        p.append(f"""ga{s} AS (SELECT id FROM {last_as} WHERE to_a),
+gb{s} AS (SELECT id FROM {last_as} WHERE NOT to_a),
+asg{s} AS (
+  SELECT pv.id,
+         CASE WHEN pv.id IN (SELECT id FROM ga{s})
+                THEN (SELECT min(id) FROM ga{s})
+              WHEN pv.id IN (SELECT id FROM gb{s})
+                THEN (SELECT min(id) FROM gb{s})
+              ELSE pv.ck END AS ck
+  FROM {prev} pv)""")
+    last = f"asg{k - 1}"
+    p.append(f"""sz AS (SELECT ck, count(*)::DOUBLE AS n FROM {last} GROUP BY ck),
+cm AS (SELECT a.ck, mv.term, sum(mv.w) / sz.n AS c
+       FROM {last} a JOIN mtx mv ON mv.id = a.id JOIN sz ON sz.ck = a.ck
+       GROUP BY a.ck, mv.term, sz.n),
+cnm AS (SELECT ck, greatest(sqrt(sum(c * c)), 1e-12) AS cn FROM cm GROUP BY ck),
+dotm AS (SELECT a.ck, a.id, sum(cm.c / cnm.cn * mv.w) AS dot
+         FROM {last} a JOIN mtx mv ON mv.id = a.id
+         JOIN cm ON cm.ck = a.ck AND cm.term = mv.term
+         JOIN cnm ON cnm.ck = a.ck
+         GROUP BY a.ck, a.id),
+sc AS (SELECT d.ck, avg(d.dot) * sz.n AS score
+       FROM dotm d JOIN sz ON sz.ck = d.ck GROUP BY d.ck, sz.n),
+lbl AS (SELECT ck, string_agg(term, ', ' ORDER BY rn) AS label
+        FROM (SELECT ck, term, c,
+                     row_number() OVER (PARTITION BY ck
+                       ORDER BY c DESC, term ASC) AS rn
+              FROM cm)
+        WHERE rn <= {label_terms} AND c > 0 GROUP BY ck),
+rk AS (SELECT sc.ck, coalesce(lbl.label, 'Other topics') AS label, sc.score,
+              CAST(row_number() OVER (
+                ORDER BY sc.score DESC,
+                         coalesce(lbl.label, 'Other topics') ASC) AS INT)
+                AS cluster_rank
+       FROM sc LEFT JOIN lbl USING (ck))""")
+    body = ",\n".join(p)
+    # MATERIALIZED stops DuckDB inlining each multiply-referenced CTE,
+    # which would otherwise blow the plan up exponentially down the
+    # split chain (and re-open the parquet once per inlined scan).
+    body = re.sub(r"(\w+) AS \(", r"\1 AS MATERIALIZED (", body)
+    return f"""
+WITH {body}
+SELECT a.id, rk.label, rk.cluster_rank,
+       {_sql_scaled('rk.score')} AS cluster_score_x10k
+FROM {last} a JOIN rk ON rk.ck = a.ck
+UNION ALL
+SELECT doc_id, 'Other topics', 0, 0 FROM win
+WHERE doc_id NOT IN (SELECT id FROM {last})
+ORDER BY cluster_rank, id
+"""
+
+
+CATALOG["bisecting_kmeans_window"].sql = _bisecting_kmeans_sql()
 
 
 # A&S 7.1.26 erf constants — shared verbatim with
@@ -8836,15 +9076,20 @@ def bicubic_day_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prefix of queries(), so never-yet-verified entries — including everything
 # new this round — are ordered FIRST to close the verification gap within a
 # round. The authoritative source is the union of all CORRECTNESS_r*.json
-# key sets present at the repo root (read at import time, so the set absorbs
+# reports present at the repo root (read at import time, so the set absorbs
 # each new round automatically); the hardcoded r01∪r02 set below is only the
 # fallback for deployments (spark-submit zips) where those files are absent.
+#
+# An entry counts as verified only if SOME round recorded a fully-green row
+# (rows+schema+hash all match, no err): a sampled-but-imperfect row (e.g. an
+# oracle type artifact, or an entry whose oracle landed after its sample)
+# must re-enter the rotation so the fix gets a green row on record.
 def _driver_verified_from_reports() -> frozenset[str]:
     import glob as _glob
     import json as _json
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    green: set[str] = set()
     found = False
     for path in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
@@ -8853,14 +9098,56 @@ def _driver_verified_from_reports() -> frozenset[str]:
         except (OSError, ValueError):
             continue
         if isinstance(report, dict):
-            seen.update(report.keys())
             found = True
-    return frozenset(seen) if found else _DRIVER_VERIFIED_FALLBACK
+            for name, row in report.items():
+                if (
+                    isinstance(row, dict)
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                    and not row.get("err")
+                ):
+                    green.add(name)
+    return frozenset(green) if found else _DRIVER_VERIFIED_FALLBACK
 
 
 # Entries the engine's charter leans on hardest: if still unverified, these
 # lead the unverified block so they land inside the driver's sample prefix.
 _FLAGSHIP_FIRST: tuple[str, ...] = (
+    # Round-5 priority block: the five imperfect driver rows (fixed oracles
+    # must re-sample to land a green row) ...
+    "frequency_table_quantity",
+    "bisecting_kmeans_window",
+    "lingo_clusters_window",
+    "ivf_ann_top10",
+    "text_logit_train",
+    # ... then the highest-value never-driver-verified entries, so the 16-21
+    # that inevitably miss a 50-entry sample are all low-stakes series tail.
+    "ltr_mart_rerank",
+    "ltr_linear_rerank",
+    "ltr_feature_log",
+    "synonym_query",
+    "synonym_phrase_query",
+    "payload_score",
+    "wand_payload_score",
+    "join_filter_customers",
+    "geodist_customers",
+    "bpe_merges_docs",
+    "bpe_encode_counts",
+    "perplexity_docs",
+    "dedup_keep_best",
+    "mixing_weights_sources",
+    "kmeans_embeddings",
+    "fuzzy_kmeans_embeddings",
+    "multi_kmeans_embeddings",
+    "block_join_parent",
+    "block_join_child",
+    "query_elevation",
+    "atomic_update_merge",
+    "maxscore_top10",
+    "graph_nodes_maxdf",
+    # Earlier rounds' flagship block (all verified by now; harmless no-ops
+    # here if so — the comprehension below filters to never-verified).
     "curation_pipeline",
     "cut_duplicate_spans_k8",
     "dbscan_embeddings",

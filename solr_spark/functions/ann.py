@@ -124,12 +124,21 @@ def lsh_topk(
 
 
 def train_centroids(
-    sample: np.ndarray, n_cells: int = 16, iters: int = 10, seed: int = 99
+    sample: np.ndarray, n_cells: int = 16, iters: int = 10,
+    seed: int | None = 99,
 ) -> np.ndarray:
-    """Plain Lloyd k-means on an in-memory sample (deterministic)."""
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(len(sample), size=n_cells, replace=False)
-    cents = sample[idx].astype(np.float64)
+    """Plain Lloyd k-means on an in-memory sample (deterministic).
+
+    ``seed=None`` seeds from the FIRST ``n_cells`` sample rows instead of
+    an RNG draw — fully replayable cross-engine (the ivf_ann_top10 oracle
+    unrolls the training run in SQL), at the usual k-means init-quality
+    tradeoff, which the recall tests bound either way."""
+    if seed is None:
+        cents = sample[:n_cells].astype(np.float64).copy()
+    else:
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(sample), size=n_cells, replace=False)
+        cents = sample[idx].astype(np.float64)
     for _ in range(iters):
         # cosine assignment on normalized vectors
         sims = sample @ cents.T

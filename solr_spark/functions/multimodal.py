@@ -66,16 +66,32 @@ def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
                     "image decode requires PIL/torchvision (not installed); "
                     "pass fake=True for the deterministic test decoder"
                 )
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                w, h, hist = _fake_decode(payload)
-                rows.append(
-                    (int(r["id"]), r["mime"], len(payload), w, h, hist.tolist())
+            k = len(pdf)
+            if k == 0:
+                yield pd.DataFrame(
+                    columns=["id", "mime", "n_bytes", "width", "height", "hist"]
                 )
+                continue
+            # Vectorized over the whole Arrow batch: one concat + one
+            # segment-indexed add for all histograms, no per-row loop.
+            payloads = [bytes(p) for p in pdf["payload"]]
+            n = np.fromiter(map(len, payloads), dtype=np.int64, count=k)
+            widths = 16 + (n % 64)
+            heights = 16 + ((n // 64) % 64)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8) >> 5
+            seg = np.repeat(np.arange(k), n)
+            hist2d = np.zeros((k, 8), dtype=np.float64)
+            np.add.at(hist2d, (seg, flat), 1.0)
+            hist2d /= np.maximum(1.0, hist2d.sum(axis=1, keepdims=True))
             yield pd.DataFrame(
-                rows,
-                columns=["id", "mime", "n_bytes", "width", "height", "hist"],
+                {
+                    "id": pdf["id"].astype("int64").to_numpy(),
+                    "mime": pdf["mime"].to_numpy(),
+                    "n_bytes": n.astype("int32"),
+                    "width": widths.astype("int32"),
+                    "height": heights.astype("int32"),
+                    "hist": hist2d.tolist(),
+                }
             )
 
     return df.mapInPandas(run, IMAGE_META_SCHEMA)

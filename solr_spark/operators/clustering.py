@@ -442,13 +442,19 @@ def bisecting_kmeans_clusters(
     max_df_frac: float = 0.8,
     label_terms: int = 3,
     max_iter: int = 20,
+    max_phrase: int = 1,
 ) -> DataFrame:
     """Bisecting k-means — the third clustering engine the reference's
     contrib ships (result-clustering.adoc: Lingo, STC, Bisecting K-Means;
     the algorithm is Steinbach/Karypis/Kumar, "A Comparison of Document
     Clustering Techniques", KDD 2000 workshop).
 
-    Doc vectors are unit tf-idf columns (same preprocessing as Lingo).
+    Doc vectors are unit tf-idf columns (same preprocessing as Lingo);
+    with ``max_phrase`` > 1 the feature space additionally includes
+    positional token n-grams (n ≤ ``max_phrase``) under the same df
+    bounds — Carrot2's preprocessing also feeds phrases into the vector
+    space, and on corpora with a small unigram vocabulary the phrases
+    carry all the df contrast.
     Starting from one all-docs cluster, the largest cluster is repeatedly
     split by 2-means until ``k_clusters`` exist. DETERMINISTIC
     initialization replaces Carrot2's random restarts: seed A = the
@@ -469,11 +475,29 @@ def bisecting_kmeans_clusters(
     toks = results.select(
         F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
     )
-    triples = (
-        toks.select("id", F.explode("toks").alias("term"))
-        .groupBy("id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    units = toks.select("id", F.explode("toks").alias("term"))
+    if max_phrase >= 2:
+        # single-arg lambda via factory: F.transform reads the callable's
+        # arity, so a two-parameter lambda would receive (element, index)
+        def _gram_fn(n: int):
+            return lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))
+
+        gram_arrays = [
+            F.transform(
+                F.when(
+                    F.size("toks") >= n,
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+                ).otherwise(F.array().cast("array<int>")),
+                _gram_fn(n),
+            )
+            for n in range(2, max_phrase + 1)
+        ]
+        grams = toks.select(
+            "id",
+            F.explode(F.flatten(F.array(*gram_arrays))).alias("term"),
+        ).where(F.col("term") != "")
+        units = units.unionByName(grams)
+    triples = units.groupBy("id", "term").agg(F.count("*").alias("tf"))
     tstats = triples.groupBy("term").agg(F.countDistinct("id").alias("df"))
     tstats = tstats.where(
         (F.col("df") >= min_df) & (F.col("df") <= int(max_df_frac * n_r))
