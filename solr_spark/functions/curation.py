@@ -61,26 +61,46 @@ def _run_stats(sorted_grams: Column) -> Column:
     fold over adjacent-equal runs. top = chars of the most frequent gram
     (ties to the longest — lexicographic (count, length) max, matching the
     former groupBy formulation); dup = chars of all grams with count > 1.
-    O(g) per row after the O(g log g) sort, zero shuffle."""
+    O(g) per row after the O(g log g) sort, zero shuffle.
+
+    CAPTURE-FREE fold: everything the step needs per position — same-as-
+    previous, previous length, current length — is precomputed into a pair
+    array that is the aggregate's INPUT. An earlier formulation indexed the
+    captured ``sorted_grams`` inside the lambda; that is fine while the
+    column is a bound attribute, but the moment a downstream filter (e.g.
+    ``where(gopher_repetition_keep(rep))``) is pushed through the
+    projections, Catalyst substitutes the full gram pipeline into the
+    lambda body and every element access re-evaluates it — O(g² log g)
+    per row, measured ~2 s/doc. Input expressions, by contrast, are
+    evaluated once per row no matter how they are inlined."""
     g = F.size(sorted_grams)
     empty = F.struct(
         F.lit(0).cast("long").alias("top_chars"),
         F.lit(0).cast("long").alias("dup_chars"),
     )
 
-    def elem_len(i):
-        return F.length(F.element_at(sorted_grams, i)).cast("long")
+    # pairs[i-1] for i in 2..g: (gram[i]==gram[i-1], len(gram[i-1]), len(gram[i]))
+    pairs = F.zip_with(
+        F.slice(sorted_grams, 1, g - 1),
+        F.slice(sorted_grams, 2, g - 1),
+        lambda prev, cur: F.struct(
+            (cur == prev).alias("same"),
+            F.length(prev).cast("long").alias("lp"),
+            F.length(cur).cast("long").alias("lc"),
+        ),
+    )
 
     init = F.struct(
         F.lit(1).cast("long").alias("run"),
         F.lit(0).cast("long").alias("bc"),   # best run count so far
         F.lit(0).cast("long").alias("bg"),   # its gram char length
         F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("ll"),   # length of the last gram seen
     )
 
-    def step(acc, i):
-        same = F.element_at(sorted_grams, i) == F.element_at(sorted_grams, i - 1)
-        glp = elem_len(i - 1)
+    def step(acc, p):
+        same = p["same"]
+        glp = p["lp"]
         better = (acc["run"] > acc["bc"]) | (
             (acc["run"] == acc["bc"]) & (glp > acc["bg"])
         )
@@ -89,6 +109,7 @@ def _run_stats(sorted_grams: Column) -> Column:
             F.struct(
                 (acc["run"] + 1).alias("run"), acc["bc"].alias("bc"),
                 acc["bg"].alias("bg"), acc["dup"].alias("dup"),
+                p["lc"].alias("ll"),
             ),
         ).otherwise(
             F.struct(
@@ -97,11 +118,12 @@ def _run_stats(sorted_grams: Column) -> Column:
                 F.when(better, glp).otherwise(acc["bg"]).alias("bg"),
                 (acc["dup"] + F.when(acc["run"] > 1, acc["run"] * glp)
                  .otherwise(F.lit(0).cast("long"))).alias("dup"),
+                p["lc"].alias("ll"),
             )
         )
 
     def finish(acc):
-        gll = elem_len(g)  # close the final run
+        gll = acc["ll"]  # close the final run (length of gram[g])
         better = (acc["run"] > acc["bc"]) | (
             (acc["run"] == acc["bc"]) & (gll > acc["bg"])
         )
@@ -112,9 +134,9 @@ def _run_stats(sorted_grams: Column) -> Column:
              .otherwise(F.lit(0).cast("long"))).alias("dup_chars"),
         )
 
-    folded = F.aggregate(F.sequence(F.lit(2), g), init, step, finish)
+    folded = F.aggregate(pairs, init, step, finish)
     single = F.struct(
-        elem_len(F.lit(1)).alias("top_chars"),
+        F.length(F.element_at(sorted_grams, 1)).cast("long").alias("top_chars"),
         F.lit(0).cast("long").alias("dup_chars"),
     )
     return F.when(g >= 2, folded).when(g == 1, single).otherwise(empty)
@@ -438,7 +460,7 @@ def pack_concat(
 
 
 def unigram_perplexity(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame, text_col: str, id_col: str, persist_tf: bool = False
 ) -> DataFrame:
     """CCNet-style model-based quality signal (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data"):
@@ -453,12 +475,26 @@ def unigram_perplexity(
     Distributed shape: one (doc, term) aggregation (map-side combine), the
     model table derives from IT by a term aggregation, and the scoring
     join is term-keyed — at 100 TB the model table is vocabulary-sized and
-    usually broadcastable; nothing ever funnels."""
+    usually broadcastable; nothing ever funnels.
+
+    The model fit, the vocabulary total, and the scoring side all descend
+    from the (doc, term) tf frame — three scan branches in the static
+    plan, which AQE's exchange reuse collapses at runtime (the tf shuffle
+    is built once and ReusedExchange feeds the other branches, so the
+    corpus is scanned/tokenized once per action). That lazy default is
+    the right call at 100 TB: nothing is pinned, and a re-run is a cheap
+    columnar scan. ``persist_tf=True`` materializes the tf frame eagerly
+    instead (localCheckpoint, same GC-managed lifetime policy as
+    dbscan's), guaranteeing the single tokenization independent of AQE
+    and across multiple downstream actions — the right call for mid-sized
+    corpora that are re-queried."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens_col(F.col(text_col))).alias("term"),
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    if persist_tf:
+        tf = tf.localCheckpoint(eager=True)
     model = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
     total = model.agg(F.sum("ctf").alias("t"))
     model = model.crossJoin(F.broadcast(total)).select(

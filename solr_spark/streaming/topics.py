@@ -37,15 +37,18 @@ def topic_stream(
     schema: str,
     fmt: str = "parquet",
     predicate=None,
+    max_files_per_trigger: int = 8,
 ) -> DataFrame:
     """Incremental reader over a growing table directory (the `topic`).
 
     Each trigger sees only files appended since the checkpoint — the same
-    contract as TopicStream's version checkpointing, minus the HTTP."""
+    contract as TopicStream's version checkpointing, minus the HTTP.
+    ``max_files_per_trigger=1`` gives one micro-batch per appended file
+    (the shape the cross-batch dedup-store tests drive)."""
     stream = (
         spark.readStream.format(fmt)
         .schema(schema)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(source_dir)
     )
     return stream.where(predicate) if predicate is not None else stream

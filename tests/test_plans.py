@@ -456,3 +456,35 @@ def test_perplexity_and_keep_best_never_funnel(spark):
     assert "BatchEvalPython" not in plan
     assert "windowspecdefinition" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_perplexity_persist_tf_single_scan(spark, tmp_path_factory):
+    """unigram_perplexity's static plan re-reads the corpus per branch
+    (model fit / vocab total / scoring); AQE exchange reuse collapses that
+    at runtime. persist_tf=True materializes the (doc, term) tf frame
+    once, so the plan holds NO file scan at all (ExistingRDD reads of the
+    checkpoint) regardless of AQE — and the values are identical."""
+    from solr_spark.functions.curation import unigram_perplexity
+
+    d = str(tmp_path_factory.mktemp("ppl") / "docs")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i % 7} tok{i % 3}")
+         for i in range(100)],
+        "doc_id int, text string",
+    ).write.parquet(d)
+    docs = spark.read.parquet(d)
+
+    lazy = unigram_perplexity(docs, "text", "doc_id")
+    got2 = {r.id: (r.n_tokens, round(r.perplexity, 9))
+            for r in lazy.collect()}
+    fin = lazy._jdf.queryExecution().executedPlan().toString()
+    assert fin.count("ReusedExchange") >= 1  # tf shuffle built once
+
+    onescan = unigram_perplexity(docs, "text", "doc_id", persist_tf=True)
+    plan1 = onescan._jdf.queryExecution().executedPlan().toString()
+    assert plan1.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan1
+
+    got1 = {r.id: (r.n_tokens, round(r.perplexity, 9))
+            for r in onescan.collect()}
+    assert got1 == got2

@@ -223,3 +223,123 @@ def test_sessionize_stream_late_event_clamps_bounds(spark, tmp_path_factory):
     assert r["session_end"] == t0 + pd.Timedelta(minutes=20)
     assert r["n_events"] == 3 and abs(r["total_value"] - 7.0) < 1e-9
     assert r["session_start"] <= r["session_end"]
+
+
+# --- streaming curation: gopher filter + minhash dedup vs a stored
+# signature store, across micro-batch boundaries (SURVEY §10(c); the
+# reference analogue is the update/commit stream contract,
+# solrj io/stream/UpdateStream.java: sink a tuple stream into a
+# collection with batched commits — here the "collection" is the
+# dedup signature store and each micro-batch is one commit).
+
+
+def _curate_step(batch_df, store_sigs):
+    """One curation micro-batch: gopher-repetition keep filter, minhash
+    signatures, LSH dedup against the store. Returns (decisions rows,
+    fresh signature DataFrame to append to the store). Shared verbatim by
+    the streaming sink and the batch-loop oracle so the assertion isolates
+    the STREAMING plumbing (store persistence, checkpointing, boundaries).
+    """
+    from solr_spark.functions.curation import (
+        gopher_repetition,
+        gopher_repetition_keep,
+    )
+    from solr_spark.functions.dedup import incremental_lsh_dedup, minhash_signatures
+
+    rep = gopher_repetition(batch_df, "text", "doc_id")
+    keep = rep.select("id", gopher_repetition_keep(rep).alias("keep"))
+    kept_ids = {r.id for r in keep.where("keep").collect()}
+    all_ids = {r.id for r in keep.collect()}
+    kept = batch_df.where(F.col("doc_id").isin(list(kept_ids)))
+    sigs = minhash_signatures(kept, "text", "doc_id")
+    if store_sigs is not None:
+        dup_ids = {
+            r.id for r in incremental_lsh_dedup(sigs, store_sigs).collect()
+        }
+    else:
+        dup_ids = set()
+    decisions = [
+        (i, "dropped_quality") for i in sorted(all_ids - kept_ids)
+    ] + [
+        (i, "dropped_dup" if i in dup_ids else "kept")
+        for i in sorted(kept_ids)
+    ]
+    fresh = sigs.where(~F.col("id").isin(list(dup_ids))) if dup_ids else sigs
+    return decisions, fresh
+
+
+def test_streaming_curation_dedup_matches_batch(spark, docs, tmp_path_factory):
+    """foreachBatch micro-batches running gopher+minhash against a STORED
+    signature store must make the same keep/drop decisions as the same
+    steps run as a plain batch loop — including duplicates whose original
+    arrived in an EARLIER micro-batch (the store crossing the boundary)."""
+    from solr_spark.streaming.topics import topic_stream
+
+    base = docs.where(F.col("doc_id") < 300).select("doc_id", "text")
+    recrawl = (
+        base.where(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    chunks = [
+        base.where(F.col("doc_id") < 100),
+        base.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)),
+        base.where(F.col("doc_id") >= 200).unionByName(recrawl),
+    ]
+    feed = str(tmp_path_factory.mktemp("curation") / "feed")
+    os.makedirs(feed, exist_ok=True)
+    for ch in chunks:
+        ch.coalesce(1).write.mode("append").parquet(feed)
+        time.sleep(1.2)  # distinct mod-times -> deterministic batch order
+
+    store_dir = str(tmp_path_factory.mktemp("curation") / "sig_store")
+    ckpt = str(tmp_path_factory.mktemp("curation") / "ckpt")
+    streamed: list[tuple[int, str]] = []
+    batch_ids: list[list[int]] = []
+
+    def sink(bdf, bid):
+        ss = bdf.sparkSession
+        store = (
+            ss.read.parquet(store_dir) if os.path.isdir(store_dir) else None
+        )
+        decisions, fresh = _curate_step(bdf, store)
+        streamed.extend(decisions)
+        batch_ids.append(sorted(r.doc_id for r in bdf.select("doc_id").collect()))
+        fresh.coalesce(1).write.mode("append").parquet(store_dir)
+
+    q = daemon_query(
+        topic_stream(spark, feed, "doc_id long, text string",
+                     max_files_per_trigger=1),
+        sink, ckpt,
+    )
+    q.awaitTermination(300)
+
+    assert len(batch_ids) >= 2, "needs >1 micro-batch to cross a boundary"
+    assert sum(len(b) for b in batch_ids) == 350
+
+    # Batch-loop oracle over the SAME batches in the SAME order, with an
+    # in-memory store instead of the streamed parquet one.
+    alldf = base.unionByName(recrawl)
+    expected: list[tuple[int, str]] = []
+    store = None
+    for ids in batch_ids:
+        bdf = alldf.where(F.col("doc_id").isin(ids))
+        decisions, fresh = _curate_step(bdf, store)
+        expected.extend(decisions)
+        fresh = fresh.localCheckpoint(eager=True)
+        store = fresh if store is None else store.unionByName(fresh)
+
+    assert sorted(streamed) == sorted(expected)
+
+    # The boundary was genuinely exercised: every recrawl copy whose
+    # original landed a signature in an earlier batch is flagged a dup.
+    streamed_map = dict(streamed)
+    orig_sig_ids = {
+        i for i, s in streamed_map.items() if i < 50 and s == "kept"
+    }
+    copies_flagged = {
+        i - 100000
+        for i, s in streamed_map.items()
+        if i >= 100000 and s == "dropped_dup"
+    }
+    assert orig_sig_ids, "no originals survived curation - test data too thin"
+    assert orig_sig_ids <= copies_flagged
