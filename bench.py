@@ -312,6 +312,64 @@ def main() -> None:
     del _IDX_CACHE[(id(spark), sf1_dir)]
     shutil.rmtree(sf1_dir, ignore_errors=True)
 
+    # ------------------------------------------------------------------
+    # 100x growth-rate series (VERDICT r4 task #8): a SECOND decade —
+    # documents replicated 100x (sf10-class, 500k docs at the default
+    # sf0.1) through the tightest representative subset: both index
+    # builds, one BM25 probe per path, and the two heaviest pipeline
+    # jobs. Single-run growth probe like the 10x series. Skippable with
+    # SPARK_GRAFT_SF10=0 when iterating locally.
+    # ------------------------------------------------------------------
+    timings_sf10: dict[str, float] = {}
+    sf10_stats: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
+        sf10_dir = f"/tmp/solr_spark_bench_sf10_{os.getpid()}"
+        shutil.rmtree(sf10_dir, ignore_errors=True)
+        os.makedirs(sf10_dir)
+        rep = spark.range(100).select(F.col("id").alias("rep"))
+        (docs.crossJoin(rep)
+             .select((F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+                     "text", "lang", "source", "n_chars")
+             .repartition(128)
+             .write.mode("overwrite").parquet(f"{sf10_dir}/documents.parquet"))
+        docs10 = spark.read.parquet(f"{sf10_dir}/documents.parquet")
+        n10 = docs10.count()
+
+        t0 = time.perf_counter()
+        idx10 = build_index(docs10, id_col="doc_id", text_col="text",
+                            analyzer="simple")
+        _materialize_index(idx10)
+        sf10_stats["sf10_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        terms = sorted(set(analyze("spark join data", "simple")))
+        t0 = time.perf_counter()
+        bm25_topk(idx10, terms, k=10, quantize_norms=False).collect()
+        timings_sf10["bm25_3term"] = round(time.perf_counter() - t0, 3)
+        idx10.postings.unpersist()
+        idx10.doclens.unpersist()
+
+        phys10_dir = f"{sf10_dir}/phys"
+        t0 = time.perf_counter()
+        build_index_dir(docs10, phys10_dir, n_partitions=64,
+                        analyzer="simple", id_col="doc_id", text_col="text")
+        sf10_stats["sf10_phys_build_sec"] = round(time.perf_counter() - t0, 3)
+        ix10 = open_index(spark, phys10_dir)
+        t0 = time.perf_counter()
+        ix10.topk("spark join data", k=10).collect()
+        timings_sf10["wand_bm25_3term"] = round(time.perf_counter() - t0, 3)
+
+        for name, job in [("gopher_repetition_full", _gopher_job),
+                          ("minhash_sigs_full", _minhash_job)]:
+            t0 = time.perf_counter()
+            job(docs10)
+            timings_sf10[name] = round(time.perf_counter() - t0, 3)
+
+        sf10_stats["sf10_n_docs"] = n10
+        sf10_stats["sf10_docs_per_sec"] = round(
+            n10 / sf10_stats["sf10_index_build_sec"], 1)
+        sf10_stats["sf10_phys_docs_per_sec"] = round(
+            n10 / sf10_stats["sf10_phys_build_sec"], 1)
+        shutil.rmtree(sf10_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -345,6 +403,9 @@ def main() -> None:
                 "sf1_docs_per_sec": round(n1 / sf1_build_sec, 1),
                 "sf1_phys_build_sec": round(sf1_phys_build_sec, 3),
                 "sf1_phys_docs_per_sec": round(n1 / sf1_phys_build_sec, 1),
+                # 100x growth-rate series (single-run second decade)
+                "queries_sf10": timings_sf10,
+                **sf10_stats,
             }
         )
     )
