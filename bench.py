@@ -89,6 +89,31 @@ def timed_build(docs, positions: bool = True, runs: int = RUNS):
     return idx, best
 
 
+def _timed(fn):
+    """(elapsed seconds unrounded, result) — growth-series single runs."""
+    t0 = time.perf_counter()
+    r = fn()
+    return time.perf_counter() - t0, r
+
+
+def _replicate_docs(spark, docs, n_docs: int, factor: int, n_parts: int,
+                    out_dir: str):
+    """Replicate the documents table ``factor``x with deterministic doc_id
+    remapping, write to ``out_dir``/documents.parquet, return
+    (replicated DataFrame, row count). Shared by both growth-rate decades
+    so the corpora scale identically."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    rep = spark.range(factor).select(F.col("id").alias("rep"))
+    (docs.crossJoin(rep)
+         .select((F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+                 "text", "lang", "source", "n_chars")
+         .repartition(n_parts)
+         .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
+    d = spark.read.parquet(f"{out_dir}/documents.parquet")
+    return d, d.count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -252,27 +277,20 @@ def main() -> None:
     # docs at the default sf0.1). Representative subset, single run each.
     # ------------------------------------------------------------------
     sf1_dir = f"/tmp/solr_spark_bench_sf1_{os.getpid()}"
-    shutil.rmtree(sf1_dir, ignore_errors=True)
-    os.makedirs(sf1_dir)
-    rep = spark.range(10).select(F.col("id").alias("rep"))
-    (docs.crossJoin(rep)
-         .select((F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
-                 "text", "lang", "source", "n_chars")
-         .repartition(64)
-         .write.mode("overwrite").parquet(f"{sf1_dir}/documents.parquet"))
+    docs1, n1 = _replicate_docs(spark, docs, n_docs, 10, 64, sf1_dir)
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "embeddings"]:
         src = f"{sf_dir}/{t}.parquet"
         if os.path.exists(src):
             os.symlink(os.path.abspath(src), f"{sf1_dir}/{t}.parquet")
-    docs1 = spark.read.parquet(f"{sf1_dir}/documents.parquet")
-    n1 = docs1.count()
 
-    t0 = time.perf_counter()
-    idx1 = build_index(docs1, id_col="doc_id", text_col="text",
-                       analyzer="simple")
-    _materialize_index(idx1)
-    sf1_build_sec = time.perf_counter() - t0
+    def _build1():
+        idx = build_index(docs1, id_col="doc_id", text_col="text",
+                          analyzer="simple")
+        _materialize_index(idx)
+        return idx
+
+    sf1_build_sec, idx1 = _timed(_build1)
     n1_corpus, avgdl1 = idx1.corpus_stats()
     _IDX_CACHE[(id(spark), sf1_dir)] = (idx1, n1_corpus, avgdl1)
 
@@ -324,50 +342,42 @@ def main() -> None:
     sf10_stats: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
         sf10_dir = f"/tmp/solr_spark_bench_sf10_{os.getpid()}"
-        shutil.rmtree(sf10_dir, ignore_errors=True)
-        os.makedirs(sf10_dir)
-        rep = spark.range(100).select(F.col("id").alias("rep"))
-        (docs.crossJoin(rep)
-             .select((F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
-                     "text", "lang", "source", "n_chars")
-             .repartition(128)
-             .write.mode("overwrite").parquet(f"{sf10_dir}/documents.parquet"))
-        docs10 = spark.read.parquet(f"{sf10_dir}/documents.parquet")
-        n10 = docs10.count()
+        docs10, n10 = _replicate_docs(spark, docs, n_docs, 100, 128, sf10_dir)
 
-        t0 = time.perf_counter()
-        idx10 = build_index(docs10, id_col="doc_id", text_col="text",
-                            analyzer="simple")
-        _materialize_index(idx10)
-        sf10_stats["sf10_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        def _build10():
+            idx = build_index(docs10, id_col="doc_id", text_col="text",
+                              analyzer="simple")
+            _materialize_index(idx)
+            return idx
+
+        sf10_build_sec, idx10 = _timed(_build10)
+        sf10_stats["sf10_index_build_sec"] = round(sf10_build_sec, 3)
         terms = sorted(set(analyze("spark join data", "simple")))
-        t0 = time.perf_counter()
-        bm25_topk(idx10, terms, k=10, quantize_norms=False).collect()
-        timings_sf10["bm25_3term"] = round(time.perf_counter() - t0, 3)
+        sec, _ = _timed(lambda: bm25_topk(idx10, terms, k=10,
+                                          quantize_norms=False).collect())
+        timings_sf10["bm25_3term"] = round(sec, 3)
         idx10.postings.unpersist()
         idx10.doclens.unpersist()
 
         phys10_dir = f"{sf10_dir}/phys"
-        t0 = time.perf_counter()
-        build_index_dir(docs10, phys10_dir, n_partitions=64,
-                        analyzer="simple", id_col="doc_id", text_col="text")
-        sf10_stats["sf10_phys_build_sec"] = round(time.perf_counter() - t0, 3)
+        sf10_phys_sec, _ = _timed(
+            lambda: build_index_dir(docs10, phys10_dir, n_partitions=64,
+                                    analyzer="simple", id_col="doc_id",
+                                    text_col="text"))
+        sf10_stats["sf10_phys_build_sec"] = round(sf10_phys_sec, 3)
         ix10 = open_index(spark, phys10_dir)
-        t0 = time.perf_counter()
-        ix10.topk("spark join data", k=10).collect()
-        timings_sf10["wand_bm25_3term"] = round(time.perf_counter() - t0, 3)
+        sec, _ = _timed(lambda: ix10.topk("spark join data", k=10).collect())
+        timings_sf10["wand_bm25_3term"] = round(sec, 3)
 
         for name, job in [("gopher_repetition_full", _gopher_job),
                           ("minhash_sigs_full", _minhash_job)]:
-            t0 = time.perf_counter()
-            job(docs10)
-            timings_sf10[name] = round(time.perf_counter() - t0, 3)
+            sec, _ = _timed(lambda: job(docs10))
+            timings_sf10[name] = round(sec, 3)
 
         sf10_stats["sf10_n_docs"] = n10
-        sf10_stats["sf10_docs_per_sec"] = round(
-            n10 / sf10_stats["sf10_index_build_sec"], 1)
-        sf10_stats["sf10_phys_docs_per_sec"] = round(
-            n10 / sf10_stats["sf10_phys_build_sec"], 1)
+        # docs/sec from the UNROUNDED seconds, same as the 10x decade
+        sf10_stats["sf10_docs_per_sec"] = round(n10 / sf10_build_sec, 1)
+        sf10_stats["sf10_phys_docs_per_sec"] = round(n10 / sf10_phys_sec, 1)
         shutil.rmtree(sf10_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)

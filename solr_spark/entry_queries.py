@@ -19,7 +19,6 @@ reordering across engines/parallelism cannot flip which rows are returned.
 from __future__ import annotations
 
 import os
-import re
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -5590,44 +5589,48 @@ def _bisecting_kmeans_sql(
     reaches its fixed point at 2 on this data; extra iterations are
     idempotent)."""
     max_df = int(0.8 * n_win)
-    p = [f"""win AS (SELECT doc_id, text FROM documents
+    # Every CTE is written AS MATERIALIZED inline: DuckDB would otherwise
+    # inline each multiply-referenced CTE, blowing the plan up
+    # exponentially down the split chain (and re-opening the parquet once
+    # per inlined scan).
+    p = [f"""win AS MATERIALIZED (SELECT doc_id, text FROM documents
         ORDER BY n_chars DESC, doc_id LIMIT {n_win}),
-tok AS (SELECT doc_id,
+tok AS MATERIALIZED (SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                            x -> x <> '') AS l
         FROM win),
-u AS (SELECT doc_id AS id, unnest(l) AS term FROM tok
+u AS MATERIALIZED (SELECT doc_id AS id, unnest(l) AS term FROM tok
       UNION ALL
       SELECT doc_id, array_to_string(l[i:i+1], ' ')
       FROM tok, unnest(range(1, greatest(len(l) - 1, 0) + 1)) t(i)),
-tfq AS (SELECT id, term, count(*)::DOUBLE AS tf FROM u GROUP BY id, term),
-dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term
+tfq AS MATERIALIZED (SELECT id, term, count(*)::DOUBLE AS tf FROM u GROUP BY id, term),
+dfq AS MATERIALIZED (SELECT term, count(*) AS df FROM tfq GROUP BY term
         HAVING count(*) >= 2 AND count(*) <= {max_df}),
-w0 AS (SELECT tfq.id, tfq.term, tfq.tf * ln({float(n_win)} / dfq.df) AS w
+w0 AS MATERIALIZED (SELECT tfq.id, tfq.term, tfq.tf * ln({float(n_win)} / dfq.df) AS w
        FROM tfq JOIN dfq USING (term)),
-dnz AS (SELECT id, CASE WHEN sqrt(sum(w * w)) = 0 THEN 1.0
+dnz AS MATERIALIZED (SELECT id, CASE WHEN sqrt(sum(w * w)) = 0 THEN 1.0
                         ELSE sqrt(sum(w * w)) END AS nz
         FROM w0 GROUP BY id),
-mtx AS (SELECT w0.id, w0.term, w0.w / dnz.nz AS w FROM w0 JOIN dnz USING (id)),
-asg0 AS (SELECT DISTINCT id, (SELECT min(id) FROM mtx) AS ck FROM mtx)"""]
+mtx AS MATERIALIZED (SELECT w0.id, w0.term, w0.w / dnz.nz AS w FROM w0 JOIN dnz USING (id)),
+asg0 AS MATERIALIZED (SELECT DISTINCT id, (SELECT min(id) FROM mtx) AS ck FROM mtx)"""]
     for s in range(1, k):
         prev = f"asg{s - 1}"
-        p.append(f"""tgt{s} AS (SELECT ck FROM {prev} GROUP BY ck
+        p.append(f"""tgt{s} AS MATERIALIZED (SELECT ck FROM {prev} GROUP BY ck
   ORDER BY count(*) DESC, min(id) ASC LIMIT 1),
-mem{s} AS (SELECT id FROM {prev}, tgt{s} WHERE {prev}.ck = tgt{s}.ck),
-seedA{s} AS (SELECT min(id) AS aid FROM mem{s}),
-cA{s}_0 AS (SELECT term, w FROM mtx, seedA{s} WHERE mtx.id = aid),
-simA{s} AS (
+mem{s} AS MATERIALIZED (SELECT id FROM {prev}, tgt{s} WHERE {prev}.ck = tgt{s}.ck),
+seedA{s} AS MATERIALIZED (SELECT min(id) AS aid FROM mem{s}),
+cA{s}_0 AS MATERIALIZED (SELECT term, w FROM mtx, seedA{s} WHERE mtx.id = aid),
+simA{s} AS MATERIALIZED (
   SELECT mm.id, coalesce(sum(av.w * mv.w), 0.0) AS sim
   FROM mem{s} mm
   JOIN mtx mv ON mv.id = mm.id
   LEFT JOIN cA{s}_0 av ON av.term = mv.term
   GROUP BY mm.id),
-seedB{s} AS (SELECT id AS bid FROM simA{s} ORDER BY sim ASC, id ASC LIMIT 1),
-cB{s}_0 AS (SELECT term, w FROM mtx, seedB{s} WHERE mtx.id = bid)""")
+seedB{s} AS MATERIALIZED (SELECT id AS bid FROM simA{s} ORDER BY sim ASC, id ASC LIMIT 1),
+cB{s}_0 AS MATERIALIZED (SELECT term, w FROM mtx, seedB{s} WHERE mtx.id = bid)""")
         for i in range(1, iters + 1):
             ca, cb = f"cA{s}_{i - 1}", f"cB{s}_{i - 1}"
-            p.append(f"""as{s}_{i} AS (
+            p.append(f"""as{s}_{i} AS MATERIALIZED (
   SELECT mm.id, coalesce(xa.sv, 0.0) >= coalesce(xb.sv, 0.0) AS to_a
   FROM mem{s} mm
   LEFT JOIN (SELECT mv.id, sum(mv.w * c.w) AS sv
@@ -5636,22 +5639,22 @@ cB{s}_0 AS (SELECT term, w FROM mtx, seedB{s} WHERE mtx.id = bid)""")
   LEFT JOIN (SELECT mv.id, sum(mv.w * c.w) AS sv
              FROM mtx mv JOIN {cb} c USING (term) GROUP BY mv.id) xb
     ON xb.id = mm.id),
-rA{s}_{i} AS (SELECT mv.term,
+rA{s}_{i} AS MATERIALIZED (SELECT mv.term,
   sum(mv.w) / (SELECT count(*)::DOUBLE FROM as{s}_{i} WHERE to_a) AS w
   FROM as{s}_{i} a JOIN mtx mv ON mv.id = a.id WHERE a.to_a GROUP BY mv.term),
-rB{s}_{i} AS (SELECT mv.term,
+rB{s}_{i} AS MATERIALIZED (SELECT mv.term,
   sum(mv.w) / (SELECT count(*)::DOUBLE FROM as{s}_{i} WHERE NOT to_a) AS w
   FROM as{s}_{i} a JOIN mtx mv ON mv.id = a.id WHERE NOT a.to_a GROUP BY mv.term),
-cA{s}_{i} AS (SELECT term,
+cA{s}_{i} AS MATERIALIZED (SELECT term,
   w / (SELECT greatest(sqrt(sum(w * w)), 1e-12) FROM rA{s}_{i}) AS w
   FROM rA{s}_{i}),
-cB{s}_{i} AS (SELECT term,
+cB{s}_{i} AS MATERIALIZED (SELECT term,
   w / (SELECT greatest(sqrt(sum(w * w)), 1e-12) FROM rB{s}_{i}) AS w
   FROM rB{s}_{i})""")
         last_as = f"as{s}_{iters}"
-        p.append(f"""ga{s} AS (SELECT id FROM {last_as} WHERE to_a),
-gb{s} AS (SELECT id FROM {last_as} WHERE NOT to_a),
-asg{s} AS (
+        p.append(f"""ga{s} AS MATERIALIZED (SELECT id FROM {last_as} WHERE to_a),
+gb{s} AS MATERIALIZED (SELECT id FROM {last_as} WHERE NOT to_a),
+asg{s} AS MATERIALIZED (
   SELECT pv.id,
          CASE WHEN pv.id IN (SELECT id FROM ga{s})
                 THEN (SELECT min(id) FROM ga{s})
@@ -5660,35 +5663,31 @@ asg{s} AS (
               ELSE pv.ck END AS ck
   FROM {prev} pv)""")
     last = f"asg{k - 1}"
-    p.append(f"""sz AS (SELECT ck, count(*)::DOUBLE AS n FROM {last} GROUP BY ck),
-cm AS (SELECT a.ck, mv.term, sum(mv.w) / sz.n AS c
+    p.append(f"""sz AS MATERIALIZED (SELECT ck, count(*)::DOUBLE AS n FROM {last} GROUP BY ck),
+cm AS MATERIALIZED (SELECT a.ck, mv.term, sum(mv.w) / sz.n AS c
        FROM {last} a JOIN mtx mv ON mv.id = a.id JOIN sz ON sz.ck = a.ck
        GROUP BY a.ck, mv.term, sz.n),
-cnm AS (SELECT ck, greatest(sqrt(sum(c * c)), 1e-12) AS cn FROM cm GROUP BY ck),
-dotm AS (SELECT a.ck, a.id, sum(cm.c / cnm.cn * mv.w) AS dot
+cnm AS MATERIALIZED (SELECT ck, greatest(sqrt(sum(c * c)), 1e-12) AS cn FROM cm GROUP BY ck),
+dotm AS MATERIALIZED (SELECT a.ck, a.id, sum(cm.c / cnm.cn * mv.w) AS dot
          FROM {last} a JOIN mtx mv ON mv.id = a.id
          JOIN cm ON cm.ck = a.ck AND cm.term = mv.term
          JOIN cnm ON cnm.ck = a.ck
          GROUP BY a.ck, a.id),
-sc AS (SELECT d.ck, avg(d.dot) * sz.n AS score
+sc AS MATERIALIZED (SELECT d.ck, avg(d.dot) * sz.n AS score
        FROM dotm d JOIN sz ON sz.ck = d.ck GROUP BY d.ck, sz.n),
-lbl AS (SELECT ck, string_agg(term, ', ' ORDER BY rn) AS label
+lbl AS MATERIALIZED (SELECT ck, string_agg(term, ', ' ORDER BY rn) AS label
         FROM (SELECT ck, term, c,
                      row_number() OVER (PARTITION BY ck
                        ORDER BY c DESC, term ASC) AS rn
               FROM cm)
         WHERE rn <= {label_terms} AND c > 0 GROUP BY ck),
-rk AS (SELECT sc.ck, coalesce(lbl.label, 'Other topics') AS label, sc.score,
+rk AS MATERIALIZED (SELECT sc.ck, coalesce(lbl.label, 'Other topics') AS label, sc.score,
               CAST(row_number() OVER (
                 ORDER BY sc.score DESC,
                          coalesce(lbl.label, 'Other topics') ASC) AS INT)
                 AS cluster_rank
        FROM sc LEFT JOIN lbl USING (ck))""")
     body = ",\n".join(p)
-    # MATERIALIZED stops DuckDB inlining each multiply-referenced CTE,
-    # which would otherwise blow the plan up exponentially down the
-    # split chain (and re-open the parquet once per inlined scan).
-    body = re.sub(r"(\w+) AS \(", r"\1 AS MATERIALIZED (", body)
     return f"""
 WITH {body}
 SELECT a.id, rk.label, rk.cluster_rank,

@@ -31,6 +31,33 @@ from solr_spark.functions.dedup import tokens_col
 OTHER_LABEL = "Other topics"
 
 
+def gram_arrays(n_lo: int, n_hi: int, toks: str = "toks") -> list:
+    """Positional token n-gram columns over a token-array column: one
+    array column per n in [n_lo, n_hi], each holding every space-joined
+    n-gram of ``toks`` in position order (Carrot2's preprocessing feeds
+    phrases into the vector space alongside unigrams). Shared by all
+    three clustering engines; callers flatten/explode per their own
+    distinctness semantics."""
+
+    def _gram_fn(n: int):
+        # one-arg lambda via factory: pyspark HOFs treat a second lambda
+        # parameter as the array index, so `lambda i, n=n:` must not be used
+        return lambda i: F.concat_ws(" ", F.slice(F.col(toks), i, n))
+
+    return [
+        F.transform(
+            # sequence(1, 0) would yield [1, 0] — emit an empty index list
+            # for docs shorter than n tokens
+            F.when(
+                F.size(toks) >= n,
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            ).otherwise(F.array().cast("array<int>")),
+            _gram_fn(n),
+        )
+        for n in range(n_lo, n_hi + 1)
+    ]
+
+
 def cluster_results(
     results: DataFrame,
     text_col: str,
@@ -144,27 +171,10 @@ def stc_clusters(
     toks = results.select(
         F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
     )
-    def _gram_fn(n: int):
-        # one-arg lambda via factory: pyspark HOFs treat a second lambda
-        # parameter as the array index, so `lambda i, n=n:` must not be used
-        return lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))
-
-    gram_arrays = [
-        F.transform(
-            # sequence(1, 0) would yield [1, 0] — emit an empty index list
-            # for docs shorter than n tokens
-            F.when(
-                F.size("toks") >= n,
-                F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
-            ).otherwise(F.array().cast("array<int>")),
-            _gram_fn(n),
-        )
-        for n in range(1, max_phrase + 1)
-    ]
     grams = toks.select(
         "id",
         F.explode(
-            F.array_distinct(F.flatten(F.array(*gram_arrays)))
+            F.array_distinct(F.flatten(F.array(*gram_arrays(1, max_phrase))))
         ).alias("phrase"),
     ).where(F.col("phrase") != "")
     plen = F.size(F.split(F.col("phrase"), " "))
@@ -318,24 +328,11 @@ def lingo_clusters(
         .collect()
     )
 
-    def _gram_fn(n: int):
-        return lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))
-
-    gram_arrays = [
-        F.transform(
-            F.when(
-                F.size("toks") >= n,
-                F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
-            ).otherwise(F.array().cast("array<int>")),
-            _gram_fn(n),
-        )
-        for n in range(2, max_phrase + 1)
-    ]
     phrase_rows = (
         toks.select(
             "id",
             F.explode(
-                F.array_distinct(F.flatten(F.array(*gram_arrays)))
+                F.array_distinct(F.flatten(F.array(*gram_arrays(2, max_phrase))))
             ).alias("phrase"),
         )
         .where(F.col("phrase") != "")
@@ -477,24 +474,11 @@ def bisecting_kmeans_clusters(
     )
     units = toks.select("id", F.explode("toks").alias("term"))
     if max_phrase >= 2:
-        # single-arg lambda via factory: F.transform reads the callable's
-        # arity, so a two-parameter lambda would receive (element, index)
-        def _gram_fn(n: int):
-            return lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))
-
-        gram_arrays = [
-            F.transform(
-                F.when(
-                    F.size("toks") >= n,
-                    F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
-                ).otherwise(F.array().cast("array<int>")),
-                _gram_fn(n),
-            )
-            for n in range(2, max_phrase + 1)
-        ]
         grams = toks.select(
             "id",
-            F.explode(F.flatten(F.array(*gram_arrays))).alias("term"),
+            F.explode(F.flatten(F.array(*gram_arrays(2, max_phrase)))).alias(
+                "term"
+            ),
         ).where(F.col("term") != "")
         units = units.unionByName(grams)
     triples = units.groupBy("id", "term").agg(F.count("*").alias("tf"))

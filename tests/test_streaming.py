@@ -248,8 +248,9 @@ def _curate_step(batch_df, store_sigs):
 
     rep = gopher_repetition(batch_df, "text", "doc_id")
     keep = rep.select("id", gopher_repetition_keep(rep).alias("keep"))
-    kept_ids = {r.id for r in keep.where("keep").collect()}
-    all_ids = {r.id for r in keep.collect()}
+    keep_rows = keep.collect()  # one action: the gopher agg runs once
+    kept_ids = {r.id for r in keep_rows if r.keep}
+    all_ids = {r.id for r in keep_rows}
     kept = batch_df.where(F.col("doc_id").isin(list(kept_ids)))
     sigs = minhash_signatures(kept, "text", "doc_id")
     if store_sigs is not None:
