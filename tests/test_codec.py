@@ -63,6 +63,94 @@ def test_varbyte_extremes():
     assert vb_decode(b"").size == 0
 
 
+def test_property_full_codec_roundtrip():
+    """Hypothesis sweep over the whole encode/decode surface: arbitrary
+    posting-list shapes (gap extremes, block-boundary sizes, tf spreads)
+    round-trip postings + positions + payloads exactly, and every block's
+    impact metadata matches a brute-force recomputation. Complements the
+    fixed-seed tests above with generated edge shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from solr_spark.index.codec import decode_payloads, decode_positions
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        gaps=st.lists(
+            st.integers(min_value=1, max_value=2**40), min_size=1, max_size=300
+        ),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        max_tf=st.integers(min_value=1, max_value=40),
+    )
+    def check(gaps, seed, max_tf):
+        rng = np.random.default_rng(seed)
+        ords = np.cumsum(np.asarray(gaps, dtype=np.int64)) - 1
+        n = ords.size
+        tfs = rng.integers(1, max_tf + 1, size=n).astype(np.int64)
+        norms = rng.integers(0, 256, size=n).astype(np.uint8)
+        pls = [
+            np.sort(rng.choice(10**6, int(t), replace=False)).astype(np.int64)
+            for t in tfs
+        ]
+        flat_pos = np.concatenate(pls)
+        pays = rng.standard_normal(flat_pos.size).astype(np.float32)
+
+        enc = encode_postings(ords, tfs, norms, positions=flat_pos,
+                              payloads=pays)
+        o2, t2 = decode_postings(enc.gaps, enc.tfs)
+        assert np.array_equal(o2, ords) and np.array_equal(t2, tfs)
+        assert enc.df == n and enc.ttf == tfs.sum()
+
+        f2, starts = decode_positions(enc.poss, t2)
+        assert np.array_equal(f2, flat_pos)
+        p2, pstarts = decode_payloads(enc.pays, t2)
+        assert np.array_equal(p2, pays) and np.array_equal(pstarts, starts)
+
+        nb = enc.block_first_ord.size
+        assert nb == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+        for b in range(nb):
+            lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, n)
+            assert enc.block_max_tf[b] == tfs[lo:hi].max()
+            assert enc.block_min_norm[b] == norms[lo:hi].min()
+            assert enc.block_first_ord[b] == ords[lo]
+            assert enc.block_last_ord[b] == ords[hi - 1]
+        # Every block decodes standalone through its byte offsets.
+        sel = np.arange(nb, dtype=np.int64)
+        ob, tb = decode_blocks(
+            enc.gaps, enc.tfs, sel, enc.block_first_ord,
+            enc.block_gap_off, enc.block_tf_off, enc.df,
+        )
+        assert np.array_equal(ob, ords) and np.array_equal(tb, tfs)
+
+    check()
+
+
+def test_property_varbyte_roundtrip():
+    """Hypothesis sweep of the variable-byte primitive across the full
+    uint64 range, including 0, byte-length boundaries, and 2**63+."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.integers(min_value=0, max_value=2**64 - 1),
+                st.sampled_from(
+                    [0, 1, 127, 128, 16383, 16384, 2**32 - 1, 2**32,
+                     2**63 - 1, 2**63, 2**64 - 1]
+                ),
+            ),
+            max_size=200,
+        )
+    )
+    def check(vals):
+        arr = np.asarray(vals, dtype=np.uint64)
+        assert np.array_equal(vb_decode(vb_encode(arr)), arr)
+
+    check()
+
+
 def test_positions_roundtrip():
     import numpy as np
 
