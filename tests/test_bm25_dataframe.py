@@ -69,6 +69,29 @@ def test_smallfloat_roundtrip():
         assert quantize_length(quantize_length(i)) == quantize_length(i)
 
 
+def test_smallfloat_property_sweep():
+    """Hypothesis sweep of the SmallFloat norm codec over the full doc-length
+    range: round-trip lands on the quantization grid at or below the input,
+    quantization is idempotent, and encode is monotone on arbitrary pairs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        i=st.integers(min_value=0, max_value=2**31 - 1),
+        j=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(i, j):
+        q = quantize_length(i)
+        assert 0 <= q <= i
+        assert byte4_to_int(int_to_byte4(i)) == q
+        assert quantize_length(q) == q
+        lo, hi = sorted((i, j))
+        assert int_to_byte4(lo) <= int_to_byte4(hi)
+
+    check()
+
+
 def test_sha256_invariant(spark):
     """Per-row sha256(content) equality input vs index docs table."""
     import hashlib

@@ -172,6 +172,33 @@ def test_distributed_prefix_sum_matches_sequential(spark):
         run += nt
 
 
+@pytest.mark.parametrize("n_buckets", [1, 2, 7, 64])
+def test_distributed_prefix_sum_buckets_dupes_negatives(spark, n_buckets):
+    """The scale primitive behind ks/mannWhitney/packing, swept across bucket
+    counts (incl. the degenerate single bucket), DUPLICATE order keys broken
+    by a tiebreak column, negative keys, and a skewed key distribution."""
+    import random
+
+    from solr_spark.functions.curation import distributed_prefix_sum
+
+    rng = random.Random(n_buckets)
+    # Skew: half the rows land on 10 hot keys, half spread wide (some < 0).
+    rows = []
+    for t in range(300):
+        k = rng.choice(range(10)) if t % 2 else rng.randint(-5000, 5000)
+        rows.append((k, t, rng.randint(1, 99)))
+    df = spark.createDataFrame(rows, "k long, t long, nt long").repartition(8)
+    out = distributed_prefix_sum(
+        df, "nt", "k", tiebreak="t", n_buckets=n_buckets
+    )
+    got = {(r["k"], r["t"]): (r["cumsum"], r["cumsum_before"])
+           for r in out.collect()}
+    run = 0
+    for k, t, nt in sorted(rows):
+        assert got[(k, t)] == (run + nt, run)
+        run += nt
+
+
 def test_distributed_prefix_sum_empty(spark):
     from solr_spark.functions.curation import distributed_prefix_sum
 
