@@ -54,6 +54,42 @@ def test_simple_tokenize_matches_sql_semantics():
     assert simple_tokenize("") == []
 
 
+def test_simple_tokenizer_jvm_python_parity(spark):
+    """The 'simple' analyzer has two independent implementations — the
+    Python chain (`simple_tokenize`) and the JVM column expression
+    (`tokens_col`) the index build actually runs. They must agree token-
+    for-token, or a query analyzed in Python would miss postings built in
+    the JVM. Swept over adversarial unicode: case-mapping edge cases
+    (Turkish İ, ß, final sigma), full-width digits, emoji, combining
+    marks, length-255 boundaries, and empty/whitespace-only inputs.
+
+    Known ORACLE-side caveat pinned here, not a bug: DuckDB's lower()
+    simple-folds 'İ' to 'i' while Python/JVM full case mapping yields
+    'i' + U+0307 (which then splits) — the synthetic corpora contain no
+    such codepoints, so SQL oracles are unaffected."""
+    import pyspark.sql.functions as F
+
+    from solr_spark.functions.dedup import tokens_col
+
+    cases = [
+        "", " ", "Hello, World_x 42!", "a" * 300, "ÀÉÎÕÜ çß İı",
+        "ΣΙΣΥΦΟΣ σίσυφος", "ＦＵＬＬｗｉｄｔｈ１２３", "emoji 🎉 mix42",
+        "tab\tnew\nline", "'quoted' \"dq\"",
+        "CamelCase kebab-case snake_case", "12,345.67 3.14e10",
+        "mixedМИР世界abc", "a0b1c2", "---", "0", "null", "None",
+        "İSTANBUL istanbul", "ß SS ss", "x" * 255 + "!" + "y" * 10,
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: list(r["toks"])
+        for r in df.select("i", tokens_col(F.col("t")).alias("toks")).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i] == simple_tokenize(s), repr(s)
+
+
 # Published Porter test vocabulary spot checks (tartarus vocabulary).
 PORTER_GOLDENS = [
     ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
