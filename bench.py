@@ -380,6 +380,55 @@ def main() -> None:
         sf10_stats["sf10_phys_docs_per_sec"] = round(n10 / sf10_phys_sec, 1)
         shutil.rmtree(sf10_dir, ignore_errors=True)
 
+    # ------------------------------------------------------------------
+    # 1000x growth-rate series: a THIRD decade (5M docs at the default
+    # sf0.1) through the same representative subset. OPT-IN via
+    # SPARK_GRAFT_SF100=1 — it adds ~10 min, so per-round driver runs
+    # keep their two-decade default; the recorded three-decade evidence
+    # lives in tools/ + BASELINE.md.
+    # ------------------------------------------------------------------
+    timings_sf100: dict[str, float] = {}
+    sf100_stats: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SF100", "0") == "1":
+        sf100_dir = f"/tmp/solr_spark_bench_sf100_{os.getpid()}"
+        docs100, n100 = _replicate_docs(spark, docs, n_docs, 1000, 256,
+                                        sf100_dir)
+
+        def _build100():
+            idx = build_index(docs100, id_col="doc_id", text_col="text",
+                              analyzer="simple")
+            _materialize_index(idx)
+            return idx
+
+        sf100_build_sec, idx100 = _timed(_build100)
+        sf100_stats["sf100_index_build_sec"] = round(sf100_build_sec, 3)
+        terms = sorted(set(analyze("spark join data", "simple")))
+        sec, _ = _timed(lambda: bm25_topk(idx100, terms, k=10,
+                                          quantize_norms=False).collect())
+        timings_sf100["bm25_3term"] = round(sec, 3)
+        idx100.postings.unpersist()
+        idx100.doclens.unpersist()
+
+        phys100_dir = f"{sf100_dir}/phys"
+        sf100_phys_sec, _ = _timed(
+            lambda: build_index_dir(docs100, phys100_dir, n_partitions=128,
+                                    analyzer="simple", id_col="doc_id",
+                                    text_col="text"))
+        sf100_stats["sf100_phys_build_sec"] = round(sf100_phys_sec, 3)
+        ix100 = open_index(spark, phys100_dir)
+        sec, _ = _timed(lambda: ix100.topk("spark join data", k=10).collect())
+        timings_sf100["wand_bm25_3term"] = round(sec, 3)
+
+        for name, job in [("gopher_repetition_full", _gopher_job),
+                          ("minhash_sigs_full", _minhash_job)]:
+            sec, _ = _timed(lambda: job(docs100))
+            timings_sf100[name] = round(sec, 3)
+
+        sf100_stats["sf100_n_docs"] = n100
+        sf100_stats["sf100_docs_per_sec"] = round(n100 / sf100_build_sec, 1)
+        sf100_stats["sf100_phys_docs_per_sec"] = round(n100 / sf100_phys_sec, 1)
+        shutil.rmtree(sf100_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -416,6 +465,10 @@ def main() -> None:
                 # 100x growth-rate series (single-run second decade)
                 "queries_sf10": timings_sf10,
                 **sf10_stats,
+                # 1000x third decade (opt-in SPARK_GRAFT_SF100=1; empty
+                # dict on default runs)
+                "queries_sf100": timings_sf100,
+                **sf100_stats,
             }
         )
     )
