@@ -127,7 +127,13 @@ def parse_date_math(expr: str, now: datetime | None = None) -> datetime:
         else:
             if not num:
                 raise ValueError(f"{op}{unit_s} needs a count in {expr!r}")
-            t = _add(t, int(num) if op == "+" else -int(num), unit)
+            try:
+                t = _add(t, int(num) if op == "+" else -int(num), unit)
+            except OverflowError as e:
+                # timedelta/datetime overflow on absurd counts: surface the
+                # same typed error as every other malformed expression so
+                # callers have ONE exception contract (ValueError).
+                raise ValueError(f"date math count out of range in {expr!r}") from e
     if pos != len(rest.strip()):
         raise ValueError(f"trailing junk in date math {expr!r}")
     return t
