@@ -13,10 +13,12 @@ All published heuristics, re-expressed as distributed DataFrame plans:
 
 Execution shapes (the 100 TB question):
 
-- ``gopher_repetition`` is fully in-row: per n, sort the doc's gram
-  array and fold adjacent-equal runs with one aggregate() — zero
-  shuffle, O(g log g) per doc, no Python. (See the function docstring
-  for why this beats the explode+groupBy formulation ~6x.)
+- ``gopher_repetition`` is fully in-row: per n, sort the doc's HASHED
+  gram array (struct<h,l> from once-per-doc token hashes — no gram
+  strings are ever materialized) and fold adjacent-equal runs with one
+  aggregate() — zero shuffle, O(g log g) per doc, no Python. (See the
+  function docstring for why this beats the explode+groupBy formulation
+  ~6x and the string-gram formulation's GC wall.)
 - ``gopher_quality`` and ``c4_line_filter`` are pure JVM higher-order
   expressions per row: zero shuffle, zero Python.
 - ``pii_scrub`` is regexp_replace chains — JVM, zero shuffle.
@@ -46,21 +48,48 @@ DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 _STOPWORDS = LANG_PROFILES["en"]  # Gopher's rule needs >=2 of a small list
 
 
-def _grams_plain(toks: Column, n: int) -> Column:
-    """array<string> of space-joined n-grams of ``toks`` (empty when the
-    doc is shorter than n tokens)."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.array().cast("array<string>"))
+def _gram_structs(th: Column, tl: Column, n: int) -> Column:
+    """array<struct<h:long, l:long>> of the doc's n-grams, given the
+    per-token hash array ``th`` (xxhash64 of each token, computed ONCE per
+    doc) and the per-token char-length array ``tl``. ``h`` combines the n
+    member token hashes with one variadic xxhash64 (order-dependent,
+    64-bit); ``l`` is the char length the space-joined gram WOULD have
+    (sum of token lengths + n-1 separators) — the value every downstream
+    fraction is measured in.
+
+    This is the allocation-light replacement for materialized gram
+    strings: per position it is n primitive element_at reads + one
+    codegen hash, no string building, and the per-n arrays it feeds to
+    array_sort compare as two longs instead of byte strings. Two DISTINCT
+    grams of a doc merge only on a 64-bit hash collision AND equal char
+    length (< g²/2⁶⁴ per doc — at 10⁹ docs of 10³ grams, ~10⁻⁷ expected
+    merges corpus-wide); the DuckDB oracle checks the real string
+    semantics, so any merge would surface as a value mismatch."""
+    idx = F.sequence(F.lit(0), F.size(th) - n)
+
+    def mk(i: Column) -> Column:
+        hs = [F.element_at(th, i + j + 1) for j in range(n)]
+        h = F.xxhash64(*hs) if n > 1 else hs[0]
+        length = F.element_at(tl, i + 1)
+        for j in range(1, n):
+            length = length + F.element_at(tl, i + j + 1)
+        if n > 1:
+            length = length + F.lit(n - 1)
+        return F.struct(h.alias("h"), length.cast("long").alias("l"))
+
+    return F.when(F.size(th) >= n, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<struct<h:bigint,l:bigint>>")
+    )
 
 
 def _run_stats(sorted_grams: Column) -> Column:
-    """struct<top_chars,dup_chars> over a SORTED gram array: one aggregate()
-    fold over adjacent-equal runs. top = chars of the most frequent gram
+    """struct<top_chars,dup_chars> over a SORTED array<struct<h,l>> of
+    hashed grams: one aggregate() fold over adjacent-equal runs (equal =
+    same hash AND same length). top = chars of the most frequent gram
     (ties to the longest — lexicographic (count, length) max, matching the
-    former groupBy formulation); dup = chars of all grams with count > 1.
+    former groupBy formulation; the max over runs is order-independent,
+    so hash ordering vs lexicographic ordering cannot change it); dup =
+    chars of all grams with count > 1.
     O(g) per row after the O(g log g) sort, zero shuffle.
 
     CAPTURE-FREE fold: everything the step needs per position — same-as-
@@ -84,9 +113,9 @@ def _run_stats(sorted_grams: Column) -> Column:
         F.slice(sorted_grams, 1, g - 1),
         F.slice(sorted_grams, 2, g - 1),
         lambda prev, cur: F.struct(
-            (cur == prev).alias("same"),
-            F.length(prev).cast("long").alias("lp"),
-            F.length(cur).cast("long").alias("lc"),
+            ((cur["h"] == prev["h"]) & (cur["l"] == prev["l"])).alias("same"),
+            prev["l"].alias("lp"),
+            cur["l"].alias("lc"),
         ),
     )
 
@@ -136,7 +165,7 @@ def _run_stats(sorted_grams: Column) -> Column:
 
     folded = F.aggregate(pairs, init, step, finish)
     single = F.struct(
-        F.length(F.element_at(sorted_grams, 1)).cast("long").alias("top_chars"),
+        F.element_at(sorted_grams, 1)["l"].alias("top_chars"),
         F.lit(0).cast("long").alias("dup_chars"),
     )
     return F.when(g >= 2, folded).when(g == 1, single).otherwise(empty)
@@ -165,11 +194,17 @@ def gopher_repetition(
     exploded grams into a (id, n, gram) groupBy; with mostly-unique grams
     the partial aggregation bought nothing and the double shuffle moved
     every gram string twice — this shape measured ~6x faster at sf0.1 and
-    scales per-doc.) Three chained projections keep every reused array a
-    BOUND column: a higher-order lambda re-evaluates captured
-    subexpressions per element, so folding over grams built inline from
-    tokens_col(text) would re-run the regex tokenization once per gram
-    (measured 5x slower before counting the shuffles).
+    scales per-doc.) Grams are HASHED, never materialized as strings:
+    tokens are xxhash64'd once per doc and each of the 9 per-n gram arrays
+    is struct<h,l> built from primitive reads of the two long arrays —
+    the string formulation allocated ~Σn copies of the document text per
+    row and its GC pressure was the one super-linear reading in the 1000×
+    growth series (see _gram_structs for the collision bound). Chained
+    projections keep every reused array a BOUND column: a higher-order
+    lambda re-evaluates captured subexpressions per element, so folding
+    over grams built inline from tokens_col(text) would re-run the regex
+    tokenization once per gram (measured 5x slower before counting the
+    shuffles).
     """
     all_ns = sorted(set(top_ns) | set(dup_ns))
     toked = df.select(
@@ -177,21 +212,47 @@ def gopher_repetition(
         F.length(F.col(text_col)).cast("double").alias("nc"),
         tokens_col(F.col(text_col)).alias("_ts"),
     )
-    ts = F.col("_ts")
-    sorted_grams = toked.select(
+    # Hash + measure every token ONCE; every per-n gram array is built from
+    # these two long arrays (primitive element_at reads, no string building).
+    hashed = toked.select(
         "id", "nc",
-        *[F.array_sort(_grams_plain(ts, n)).alias(f"_g{n}") for n in all_ns],
+        F.transform(F.col("_ts"), lambda t: F.xxhash64(t)).alias("_th"),
+        F.transform(F.col("_ts"), lambda t: F.length(t).cast("long")).alias("_tl"),
+    )
+    th, tl = F.col("_th"), F.col("_tl")
+    sorted_grams = hashed.select(
+        "id", "nc",
+        *[F.array_sort(_gram_structs(th, tl, n)).alias(f"_g{n}") for n in all_ns],
     )
     stats = sorted_grams.select(
         "id", "nc",
         *[_run_stats(F.col(f"_g{n}")).alias(f"_s{n}") for n in all_ns],
     )
     safe_nc = F.greatest(F.col("nc"), F.lit(1.0))
+
+    # Pushdown barrier: a filter on the signal columns (the universal
+    # `where(gopher_repetition_keep(rep))` shape) must NOT be pushed through
+    # these projections — PushDownPredicates substitutes the full gram
+    # pipeline into the condition, and element_at on a substituted array
+    # re-evaluates the token-hash transform PER ELEMENT (O(g²) per row;
+    # measured 45 s for 100 docs — even the old string formulation paid 47×
+    # here). Wrapping each fraction in a non-deterministic no-op keeps the
+    # filter above this projection, so signals are computed once per row and
+    # rows drop immediately after — strictly better at any scale, since the
+    # condition is derived (never a parquet-pushable predicate anyway).
+    # Filters that touch only `id` still push down: column pruning removes
+    # the guarded fractions first, leaving a deterministic projection.
+    # (`rand() > -1` would be folded away — Spark 4 knows rand's range —
+    # but rand() is never NaN, so this guard is an exact no-op the
+    # optimizer keeps.)
+    def guarded(expr: Column) -> Column:
+        return F.when(F.isnan(F.rand(7)), F.lit(None)).otherwise(expr)
+
     return stats.select(
         "id",
-        *[(F.col(f"_s{n}.top_chars") / safe_nc).alias(f"top_frac_{n}")
+        *[guarded(F.col(f"_s{n}.top_chars") / safe_nc).alias(f"top_frac_{n}")
           for n in top_ns],
-        *[(F.col(f"_s{n}.dup_chars") / safe_nc).alias(f"dup_frac_{n}")
+        *[guarded(F.col(f"_s{n}.dup_chars") / safe_nc).alias(f"dup_frac_{n}")
           for n in dup_ns],
     )
 
