@@ -156,6 +156,43 @@ def test_curation_plan_shapes(spark):
     assert plan.count("split(") == 1            # tokenization runs ONCE
 
 
+def test_gopher_repetition_keep_filter_stays_above_signal_projection(spark):
+    """Regression: the universal `where(gopher_repetition_keep(rep))` shape
+    must NOT be pushed through the signal projections. PushDownPredicates
+    substitutes the full gram pipeline into the condition, and element_at
+    on a substituted array re-evaluates the token-hash transform PER
+    ELEMENT — O(g²) per row (measured 45 s for 100 docs before the
+    non-deterministic guard in gopher_repetition pinned the filter above
+    the projection)."""
+    df = spark.createDataFrame([(0, "a b c a b c d e f g h i j")],
+                               "doc_id long, text string")
+    rep = gopher_repetition(df, "text", "doc_id")
+    q = rep.where(gopher_repetition_keep(rep))
+    opt = q._jdf.queryExecution().optimizedPlan().toString()
+    # Filter on top, condition referencing only the projected fraction
+    # attributes — never a substituted copy of the gram pipeline.
+    assert opt.lstrip().startswith("Filter")
+    # one token-hash transform + one combine per gram level; the pushdown
+    # blowup duplicated this >100x (1144 occurrences at 9 levels)
+    assert opt.count("xxhash64") <= 12
+
+
+def test_gopher_repetition_unused_signals_are_pruned(spark):
+    """The guard must stay surgical: an aggregate touching two signals
+    prunes the other seven gram pipelines (column pruning still removes
+    guarded-but-unreferenced fractions)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0, "a b c a b c d e f g h i j")],
+                               "doc_id long, text string")
+    agg = gopher_repetition(df, "text", "doc_id").agg(
+        F.sum("top_frac_2"), F.sum("dup_frac_10"))
+    opt = agg._jdf.queryExecution().optimizedPlan().toString()
+    assert set(re.findall(r"_g(\d+)#", opt)) == {"2", "10"}
+
+
 def test_distributed_prefix_sum_matches_sequential(spark):
     import random
 
