@@ -35,6 +35,46 @@ def test_gopher_repetition_hand_computed(spark):
         assert r2[f"dup_frac_{n}"] == 0.0
 
 
+def test_gopher_repetition_matches_bruteforce_random(spark):
+    """Randomized parity vs a pure-Python reference over STRING grams:
+    locks the hashed-gram representation (struct<h,l> built from token
+    hashes) to the published string semantics — most-frequent-gram chars
+    with (count, length) tie-break, and duplicated-gram chars — on docs
+    drawn from a tiny alphabet so gram repetition is heavy."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(20260819)
+    vocab = ["a", "bb", "ccc", "dd", "e", "fff", "gg"]
+    rows = []
+    for i in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r.asDict()
+           for r in gopher_repetition(df, "text", "doc_id").collect()}
+
+    for i, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        nc = max(len(text), 1.0)
+        for n in range(2, 11):
+            grams = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            counts = Counter(grams)
+            if counts:
+                best_c, best_l = max(
+                    (c, len(g)) for g, c in counts.items())
+                top = best_c * best_l
+                dup = sum(c * len(g) for g, c in counts.items() if c > 1)
+            else:
+                top = dup = 0
+            if n in (2, 3, 4):
+                assert got[i][f"top_frac_{n}"] == pytest.approx(
+                    top / nc, abs=1e-12), (i, n)
+            if n >= 5:
+                assert got[i][f"dup_frac_{n}"] == pytest.approx(
+                    dup / nc, abs=1e-12), (i, n)
+
+
 def test_gopher_repetition_short_and_empty_docs_survive(spark):
     df = spark.createDataFrame(
         [(0, "a b"), (1, "")], "doc_id long, text string")
