@@ -187,7 +187,11 @@ def main() -> None:
     # Training-data pipeline headliners over the FULL documents table
     # (the catalog entries slice to doc_id < 60 for oracle hashing; the
     # bench times the whole-corpus scan shapes).
-    from solr_spark.functions.curation import gopher_repetition, pack_concat
+    from solr_spark.functions.curation import (
+        gopher_repetition,
+        gopher_repetition_keep,
+        pack_concat,
+    )
     from solr_spark.functions.dedup import minhash_signatures
     from solr_spark.functions.textstats import chunk_tokens
 
@@ -195,6 +199,13 @@ def main() -> None:
         gopher_repetition(d, "text", "doc_id").agg(
             F.sum("top_frac_2"), F.sum("dup_frac_10")
         ).collect()
+
+    def _gopher_keep_job(d):
+        # the real pipeline shape: ALL nine signals + the Table A1 keep
+        # filter (exercises the pushdown barrier — this shape was O(g²)/row
+        # before it and could not finish at corpus scale)
+        rep = gopher_repetition(d, "text", "doc_id")
+        rep.where(gopher_repetition_keep(rep)).count()
 
     def _pack_job(d):
         chunks = chunk_tokens(d, "text", "doc_id", size=64, overlap=0) \
@@ -209,6 +220,7 @@ def main() -> None:
         ).collect()
 
     timings["gopher_repetition_full"] = best_of(lambda: _gopher_job(docs))
+    timings["gopher_keep_full"] = best_of(lambda: _gopher_keep_job(docs))
     timings["pack_chunks_full"] = best_of(lambda: _pack_job(docs))
     timings["minhash_sigs_full"] = best_of(lambda: _minhash_job(docs))
 
