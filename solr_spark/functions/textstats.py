@@ -118,12 +118,12 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     """Winnowing-style document fingerprint: the ``n_mins`` smallest distinct
     hashed n-gram shingles (a stable, order-free sketch; equal fingerprints
     => near-identical content). Returned as a '-'-joined string key."""
-    from solr_spark.functions.dedup import shingle_hashes
+    from solr_spark.functions.dedup import _tokens_bound, shingles_from_tokens
 
-    sh = shingle_hashes(F.col(text_col), n)
+    sh = shingles_from_tokens(F.col("_tk"), n)
     mins = F.slice(F.array_sort(sh), 1, n_mins)
-    return df.select(
-        F.col(id_col).alias("id"),
+    return _tokens_bound(df, text_col, F.col(id_col).alias("id")).select(
+        "id",
         F.concat_ws("-", F.transform(mins, lambda v: v.cast("string"))).alias(
             "fingerprint"
         ),
@@ -152,7 +152,15 @@ def chunk_tokens(
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
     stride = size - overlap
-    toks = tokens_col(F.col(text_col))  # the shared 'simple' tokenization
+    # Bind the tokenization in its own projection: the chunk transform
+    # slices ``toks`` INSIDE its lambda, and a captured inline tokenization
+    # expression would re-run once per chunk (O(n²/stride) on long docs).
+    # As a bound attribute the array is materialized once per row.
+    df = df.select(
+        F.col(id_col).alias(id_col),
+        tokens_col(F.col(text_col)).alias("_tk"),
+    )
+    toks = F.col("_tk")  # the shared 'simple' tokenization, bound
     n = F.size(toks)
     # chunk starts: 0, stride, 2*stride, ..., last = ceil((n-size)/stride)
     # (clamped to >= 0) so the tail never spills past the token list
