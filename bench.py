@@ -125,6 +125,18 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
 
+    # The sf testdata tables are single row-group parquet files, which Spark
+    # cannot split: the scan is ONE partition and every pre-shuffle map stage
+    # (gopher signals, minhash signatures, chunking) would run on one core —
+    # a small-file artifact, not an engine property. A corpus at this
+    # engine's target scale arrives as many splittable files, so stage-1
+    # parallelism is given there; repartition once (outside every timed
+    # region, like the sf1/sf10 replicas which are written pre-partitioned)
+    # to restore that property on the bench box.
+    n_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    docs = docs.repartition(n_cores).persist()
+    docs.count()
+
     # Steady-state warmup (same rationale as tools/bench_scaling.py): the
     # first Spark job of a fresh JVM pays codegen + shuffle-service +
     # Python-worker-pool startup (~7-9 s) that a long-lived cluster never

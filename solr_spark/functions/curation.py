@@ -82,6 +82,28 @@ def _gram_structs(th: Column, tl: Column, n: int) -> Column:
     )
 
 
+# Cache of the per-n (sorted-gram, run-stats) column pair. Both expressions
+# are pure functions of n and the FIXED internal names (_th/_tl/_gn), and a
+# pyspark Column is an immutable unresolved expression tree that can be bound
+# into any number of plans — but BUILDING one costs ~200 py4j round-trips per
+# n (measured 1.8 s for the 9-signal set, dominating the job at bench scale).
+# The cache makes every warm gopher_repetition call skip that entirely. The
+# cached JVM objects live in the process-wide py4j gateway, which survives
+# SparkSession restarts within a process.
+_GOPHER_N_COLS: dict[int, "tuple[Column, Column]"] = {}
+
+
+def _gopher_n_cols(n: int) -> "tuple[Column, Column]":
+    hit = _GOPHER_N_COLS.get(n)
+    if hit is None:
+        gram = F.array_sort(
+            _gram_structs(F.col("_th"), F.col("_tl"), n)
+        ).alias(f"_g{n}")
+        stat = _run_stats(F.col(f"_g{n}")).alias(f"_s{n}")
+        hit = _GOPHER_N_COLS[n] = (gram, stat)
+    return hit
+
+
 def _run_stats(sorted_grams: Column) -> Column:
     """struct<top_chars,dup_chars> over a SORTED array<struct<h,l>> of
     hashed grams: one aggregate() fold over adjacent-equal runs (equal =
@@ -219,15 +241,9 @@ def gopher_repetition(
         F.transform(F.col("_ts"), lambda t: F.xxhash64(t)).alias("_th"),
         F.transform(F.col("_ts"), lambda t: F.length(t).cast("long")).alias("_tl"),
     )
-    th, tl = F.col("_th"), F.col("_tl")
-    sorted_grams = hashed.select(
-        "id", "nc",
-        *[F.array_sort(_gram_structs(th, tl, n)).alias(f"_g{n}") for n in all_ns],
-    )
-    stats = sorted_grams.select(
-        "id", "nc",
-        *[_run_stats(F.col(f"_g{n}")).alias(f"_s{n}") for n in all_ns],
-    )
+    per_n = [_gopher_n_cols(n) for n in all_ns]
+    sorted_grams = hashed.select("id", "nc", *[g for g, _ in per_n])
+    stats = sorted_grams.select("id", "nc", *[s for _, s in per_n])
     safe_nc = F.greatest(F.col("nc"), F.lit(1.0))
 
     # Pushdown barrier: a filter on the signal columns (the universal
