@@ -86,6 +86,24 @@ def test_gopher_repetition_short_and_empty_docs_survive(spark):
     assert rows[1]["dup_frac_10"] == 0.0
 
 
+def test_gopher_repetition_cached_columns_are_plan_independent(spark):
+    """The per-n signal columns are built once and shared across calls
+    (curation._gopher_n_cols). A pyspark Column is an immutable unresolved
+    tree, so binding the SAME object into two different plans must yield
+    independent, correct results — this guards the cache against any
+    future mutation of the shared objects (e.g. in-place alias tricks)."""
+    a = spark.createDataFrame(
+        [(0, "x y x y x y x y")], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(7, "p q r s t u v w")], "doc_id long, text string")
+    ra = gopher_repetition(a, "text", "doc_id").collect()[0].asDict()
+    rb = gopher_repetition(b, "text", "doc_id").collect()[0].asDict()
+    ra2 = gopher_repetition(a, "text", "doc_id").collect()[0].asDict()
+    assert ra == ra2                       # warm call identical to first
+    assert ra["top_frac_2"] > 0.5          # "x y" repeats
+    assert rb["top_frac_2"] < 0.5 and rb["dup_frac_5"] == 0.0  # all-unique
+
+
 def test_gopher_repetition_keep_thresholds(spark):
     repetitive = " ".join(["the cat sat on the mat"] * 10)
     clean = " ".join(f"tok{i}" for i in range(200))
