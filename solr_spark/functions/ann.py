@@ -22,9 +22,42 @@ All distances run in float64 JVM expressions — no Python in the scan path.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _lit_vec(values) -> Column:
+    """array<double> literal in ONE py4j call. The per-element
+    ``F.array(*[F.lit(x) ...])`` form costs ~dim py4j round-trips per vector
+    and dominated the kmeans-family driver time (dim=64, k centroids, every
+    iteration — measured 33x slower to build; SURVEY §11c). ``repr`` emits
+    the shortest exactly-round-tripping decimal for a Python float and the
+    ``D`` suffix pins DoubleType, so the literal is bit-identical to the
+    F.lit form (equality-tested). Non-finite values fall back to the
+    per-element form (SQL literals cannot spell inf/nan)."""
+    vs = [float(v) for v in values]
+    if vs and all(math.isfinite(v) for v in vs):
+        return F.expr("array(" + ",".join(f"{v!r}D" for v in vs) + ")")
+    return F.array(*[F.lit(v) for v in vs]).cast("array<double>")
+
+
+# Per-dimension mean aggregate columns for the centroid-update step, cached:
+# a pure function of (vec_col, dim) built once per process instead of dim
+# py4j calls per Lloyd iteration (same rationale as curation._gopher_n_cols).
+_MEAN_COLS: dict[tuple[str, int], list] = {}
+
+
+def _mean_cols(vec_col: str, dim: int) -> list:
+    key = (vec_col, dim)
+    hit = _MEAN_COLS.get(key)
+    if hit is None:
+        hit = _MEAN_COLS[key] = [
+            F.avg(F.col(vec_col)[d]).alias(f"m{d}") for d in range(dim)
+        ]
+    return hit
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -57,7 +90,7 @@ def cosine_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine to a literal query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = _lit_vec(query_vec)
     sim = cosine(F.col(vec_col), q)
     return (
         vectors.select(F.col(id_col).alias("vec_id"), sim.alias("sim"))
@@ -79,7 +112,7 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Sign-pattern bucket id: bit i = 1 iff vec · plane_i >= 0."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = _lit_vec(plane)
         bit = F.when(dot(vec, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -110,7 +143,7 @@ def lsh_topk(
     probes = {qbucket}
     if multiprobe >= 1:
         probes |= {qbucket ^ (1 << i) for i in range(len(planes))}
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = _lit_vec(query_vec)
     sim = cosine(F.col(vec_col), q)
     return (
         bucketed.where(F.col("bucket").isin(list(probes)))
@@ -156,7 +189,7 @@ def assign_cell(vec: Column, centroids: np.ndarray) -> Column:
     centroid — 2^n_cells nodes — and stall Catalyst)."""
     sims = F.array(
         *[
-            dot(vec, F.array(*[F.lit(float(x)) for x in cent]))
+            dot(vec, _lit_vec(cent))
             for cent in centroids
         ]
     )
@@ -178,7 +211,7 @@ def ivf_topk(
     qv = np.asarray(query_vec, dtype=np.float64)
     order = np.argsort(-(centroids @ qv))
     probes = [int(c) for c in order[:n_probe]]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = _lit_vec(query_vec)
     sim = cosine(F.col(vec_col), q)
     return (
         celled.where(F.col("cell").isin(probes))
@@ -221,7 +254,7 @@ def kmeans(
         # array_position trick as assign_cell, linear expression tree.
         sims = F.array(
             *[
-                2.0 * dot(vec, F.array(*[F.lit(float(x)) for x in cent]))
+                2.0 * dot(vec, _lit_vec(cent))
                 - float(cent @ cent)
                 for cent in c
             ]
@@ -235,7 +268,7 @@ def kmeans(
             assigned.groupBy("cluster")
             .agg(
                 F.count("*").alias("n"),
-                *[F.avg(F.col(vec_col)[d]).alias(f"m{d}") for d in range(dim)],
+                *_mean_cols(vec_col, dim),
             )
             .collect()
         )
@@ -251,7 +284,7 @@ def kmeans(
         assigned.groupBy("cluster")
         .agg(
             F.count("*").alias("size"),
-            *[F.avg(F.col(vec_col)[d]).alias(f"m{d}") for d in range(dim)],
+            *_mean_cols(vec_col, dim),
         )
         .select(
             "cluster",
@@ -270,7 +303,7 @@ def knn_regress(
     predict the query point's outcome as the mean outcome of its k nearest
     neighbors — here exact cosine top-k (one scan, TakeOrderedAndProject)
     then a k-row average. Returns (prediction, k)."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = _lit_vec(query_vec)
     sim = cosine(F.col(vec_col), q)
     nn = (
         vectors.select(F.col(y_col).alias("_y"), sim.alias("sim"),
@@ -354,7 +387,7 @@ def bq_topk(
         .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
         .limit(rerank)
     )
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = _lit_vec(query_vec)
     floats = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     )
@@ -515,7 +548,7 @@ def fuzzy_kmeans(
         d2s = [
             F.greatest(
                 F.lit(1e-30),
-                sq_l2(vec, F.array(*[F.lit(float(x)) for x in cent])),
+                sq_l2(vec, _lit_vec(cent)),
             )
             for cent in c
         ]
@@ -597,7 +630,7 @@ def multi_kmeans(
         cen = np.array([list(r["centroid"]) for r in out.collect()])
         d2s = F.array(
             *[
-                sq_l2(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                sq_l2(F.col(vec_col), _lit_vec(c))
                 for c in cen
             ]
         )
@@ -621,7 +654,7 @@ def _kmeans_from(
     def _euclid_cell(vec: Column, c: np.ndarray) -> Column:
         sims = F.array(
             *[
-                2.0 * dot(vec, F.array(*[F.lit(float(x)) for x in cent]))
+                2.0 * dot(vec, _lit_vec(cent))
                 - float(cent @ cent)
                 for cent in c
             ]
@@ -636,7 +669,7 @@ def _kmeans_from(
             assigned.groupBy("cluster")
             .agg(
                 F.count("*").alias("n"),
-                *[F.avg(F.col(vec_col)[d]).alias(f"m{d}") for d in range(dim)],
+                *_mean_cols(vec_col, dim),
             )
             .collect()
         )
@@ -652,7 +685,7 @@ def _kmeans_from(
         assigned.groupBy("cluster")
         .agg(
             F.count("*").alias("size"),
-            *[F.avg(F.col(vec_col)[d]).alias(f"m{d}") for d in range(dim)],
+            *_mean_cols(vec_col, dim),
         )
         .select(
             "cluster",
