@@ -455,14 +455,14 @@ def hyperplane_band_sigs(
     1 - θ/π, so near-parallel vectors collide on whole bands while unrelated
     ones rarely do — the banded random-hyperplane LSH family (Charikar,
     STOC'02). Pure JVM expressions (literal plane arrays + zip_with dot)."""
-    from solr_spark.functions.ann import dot
+    from solr_spark.functions.ann import _lit_vec, dot
 
     sigs = []
     for b in range(bands):
         sig = F.lit(0).cast("long")
         for p in range(planes_per_band):
             plane = planes[b * planes_per_band + p]
-            pa = F.array(*[F.lit(float(x)) for x in plane])
+            pa = _lit_vec(plane)  # 64 hyperplanes x dim: one py4j call each
             sig = sig + F.when(
                 dot(vec, pa) >= 0, F.lit(1 << p).cast("long")
             ).otherwise(F.lit(0).cast("long"))

@@ -1658,3 +1658,31 @@ def test_bicubic_midpoints_cubic_exactness(spark):
     for r in out:
         want = f(r.xm, r.ym)
         assert abs(r.value - want) < 1e-8 * max(1, abs(want))
+
+
+def test_lit_vec_bit_identical_to_per_element_lits(spark):
+    """_lit_vec builds the array<double> literal via one F.expr parse; its
+    values must be BIT-identical to the per-element F.lit form for every
+    representable float (repr round-trips exactly), and the non-finite
+    fallback must kick in for inf/nan."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.ann import _lit_vec
+
+    rng = random.Random(20260820)
+    awkward = [0.1 + 0.2, 1e-308, 5e-324, 1.7976931348623157e308, -0.0,
+               123456789.123456789, math.pi, -1e-17]
+    vals = awkward + [rng.uniform(-1e6, 1e6) for _ in range(56)]
+    a = _lit_vec(vals)
+    b = F.array(*[F.lit(float(v)) for v in vals])
+    row = spark.range(1).select(
+        (a == b).alias("eq"), a.alias("a"), b.alias("b")).collect()[0]
+    assert row["eq"] is True
+    assert row["a"] == row["b"]
+
+    nonfin = [1.0, float("inf"), float("nan")]
+    got = spark.range(1).select(_lit_vec(nonfin).alias("v")).collect()[0]["v"]
+    assert got[0] == 1.0 and math.isinf(got[1]) and math.isnan(got[2])
