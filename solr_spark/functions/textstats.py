@@ -224,11 +224,15 @@ def bpe_train(
         ),
         F.array(F.concat(F.col("w").substr(n, F.lit(1)), F.lit("</w>"))),
     )
+    # Lazy checkpoints: each round's pair-count collect materializes the
+    # PREVIOUS round's merge-apply in the same job (one job per round, not
+    # two), and the final round's vocab — which nothing reads — is never
+    # computed. Lineage is still cut at every round boundary.
     vocab = words.select(
         F.when(n > 1, syms)
         .otherwise(F.array(F.concat(F.col("w"), F.lit("</w>")))).alias("s"),
         "freq",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     merges = []
     for rank in range(n_merges):
@@ -270,7 +274,7 @@ def bpe_train(
             ).otherwise(F.concat(acc, F.array(x))),
         )
         vocab = vocab.select(merged.alias("s"), "freq") \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges or [], "rank int, left string, right string, freq long"
     )
