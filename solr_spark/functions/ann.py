@@ -46,12 +46,15 @@ def _lit_vec(values) -> Column:
 
 # Per-dimension mean aggregate columns for the centroid-update step, cached:
 # a pure function of (vec_col, dim) built once per process instead of dim
-# py4j calls per Lloyd iteration (same rationale as curation._gopher_n_cols).
-_MEAN_COLS: dict[tuple[str, int], list] = {}
+# py4j calls per Lloyd iteration (same rationale as curation._gopher_n_cols;
+# keyed on the live gateway so a relaunched JVM restarts the cache).
+_MEAN_COLS: dict[tuple, list] = {}
 
 
 def _mean_cols(vec_col: str, dim: int) -> list:
-    key = (vec_col, dim)
+    from solr_spark.session import gateway_key
+
+    key = (gateway_key(), vec_col, dim)
     hit = _MEAN_COLS.get(key)
     if hit is None:
         hit = _MEAN_COLS[key] = [
@@ -209,7 +212,10 @@ def ivf_topk(
 ) -> DataFrame:
     """Probe the n_probe nearest cells, rank exactly within them."""
     qv = np.asarray(query_vec, dtype=np.float64)
-    order = np.argsort(-(centroids @ qv))
+    # kind="stable": equal inner products elect the LOWER cluster id —
+    # the tie-break the ivf_ann_top10 oracle pins (ip DESC, cluster ASC).
+    # Default introsort would make the probe set version-dependent.
+    order = np.argsort(-(centroids @ qv), kind="stable")
     probes = [int(c) for c in order[:n_probe]]
     q = _lit_vec(query_vec)
     sim = cosine(F.col(vec_col), q)

@@ -89,18 +89,23 @@ def _gram_structs(th: Column, tl: Column, n: int) -> Column:
 # n (measured 1.8 s for the 9-signal set, dominating the job at bench scale).
 # The cache makes every warm gopher_repetition call skip that entirely. The
 # cached JVM objects live in the process-wide py4j gateway, which survives
-# SparkSession restarts within a process.
-_GOPHER_N_COLS: dict[int, "tuple[Column, Column]"] = {}
+# SparkSession restarts within a process — the cache key carries
+# session.gateway_key() so a relaunched gateway JVM starts a fresh
+# generation instead of handing out stale JavaObject references.
+_GOPHER_N_COLS: dict[tuple, "tuple[Column, Column]"] = {}
 
 
 def _gopher_n_cols(n: int) -> "tuple[Column, Column]":
-    hit = _GOPHER_N_COLS.get(n)
+    from solr_spark.session import gateway_key
+
+    key = (gateway_key(), n)
+    hit = _GOPHER_N_COLS.get(key)
     if hit is None:
         gram = F.array_sort(
             _gram_structs(F.col("_th"), F.col("_tl"), n)
         ).alias(f"_g{n}")
         stat = _run_stats(F.col(f"_g{n}")).alias(f"_s{n}")
-        hit = _GOPHER_N_COLS[n] = (gram, stat)
+        hit = _GOPHER_N_COLS[key] = (gram, stat)
     return hit
 
 

@@ -41,7 +41,11 @@ def pack_binary(df: DataFrame, text_col: str, id_col: str,
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Deterministic fake: dims from byte length, 8-bin byte histogram."""
+    """Deterministic fake: dims from byte length, 8-bin byte histogram.
+
+    This scalar form is the REFERENCE for the vectorized batch decoder in
+    :func:`decode_image_batch` — a parity test asserts the two agree
+    row-for-row, so edit them together."""
     n = len(payload)
     width = 16 + (n % 64)
     height = 16 + ((n // 64) % 64)

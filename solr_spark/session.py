@@ -67,3 +67,18 @@ def get_spark(
     except Exception:
         pass  # non-log4j2 deployments: the WARN is cosmetic
     return spark
+
+
+def gateway_key() -> int | None:
+    """Identity of the live py4j gateway, for keying process-wide caches of
+    Column objects. A classic-mode Column wraps a JavaObject bound to the
+    gateway JVM; if that JVM is ever relaunched (driver crash recovery,
+    explicit gateway teardown), cached Columns turn into stale references
+    that fail with opaque Py4JErrors — keying the cache on the gateway
+    instance makes a relaunch start a fresh cache generation instead.
+    Returns None under Spark Connect (plan-only Columns, nothing to guard).
+    """
+    from pyspark import SparkContext
+
+    gw = getattr(SparkContext, "_gateway", None)
+    return id(gw) if gw is not None else None

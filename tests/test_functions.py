@@ -197,6 +197,21 @@ def test_multimodal_decode_fake(docs):
         assert abs(sum(r.hist) - 1.0) < 1e-9
 
 
+def test_multimodal_batch_matches_scalar_oracle(docs):
+    """The vectorized batch decoder must equal the scalar _fake_decode
+    row-for-row — pins the numpy batch rewrite to the reference math."""
+    from solr_spark.functions.multimodal import _fake_decode
+
+    packed = pack_binary(docs.limit(8), "text", "doc_id")
+    got = {r.id: r for r in decode_image_batch(packed, fake=True).collect()}
+    for p in packed.collect():
+        w, h, hist = _fake_decode(bytes(p.payload))
+        r = got[p.id]
+        assert (r.width, r.height) == (w, h)
+        assert r.n_bytes == len(bytes(p.payload))
+        assert all(abs(a - b) < 1e-12 for a, b in zip(r.hist, hist))
+
+
 def test_multimodal_decode_stub_raises(docs):
     packed = pack_binary(docs.limit(1), "text", "doc_id")
     with pytest.raises(Exception):
