@@ -16,8 +16,12 @@ pure-SQL DuckDB oracle reproduces).
 Plan shape (what Catalyst produces, verified via .explain):
   1. postings filtered to the query terms — a pushed-down IN filter on the
      term column (partition-prunable when postings are bucketed by term);
-  2. broadcast hash join against the tiny per-term idf table (weights are
-     computed driver-side from term_stats — one small aggregate);
+  2. per-term idf weights (computed driver-side from term_stats — one small
+     aggregate) applied as a MAP LITERAL lookup in the projection, not a
+     broadcast-joined single-use DataFrame: a query's weight table is
+     dictionary-sized, so joining it buys nothing and costs a
+     createDataFrame (~hundreds of py4j round-trips), a BroadcastExchange,
+     and a join in every query plan (weight_map_col below);
   3. join doclens on docid (broadcast the *filtered postings* side is wrong
      at scale, so this is a shuffle join on docid — but AQE demotes it to
      broadcast when the candidate set is small);
@@ -70,6 +74,39 @@ def tf_saturation(tf_col, dl_col, k1: float, b: float, avgdl: float):
     )
 
 
+def weight_map_col(weights: list[tuple[str, float]]) -> "F.Column":
+    """A tiny term→weight lookup as ONE map literal.
+
+    The query-compile analogue of the cached-Column rule (SURVEY §11c):
+    a per-query weights table is dictionary-sized, and shipping it as a
+    broadcast-joined createDataFrame costs ~hundreds of py4j round-trips
+    to build plus a BroadcastExchange + join in the plan. A map literal
+    is one parse call and a plain projection. ``repr`` emits the shortest
+    exactly-round-tripping decimal and ``D`` pins DoubleType, so the
+    looked-up weights are bit-identical to the joined form (same rule as
+    ann._lit_vec, equality-tested there). Terms that could break a SQL
+    string literal (quotes, backslashes, control chars) and non-finite
+    weights fall back to the per-element form. Keys must be unique —
+    every caller folds duplicate query terms into the weight driver-side
+    (query_weights) or draws from a set.
+    """
+    vs = [float(w) for _, w in weights]
+    safe = all(
+        "'" not in t and "\\" not in t and all(ch >= " " for ch in t)
+        for t, _ in weights
+    ) and all(math.isfinite(v) for v in vs)
+    if weights and safe:
+        parts = ",".join(
+            f"'{t}',{v!r}D" for (t, _), v in zip(weights, vs)
+        )
+        return F.expr(f"map({parts})")
+    args: list = []
+    for (t, _), v in zip(weights, vs):
+        args.append(F.lit(t))
+        args.append(F.lit(v))
+    return F.create_map(*args)
+
+
 def query_weights(
     index: IndexTables,
     terms: list[str],
@@ -112,15 +149,16 @@ def bm25_score_df(
     if not weights or n_docs == 0:
         return spark.createDataFrame([], "docid string, score double")
 
-    wdf = F.broadcast(
-        spark.createDataFrame(weights, ["term", "w"])
-    )
+    wmap = weight_map_col(weights)
     dl_col = F.col("dl_quant") if quantize_norms else F.col("dl")
     matched = (
         index.postings.where(F.col("term").isin([t for t, _ in weights]))
-        .join(wdf, "term")
         .join(index.doclens, "docid")
-        .withColumn("contrib", F.col("w") * tf_saturation("tf", dl_col, k1, b, avgdl))
+        .withColumn(
+            "contrib",
+            F.element_at(wmap, F.col("term"))
+            * tf_saturation("tf", dl_col, k1, b, avgdl),
+        )
     )
     scored = matched.groupBy("docid").agg(
         F.sum("contrib").alias("score"), F.count("*").alias("n_matched")
@@ -171,7 +209,7 @@ def explain_score(
             [], "docid string, term string, tf long, df long, "
             "idf double, contrib double"
         )
-    wdf = F.broadcast(spark.createDataFrame(weights, ["term", "w"]))
+    wmap = weight_map_col(weights)
     stats = F.broadcast(index.term_stats().select("term", "df"))
     dl_col = F.col("dl_quant") if quantize_norms else F.col("dl")
     rows = index.postings.where(
@@ -179,13 +217,13 @@ def explain_score(
     )
     if docids is not None:
         rows = rows.where(F.col("docid").isin(docids))
+    w = F.element_at(wmap, F.col("term"))
     return (
-        rows.join(wdf, "term")
-        .join(stats, "term")
+        rows.join(stats, "term")
         .join(index.doclens, "docid")
         .select(
             "docid", "term", "tf", "df",
-            F.col("w").alias("idf"),
-            (F.col("w") * tf_saturation("tf", dl_col, k1, b, avgdl)).alias("contrib"),
+            w.alias("idf"),
+            (w * tf_saturation("tf", dl_col, k1, b, avgdl)).alias("contrib"),
         )
     )

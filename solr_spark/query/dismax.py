@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from solr_spark.analysis.chain import analyze
 from solr_spark.index.build import IndexTables, build_index
-from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf, tf_saturation
+from solr_spark.query.bm25 import (
+    B_DEFAULT,
+    K1_DEFAULT,
+    idf,
+    tf_saturation,
+    weight_map_col,
+)
 
 
 def build_multi_index(
@@ -82,17 +88,17 @@ def dismax_score_df(
         ]
         if not weights:
             continue
-        wdf = F.broadcast(spark.createDataFrame(weights, ["term", "w"]))
+        wmap = weight_map_col(weights)
         contrib = (
             ix.postings.where(F.col("term").isin([t for t, _ in weights]))
-            .join(wdf, "term")
             .join(ix.doclens, "docid")
             .select(
                 "term",
                 "docid",
-                (F.col("w") * tf_saturation("tf", "dl", k1, b, avgdl)).alias(
-                    "fscore"
-                ),
+                (
+                    F.element_at(wmap, F.col("term"))
+                    * tf_saturation("tf", "dl", k1, b, avgdl)
+                ).alias("fscore"),
             )
         )
         per_field.append(contrib)

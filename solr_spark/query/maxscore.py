@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from solr_spark.analysis.chain import analyze
 from solr_spark.index.build import IndexTables
-from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf, tf_saturation
+from solr_spark.query.bm25 import (
+    B_DEFAULT,
+    K1_DEFAULT,
+    idf,
+    tf_saturation,
+    weight_map_col,
+)
 
 
 def maxscore_search(
@@ -46,17 +52,17 @@ def maxscore_search(
     weights = [(t, idf(n_docs, stats[t])) for t in terms if t in stats]
     if not weights:
         return empty
-    wdf = F.broadcast(spark.createDataFrame(weights, ["term", "w"]))
+    wmap = weight_map_col(weights)
     dl_col = F.col("dl_quant") if quantize_norms else F.col("dl")
     scored = (
         index.postings.where(F.col("term").isin([t for t, _ in weights]))
-        .join(wdf, "term")
         .join(index.doclens, "docid")
         .select(
             "docid",
-            (F.col("w") * tf_saturation("tf", dl_col, k1, b, avgdl)).alias(
-                "contrib"
-            ),
+            (
+                F.element_at(wmap, F.col("term"))
+                * tf_saturation("tf", dl_col, k1, b, avgdl)
+            ).alias("contrib"),
         )
         .groupBy("docid")
         .agg(F.max("contrib").alias("score"))  # MAX, not SUM: the one change

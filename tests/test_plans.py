@@ -60,6 +60,9 @@ def test_bm25_plan_broadcasts_and_takeordered(spark):
     plan = _plan(top)
     assert "TakeOrderedAndProject" in plan  # two-phase top-k merge
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the per-term idf weights ride a map literal in the projection, not a
+    # broadcast-joined single-use DataFrame: exactly ONE join (doclens)
+    assert plan.count("Join") == 1, plan
 
 
 def test_facet_partial_final_aggregate(spark):
