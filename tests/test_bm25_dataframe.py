@@ -104,3 +104,53 @@ def test_sha256_invariant(spark):
     assert len(got) == 50
     for r in want_rows:
         assert got[r["docid"]] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_weight_map_col_paths_bit_identical(spark):
+    """The one-call F.expr map literal and the per-element F.lit fallback
+    must produce bit-identical doubles for any finite weight (the
+    ann._lit_vec rule), and terms that would break a SQL string literal
+    must route to the fallback and still look up correctly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from solr_spark.query.bm25 import weight_map_col
+
+    weights = [
+        ("plain", 1.2345678901234567),
+        ("unicode_ñé中", math.pi),
+        ("tiny", 5e-324),
+        ("big", 1.7976931348623157e308),
+        ("neg", -0.1),
+    ]
+    fast = weight_map_col(weights)          # safe: expr path
+    slow = F.create_map(
+        *[c for t, w in weights for c in (F.lit(t), F.lit(float(w)))]
+    )
+    df = spark.createDataFrame([(t,) for t, _ in weights], ["term"])
+    rows = df.select(
+        "term",
+        F.element_at(fast, F.col("term")).alias("a"),
+        F.element_at(slow, F.col("term")).alias("b"),
+    ).collect()
+    assert len(rows) == len(weights)
+    for r in rows:
+        assert r["a"] == r["b"] and str(r["a"]) == str(r["b"]), r
+
+    # quote / backslash / control-char terms and non-finite weights fall
+    # back to per-element construction and still resolve
+    tricky = [("it's", 2.0), ("back\\slash", 3.0), ("tab\there", 4.0)]
+    m = weight_map_col(tricky)
+    got = {
+        r["term"]: r["w"]
+        for r in spark.createDataFrame([(t,) for t, _ in tricky], ["term"])
+        .select("term", F.element_at(m, F.col("term")).alias("w"))
+        .collect()
+    }
+    assert got == {t: w for t, w in tricky}
+    inf_m = weight_map_col([("a", float("inf"))])
+    row = spark.range(1).select(
+        F.element_at(inf_m, F.lit("a")).alias("w")
+    ).collect()[0]
+    assert row["w"] == float("inf")
