@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 
 from solr_spark.analysis.chain import analyze
 from solr_spark.index.build import IndexTables
-from solr_spark.query.bm25 import B_DEFAULT, K1_DEFAULT, idf, tf_saturation
+from solr_spark.query.bm25 import (
+    B_DEFAULT,
+    K1_DEFAULT,
+    idf,
+    tf_saturation,
+    weight_map_col,
+)
 
 # --- lexer ------------------------------------------------------------------
 
@@ -580,19 +586,48 @@ def search(
         # aggregate merges them all.
         contrib_parts: list[DataFrame] = []
         if rows:
-            wdf = F.broadcast(spark.createDataFrame(rows, ["term", "w", "gid"]))
-            contrib_parts.append(
-                index.postings.where(F.col("term").isin([r[0] for r in rows]))
-                .join(wdf, "term")
-                .join(index.doclens, "docid")
-                .select(
-                    "docid",
-                    (
-                        F.col("w") * tf_saturation("tf", dl_col, k1, b, avgdl)
-                    ).alias("contrib"),
-                    F.col("gid").cast("int").alias("gid"),
-                )
+            terms_r = [r[0] for r in rows]
+            scan = index.postings.where(F.col("term").isin(terms_r)).join(
+                index.doclens, "docid"
             )
+            if len(set(terms_r)) == len(terms_r):
+                # Dictionary-sized query-compile artifact → plan literals
+                # (the weight_map_col rule, SURVEY §11c-bis): weights ride
+                # one map literal, gids another — no createDataFrame, no
+                # BroadcastExchange, no join in the per-query plan.
+                wmap = weight_map_col([(t, w) for t, w, _ in rows])
+                gargs: list[Column] = []
+                for t, _, g in rows:
+                    gargs += [F.lit(t), F.lit(int(g))]
+                contrib_parts.append(
+                    scan.select(
+                        "docid",
+                        (
+                            F.element_at(wmap, F.col("term"))
+                            * tf_saturation("tf", dl_col, k1, b, avgdl)
+                        ).alias("contrib"),
+                        F.element_at(F.create_map(*gargs), F.col("term"))
+                        .cast("int")
+                        .alias("gid"),
+                    )
+                )
+            else:
+                # A term appearing in TWO clauses ("foo foo", or a term that
+                # is both a should-clause and a fuzzy expansion) contributes
+                # once PER CLAUSE with its own gid — a map cannot hold two
+                # values for one key, so these keep the joined weights table.
+                wdf = F.broadcast(
+                    spark.createDataFrame(rows, ["term", "w", "gid"])
+                )
+                contrib_parts.append(
+                    scan.join(wdf, "term").select(
+                        "docid",
+                        (
+                            F.col("w") * tf_saturation("tf", dl_col, k1, b, avgdl)
+                        ).alias("contrib"),
+                        F.col("gid").cast("int").alias("gid"),
+                    )
+                )
         for pref_txt, boost, occur, g in pos_prefix:
             pd_ = prefix_docids(index.postings, pref_txt)
             if occur == "must":

@@ -404,3 +404,64 @@ def test_fuzzy_damerau_transposition(spark):
     assert "spark" in with_t
     without = fuzzy_candidates(stats, "sprak", 1, transpositions=False)
     assert "spark" not in without and "sprat" in without
+
+
+def test_weight_literals_single_join_plan(idx):
+    """Unique-term queries compile (w, gid) to map literals (SURVEY
+    §11c-bis): the term-contrib plan's only join is doclens — no
+    LocalTableScan weights table, no second join."""
+    q = search(idx, "spark join data", k=10)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan, plan
+    assert plan.count("Join") == 1, plan
+
+
+def test_weight_literal_matches_joined_form(spark, idx):
+    """Per-posting contribs from the map-literal path are bit-identical
+    (exact ==, no rounding) to the joined weights-table form it replaced."""
+    from solr_spark.query.bm25 import (
+        B_DEFAULT,
+        K1_DEFAULT,
+        query_weights,
+        tf_saturation,
+        weight_map_col,
+    )
+
+    n_docs, avgdl = idx.corpus_stats()
+    weights = query_weights(idx, ["spark", "join", "data"], n_docs)
+    assert len(weights) == 3
+    scan = idx.postings.where(
+        F.col("term").isin([t for t, _ in weights])
+    ).join(idx.doclens, "docid")
+    sat = tf_saturation("tf", F.col("dl"), K1_DEFAULT, B_DEFAULT, avgdl)
+    lit = scan.select(
+        "docid", "term",
+        (F.element_at(weight_map_col(weights), F.col("term")) * sat)
+        .alias("contrib"),
+    )
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(t, w, i + 1) for i, (t, w) in enumerate(weights)],
+            ["term", "w", "gid"],
+        )
+    )
+    joined = scan.join(wdf, "term").select(
+        "docid", "term", (F.col("w") * sat).alias("contrib")
+    )
+    a = {(r.docid, r.term): r.contrib for r in lit.collect()}
+    b = {(r.docid, r.term): r.contrib for r in joined.collect()}
+    assert a == b
+
+
+def test_duplicate_term_clauses_fall_back_and_double(idx):
+    """'spark spark' is TWO clauses with their own gids — a map literal
+    cannot hold two values per key, so the joined weights table handles
+    it; each clause contributes once, so scores are exactly doubled."""
+    one = {r.docid: r.score for r in search(idx, "spark", k=10**6).collect()}
+    two = {
+        r.docid: r.score
+        for r in search(idx, "spark spark", k=10**6).collect()
+    }
+    assert set(one) == set(two) and one
+    for d, s in one.items():
+        assert two[d] == pytest.approx(2 * s, rel=1e-12)
