@@ -59,10 +59,16 @@ def dismax_score_df(
     mm: int = 1,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    field_stats: dict[str, dict[str, int]] | None = None,
 ) -> DataFrame:
     """UNSORTED (docid, score) of every doc matching under DisMax — the
     composable form (edismax layers phrase boosts on top before its own
-    top-k, so no global sort happens here)."""
+    top-k, so no global sort happens here).
+
+    ``field_stats`` optionally supplies pre-collected {field: {term: df}}
+    maps (filtered to this query's terms) so a caller that already paid the
+    per-field stats job (edismax collects them for its phrase boosts) does
+    not trigger a second collect per field."""
     fields = list(indexes)
     qf = qf or {f: 1.0 for f in fields}
     some_index = indexes[fields[0]]
@@ -79,10 +85,14 @@ def dismax_score_df(
         n, avgdl = ix.corpus_stats()
         if n == 0:
             continue
-        stats = {
-            r["term"]: r["df"]
-            for r in ix.term_stats().where(F.col("term").isin(terms)).collect()
-        }
+        stats = (field_stats or {}).get(fname)
+        if stats is None:
+            stats = {
+                r["term"]: r["df"]
+                for r in ix.term_stats()
+                .where(F.col("term").isin(terms))
+                .collect()
+            }
         weights = [
             (t, qf.get(fname, 1.0) * idf(n, stats[t])) for t in terms if t in stats
         ]

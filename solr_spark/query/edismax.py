@@ -152,11 +152,32 @@ def edismax_search(
     if not terms:
         return empty
 
+    # ONE stats job per field for the whole query: the union of qf and
+    # pf/pf2/pf3 fields collects here and is shared with the main dismax
+    # pass (a field in both qf and pf previously paid two collects — a
+    # driver round-trip on the query critical path, SURVEY §11c).
+    stat_fields = {f for f in qf if f in indexes}
+    for pdict in (pf, pf2, pf3):
+        if pdict:
+            stat_fields |= {
+                f for f in resolve_aliases(pdict, aliases) if f in indexes
+            }
+    uniq_terms = sorted(set(terms))
+    field_stats: dict[str, dict[str, int]] = {
+        fname: {
+            r["term"]: r["df"]
+            for r in indexes[fname].term_stats()
+            .where(F.col("term").isin(uniq_terms))
+            .collect()
+        }
+        for fname in sorted(stat_fields)
+    }
+
     # Main dismax query over the resolved qf — unsorted: the top-k sort
     # happens once, AFTER the phrase boosts and multiplicative boost.
     main = dismax_score_df(
         {f: indexes[f] for f in qf if f in indexes},
-        query, qf=qf, tie=tie, mm=mm, k1=k1, b=b,
+        query, qf=qf, tie=tie, mm=mm, k1=k1, b=b, field_stats=field_stats,
     ).select("docid", F.col("score").alias("contrib"))
 
     # Additive phrase boosts: pf = whole query, pf2 = bigrams, pf3 = trigrams.
@@ -164,7 +185,6 @@ def edismax_search(
     # the same query terms.
     parts = [main]
     min_gram = None
-    field_stats: dict[str, dict[str, int]] = {}
     # slop=0 grams batch into ONE postings aggregation per field
     # (_combined_phrase_boosts); sloppy grams keep the per-gram path.
     combined: dict[str, list[tuple[list[str], list[int], float]]] = {}
@@ -175,13 +195,6 @@ def edismax_search(
         for fname, boost in resolve_aliases(pdict, aliases).items():
             if fname not in indexes:
                 continue
-            if fname not in field_stats:
-                field_stats[fname] = {
-                    r["term"]: r["df"]
-                    for r in indexes[fname].term_stats()
-                    .where(F.col("term").isin(sorted(set(terms))))
-                    .collect()
-                }
             for gram in grams:
                 if len(gram) < 2:
                     continue
