@@ -4157,10 +4157,12 @@ def shortest_path_hops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     hops = shortest_path(edges, "o:1", "p:1000", max_hops=6)
+    # Explicit schema: hops is None when the target is unreachable (small
+    # corpora may not contain p:1000 within 6 hops) and inference can't
+    # type a None field — the oracle's min() over an empty set is NULL too.
     return spark.createDataFrame(
-        [("o:1", "p:1000", hops)], ["from_node", "to_node", "hops"]
-    ).select(
-        "from_node", "to_node", F.col("hops").cast("long").alias("hops")
+        [("o:1", "p:1000", hops)],
+        "from_node string, to_node string, hops long",
     )
 
 
@@ -8835,11 +8837,14 @@ CATALOG["harmfit_daily_events"].sql = _harmfit_sql()
 
 def _gaussfit_sql(steps=50):
     """Caruana log-quadratic init (Cramer 3x3 over ln-y moments) + the
-    Gauss-Newton refinement unrolled; each step = nine J^T J / J^T r
-    moments over the histogram + a Cramer 3x3 solve carried as one row.
-    GN is contractive here (fixed point reached in ~5 steps; the
-    remaining unrolled steps are ~0), so Cramer-vs-lstsq per-step
-    differences do not accumulate."""
+    DAMPED Gauss-Newton refinement unrolled; each step = nine J^T J /
+    J^T r moments over the histogram + a Cramer 3x3 solve carried as
+    one row, with the candidate accepted only when its SSE does not
+    increase — the same accept/reject rule the engine runs, so both
+    sides walk one trajectory even on series where undamped GN
+    diverges (flat histograms: the round-5 sf0.001 sweep find). A
+    rejected step retries from the same point, so trailing steps are
+    no-ops once the fixed point is reached (~5 steps on this data)."""
     parts = ["""hist AS (
   SELECT floor(o_totalprice / 25000.0) * 25000.0 + 12500.0 AS x,
          CAST(count(*) AS DOUBLE) AS y
@@ -8868,6 +8873,7 @@ p0 AS MATERIALIZED (
     for i in range(1, steps + 1):
         parts.append(f"""g{i} AS MATERIALIZED (
   SELECT max(p.nr) AS nr, max(p.m) AS m, max(p.s) AS s,
+         sum((y-f)*(y-f)) AS sse0,
          sum(e*e) AS a11, sum(e*f*(x-p.m)/(p.s*p.s)) AS a12,
          sum(e*f*(x-p.m)*(x-p.m)/(p.s*p.s*p.s)) AS a13,
          sum(f*f*(x-p.m)*(x-p.m)/pow(p.s,4)) AS a22,
@@ -8879,16 +8885,26 @@ p0 AS MATERIALIZED (
   FROM hist CROSS JOIN {prev} p,
        LATERAL (SELECT exp(-(x-p.m)*(x-p.m)/(2.0*p.s*p.s)) AS e),
        LATERAL (SELECT p.nr * e AS f)),
-p{i} AS MATERIALIZED (
-  SELECT nr + (b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
-               + a13*(b2*a23 - a22*b3)) / det AS nr,
+c{i} AS MATERIALIZED (
+  SELECT nr, m, s, sse0,
+         nr + (b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+               + a13*(b2*a23 - a22*b3)) / det AS nr2,
          m + (a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a13*a23)
-              + a13*(a12*b3 - b2*a13)) / det AS m,
+              + a13*(a12*b3 - b2*a13)) / det AS m2,
          s + (a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
-              + b1*(a12*a23 - a22*a13)) / det AS s
+              + b1*(a12*a23 - a22*a13)) / det AS s2
   FROM g{i}, LATERAL (
     SELECT a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a13*a23)
-           + a13*(a12*a23 - a22*a13) AS det))""")
+           + a13*(a12*a23 - a22*a13) AS det)),
+p{i} AS MATERIALIZED (
+  SELECT CASE WHEN ok THEN nr2 ELSE nr END AS nr,
+         CASE WHEN ok THEN m2 ELSE m END AS m,
+         CASE WHEN ok THEN s2 ELSE s END AS s
+  FROM c{i} c, LATERAL (
+    SELECT (SELECT sum((y - c.nr2*exp(-(x-c.m2)*(x-c.m2)/(2.0*c.s2*c.s2)))
+                       * (y - c.nr2*exp(-(x-c.m2)*(x-c.m2)/(2.0*c.s2*c.s2))))
+            FROM hist) AS sse1),
+  LATERAL (SELECT coalesce(isfinite(sse1) AND sse1 <= c.sse0, FALSE) AS ok))""")
         prev = f"p{i}"
     body = ",\n".join(parts)
     return f"""WITH {body}

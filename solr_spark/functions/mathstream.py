@@ -1718,10 +1718,16 @@ def gaussian_fit(df: DataFrame, x: str, y: str, limit: int = 4096):
     """`gaussfit(x, y)` (io/eval/GaussFitEvaluator.java, commons-math
     GaussianCurveFitter fitting N·exp(-(x-m)²/(2σ²))): Caruana's
     log-quadratic linearization (exact on a clean Gaussian — pytest
-    golden) refined by deterministic Gauss-Newton steps for noisy data;
-    the reference's LM converges to the same optimum on well-posed
-    series. Series-evaluator contract (bounded collect + numpy).
-    Returns ((norm, mean, sigma), fitted DataFrame (x, fit))."""
+    golden) refined by damped Gauss-Newton: a step is accepted only if
+    it reduces the residual sum of squares, like the reference's
+    Levenberg-Marquardt. Rejection makes the iteration stable on
+    DEGENERATE series (a flat histogram sent undamped GN to ~1e118 —
+    round-5 sf0.001 sweep find); on well-posed series every step
+    accepts and the fixed point is the plain-GN one. The normal
+    equations are solved by explicit Cramer 3x3 over moment sums — the
+    same arithmetic the DuckDB oracle unrolls, so both sides walk the
+    same trajectory. Series-evaluator contract (bounded collect +
+    numpy). Returns ((norm, mean, sigma), fitted DataFrame (x, fit))."""
     import numpy as np
 
     spark = df.sparkSession
@@ -1735,41 +1741,83 @@ def gaussian_fit(df: DataFrame, x: str, y: str, limit: int = 4096):
     pos = ys > 0
     if pos.sum() < 3:
         raise ValueError("gaussian_fit needs >= 3 positive y values")
-    # Caruana: ln y = ln N - (x-m)^2/(2s^2) is quadratic in x
-    a_mat = np.column_stack(
-        [np.ones(pos.sum()), xs[pos], xs[pos] ** 2]
+    # Caruana: ln y = ln N - (x-m)^2/(2s^2) is quadratic in x.
+    # Cramer 3x3 over the moment sums (not lstsq): identical arithmetic
+    # to the SQL oracle, so near-degenerate series don't fork on solver
+    # conditioning differences.
+    xp = xs[pos]
+    ly = np.log(ys[pos])
+    s0 = float(pos.sum())
+    s1 = float(np.sum(xp))
+    s2 = float(np.sum(xp * xp))
+    s3 = float(np.sum(xp ** 3))
+    s4 = float(np.sum(xp ** 4))
+    t0 = float(np.sum(ly))
+    t1 = float(np.sum(xp * ly))
+    t2 = float(np.sum(xp * xp * ly))
+    det = s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (
+        s1 * s3 - s2 * s2
     )
-    coef, *_ = np.linalg.lstsq(a_mat, np.log(ys[pos]), rcond=None)
-    c0, c1, c2 = coef
+    c0 = (
+        t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2)
+        + s2 * (t1 * s3 - s2 * t2)
+    ) / det
+    c1 = (
+        s0 * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * t2 - t1 * s2)
+    ) / det
+    c2 = (
+        s0 * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2)
+        + t0 * (s1 * s3 - s2 * s2)
+    ) / det
     if c2 >= 0:
         c2 = -1e-12
     sigma = float(np.sqrt(-1.0 / (2.0 * c2)))
     mean = float(c1 * sigma * sigma)
     norm = float(np.exp(c0 + mean * mean / (2.0 * sigma * sigma)))
-    # Gauss-Newton refinement on the original (unweighted) residuals
-    p = np.array([norm, mean, sigma])
+    # Damped Gauss-Newton on the original (unweighted) residuals:
+    # J^T J / J^T r moments + Cramer 3x3, candidate accepted iff finite
+    # and the SSE does not increase (else the step is rejected and the
+    # next iteration retries from the same point — a fixed point, so
+    # trailing rejected steps are no-ops, mirrored in the SQL oracle).
     for _ in range(50):
-        nrm, m, s = p
-        e = np.exp(-((xs - m) ** 2) / (2 * s * s))
-        f = nrm * e
+        e = np.exp(-((xs - mean) ** 2) / (2.0 * sigma * sigma))
+        f = norm * e
         r = ys - f
-        j = np.column_stack([
-            e,
-            f * (xs - m) / (s * s),
-            f * ((xs - m) ** 2) / (s ** 3),
-        ])
-        try:
-            step, *_ = np.linalg.lstsq(j, r, rcond=None)
-        except np.linalg.LinAlgError:
-            break
-        p_new = p + step
-        if p_new[2] <= 0:
-            break
-        if np.max(np.abs(step) / (np.abs(p) + 1e-12)) < 1e-12:
-            p = p_new
-            break
-        p = p_new
-    norm, mean, sigma = (float(v) for v in p)
+        sse0 = float(np.sum(r * r))
+        a11 = float(np.sum(e * e))
+        a12 = float(np.sum(e * f * (xs - mean) / (sigma * sigma)))
+        a13 = float(np.sum(e * f * (xs - mean) ** 2 / sigma ** 3))
+        a22 = float(np.sum(f * f * (xs - mean) ** 2 / sigma ** 4))
+        a23 = float(np.sum(f * f * (xs - mean) ** 3 / sigma ** 5))
+        a33 = float(np.sum(f * f * (xs - mean) ** 4 / sigma ** 6))
+        b1 = float(np.sum(e * r))
+        b2 = float(np.sum(f * (xs - mean) / (sigma * sigma) * r))
+        b3 = float(np.sum(f * (xs - mean) ** 2 / sigma ** 3 * r))
+        det = (
+            a11 * (a22 * a33 - a23 * a23)
+            - a12 * (a12 * a33 - a13 * a23)
+            + a13 * (a12 * a23 - a22 * a13)
+        )
+        if det == 0.0:
+            continue
+        nr2 = norm + (
+            b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
+            + a13 * (b2 * a23 - a22 * b3)
+        ) / det
+        m2 = mean + (
+            a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a13 * a23)
+            + a13 * (a12 * b3 - b2 * a13)
+        ) / det
+        s2_ = sigma + (
+            a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13)
+            + b1 * (a12 * a23 - a22 * a13)
+        ) / det
+        e2 = np.exp(-((xs - m2) ** 2) / (2.0 * s2_ * s2_))
+        r2 = ys - nr2 * e2
+        sse1 = float(np.sum(r2 * r2))
+        if math.isfinite(sse1) and sse1 <= sse0:
+            norm, mean, sigma = float(nr2), float(m2), float(s2_)
     fit = norm * np.exp(-((xs - mean) ** 2) / (2 * sigma * sigma))
     fitted = spark.createDataFrame(
         [(float(xv), float(fv)) for xv, fv in zip(xs, fit)],
