@@ -1701,3 +1701,33 @@ def test_lit_vec_bit_identical_to_per_element_lits(spark):
     nonfin = [1.0, float("inf"), float("nan")]
     got = spark.range(1).select(_lit_vec(nonfin).alias("v")).collect()[0]["v"]
     assert got[0] == 1.0 and math.isinf(got[1]) and math.isnan(got[2])
+
+
+def test_gaussian_fit_degenerate_series_stay_bounded(spark):
+    """Damped GN regression (round-5 sf0.001 sweep find): undamped
+    Gauss-Newton diverged to ~1e118 on a FLAT histogram (every step
+    taken unconditionally). With SSE step rejection the fit must stay
+    finite on degenerate series — flat, spike, ramp, minimal — and the
+    flat case must keep norm near the data scale."""
+    import numpy as np
+
+    from solr_spark.functions.mathstream import gaussian_fit
+
+    cases = {
+        # the sf0.001 orders histogram shape: 20 flat 25k-spaced buckets
+        "flat": [(12500.0 + 25000.0 * i, 70.0 + (i * 7) % 20)
+                 for i in range(20)],
+        "spike": [(float(i), 1.0 if i != 5 else 100.0) for i in range(11)],
+        "ramp": [(float(i), float(i + 1)) for i in range(12)],
+        "minimal": [(0.0, 2.0), (1.0, 5.0), (2.0, 2.0)],
+    }
+    for name, rows in cases.items():
+        df = spark.createDataFrame(rows, "x double, y double")
+        (norm, mean, sigma), fitted = gaussian_fit(df, "x", "y")
+        assert all(np.isfinite([norm, mean, sigma])), (name, norm, mean, sigma)
+        fit_vals = [r.fit for r in fitted.collect()]
+        assert all(np.isfinite(fit_vals)), name
+    # the flat case must not explode: norm stays near the count scale
+    df = spark.createDataFrame(cases["flat"], "x double, y double")
+    (norm, _, _), _ = gaussian_fit(df, "x", "y")
+    assert abs(norm) < 1e6
