@@ -9,9 +9,11 @@ Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
 
 from __future__ import annotations
 
+import datetime
 import math
 import sys
 import time
+from decimal import Decimal
 
 sys.path.insert(0, ".")
 
@@ -32,6 +34,44 @@ def norm(v):
 def rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def kind(v):
+    """Coarse Python type class of a fetched cell. The driver's value hash
+    is TYPE-sensitive (r4's frequency_table_quantity: identical values, red
+    hash because DuckDB returned float64 where Spark emitted int64), while
+    norm() above collapses 3.0 and 3 to the same string — so the sweep also
+    compares per-column type classes to catch that hazard before the driver
+    samples an entry."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, Decimal):
+        return "decimal"
+    if isinstance(v, datetime.datetime):
+        return "timestamp"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, (list, tuple)):
+        return "list"
+    if isinstance(v, str):
+        return "str"
+    return type(v).__name__
+
+
+def colkinds(cols, rows):
+    """column name -> set of non-null value type classes."""
+    out = {c: set() for c in cols}
+    for r in rows:
+        for c, v in zip(cols, r):
+            if v is not None:
+                out[c].add(kind(v))
+    return out
 
 
 def main() -> int:
@@ -85,6 +125,14 @@ def main() -> int:
             problems.append(f"cols spark={scols} oracle={ocols}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            sk, ok = colkinds(scols, srows), colkinds(ocols, orows)
+            for c in sorted(sk):
+                if c in ok and sk[c] and ok[c] and sk[c] != ok[c]:
+                    problems.append(
+                        f"coltype {c}: spark={sorted(sk[c])} "
+                        f"oracle={sorted(ok[c])}"
+                    )
         if not problems:
             a, b = rowset(scols, srows), rowset(ocols, orows)
             if a != b:
