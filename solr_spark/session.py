@@ -49,6 +49,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SOLR_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # In local mode every task is process-local, so the scheduler's
+        # locality wait (default 3s tiers) only ever ADDS latency — measured
+        # ~200 ms of constant per-job cost on some sandbox hosts. On a real
+        # cluster master (yarn/k8s/standalone) the default stays: there the
+        # wait trades latency for avoiding remote reads, which is the right
+        # call for a 100 TB scan. (extra_conf below can still override.)
+        b = b.config("spark.locality.wait", "0ms")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
