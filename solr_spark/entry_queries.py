@@ -6498,7 +6498,8 @@ def score_join_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_orderkey, l_linenumber, l_quantity FROM (
   SELECT l_orderkey, l_linenumber, l_quantity,
-         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity) AS rn
   FROM lineitem
   WHERE l_quantity >= 30
     AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000))
@@ -6510,7 +6511,14 @@ def child_transformer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ChildDocTransformerFactory.java): for each matched parent order
     (o_totalprice > 450000), its qualifying lineitem children
     (childFilter l_quantity >= 30), capped at 3 per parent in line order —
-    the per-parent cap is a window partitioned by the parent key."""
+    the per-parent cap is a window partitioned by the parent key.
+
+    The synthetic lineitem table has duplicate (l_orderkey, l_linenumber)
+    pairs (118k at sf0.1), so l_linenumber alone is not a total order
+    within a parent and the capped subset would be an arbitrary pick among
+    tied children — the cap therefore orders by (l_linenumber, l_quantity),
+    which is total over the COMPARED attributes: children still tying on
+    both are interchangeable in the result multiset."""
     from solr_spark.operators.joins import child_transform
 
     o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
@@ -6520,7 +6528,7 @@ def child_transformer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = child_transform(
         o, li, "o_orderkey",
         child_filter=F.col("l_quantity") >= 30,
-        limit=3, order_by="l_linenumber",
+        limit=3, order_by=["l_linenumber", "l_quantity"],
     )
     return (
         out.select(

@@ -113,7 +113,7 @@ def child_transform(
     parent_key: str,
     child_filter: Column | None = None,
     limit: int | None = None,
-    order_by: str | None = None,
+    order_by: str | Column | list[str | Column] | None = None,
 ) -> DataFrame:
     """The `[child]` doc transformer (response/transform/
     ChildDocTransformerFactory.java): attach each matched parent's child
@@ -122,15 +122,25 @@ def child_transform(
     reference nests the same rows under the parent.
 
     The per-parent cap is a window PARTITIONED by the parent key — ranks
-    compute within each parent's partition, never a global sort."""
+    compute within each parent's partition, never a global sort.
+
+    ``order_by`` should be a TOTAL order within each parent (a list of
+    columns is accepted): the reference caps children in segment-docid
+    order, which is total by construction, so any tie in a partial sort
+    key here would make the capped subset an arbitrary (if deterministic)
+    choice among tied children."""
     from pyspark.sql import Window
 
     kids = children.where(child_filter) if child_filter is not None else children
     kids = kids.join(parents.select(parent_key), parent_key, "left_semi")
     if limit is not None:
-        w = Window.partitionBy(parent_key).orderBy(
-            order_by if order_by is not None else parent_key
-        )
+        if order_by is None:
+            order_cols = [parent_key]
+        elif isinstance(order_by, (list, tuple)):
+            order_cols = list(order_by)
+        else:
+            order_cols = [order_by]
+        w = Window.partitionBy(parent_key).orderBy(*order_cols)
         kids = (
             kids.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= limit)
