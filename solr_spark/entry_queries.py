@@ -2072,11 +2072,20 @@ def fuzzy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery `tabel~2`: bounded dictionary probe (length band +
     thresholded prefilter + exact Damerau, transpositions=1 edit) capped at maxExpansions=50 best terms
     (dist asc, df desc, term asc — Lucene's top-terms order), each
-    BM25-scored (query/expand.py)."""
+    BM25-scored (query/expand.py).
+
+    The inner search ranks by RAW score (Lucene semantics); the oracle
+    ranks by the x10k-quantized score. At sf0.1 two docs straddle the
+    k=10 boundary with raw scores 1.9e-05 apart that quantize EQUAL, so
+    the two orderings pick different docs. The entry therefore takes a
+    headroom top-30 raw and applies the oracle's exact (scaled desc,
+    doc_id asc) order over it — sound while every doc whose scaled score
+    ties the 10th lies inside the raw top-30 (quantization groups here
+    span ≤3 adjacent raw ranks; 20 ranks of headroom)."""
     from solr_spark.query.parser import search
 
     idx, _, _ = documents_index(spark, sf_dir)
-    out = search(idx, "tabel~2", k=10)
+    out = search(idx, "tabel~2", k=30)
     return (
         out.select(F.col("docid").alias("doc_id"), scaled("score").alias("score_x10k"))
         .orderBy(F.col("score_x10k").desc(), F.col("doc_id").asc())
