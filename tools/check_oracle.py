@@ -5,6 +5,12 @@ matching oracle_sql() through DuckDB on the same parquet files, and compares
 row count, column names, and the order-insensitive multiset of row values.
 
 Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
+                                    [--skip name ...] [--resume-log file]
+
+--skip drops entries whose name contains any given substring (for
+oracles that are impractical at a large sf, e.g. the cubic geometry
+CTEs); --resume-log skips entries already reported ok/okR in a previous
+run's log, so an interrupted sweep continues where it stopped.
 """
 
 from __future__ import annotations
@@ -75,8 +81,22 @@ def colkinds(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    args = list(sys.argv[1:])
+    skips: list[str] = []
+    done: set[str] = set()
+    while "--skip" in args:
+        i = args.index("--skip")
+        skips.append(args[i + 1])
+        del args[i:i + 2]
+    if "--resume-log" in args:
+        i = args.index("--resume-log")
+        with open(args[i + 1]) as fh:
+            for line in fh:
+                if line.startswith(("ok ", "okR")):
+                    done.add(line.split()[1].rstrip(":"))
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filter = args[1:]
 
     import duckdb
 
@@ -98,6 +118,8 @@ def main() -> int:
     failures = []
     for name, fn in qs.items():
         if name_filter and not any(f in name for f in name_filter):
+            continue
+        if name in done or any(s in name for s in skips):
             continue
         t0 = time.time()
         try:
