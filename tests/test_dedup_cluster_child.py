@@ -50,6 +50,29 @@ def test_child_transform_filter_and_cap(spark):
     assert sorted(out["line"]) == [1, 2]  # first 2 qualifying lines
 
 
+def test_child_transform_multicolumn_order_breaks_ties(spark):
+    """Duplicate (parent, line) pairs — the synthetic lineitem shape that
+    made a single-column cap order an arbitrary pick among tied children
+    (found by the sf0.1 oracle sweep). A list-valued order_by must make
+    the capped subset the (line, qty)-minimal children, at any
+    parallelism."""
+    from solr_spark.operators.joins import child_transform
+
+    parents = spark.createDataFrame([(1,)], ["pk"])
+    # three children all on line 1 (dup keys), one on line 2
+    children = spark.createDataFrame(
+        [(1, 1, 30), (1, 1, 10), (1, 1, 20), (1, 2, 5)],
+        ["pk", "line", "qty"],
+    )
+    out = child_transform(
+        parents, children.repartition(4), "pk",
+        limit=2, order_by=["line", "qty"],
+    ).toPandas()
+    got = sorted(zip(out["line"], out["qty"]))
+    # cap=2 in (line, qty) order -> the two smallest-qty line-1 children
+    assert got == [(1, 10), (1, 20)]
+
+
 def test_diff_and_moving_median(spark):
     from solr_spark.functions.mathstream import diff_series, moving_median
 
